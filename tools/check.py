@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness compare.
+
+Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+
+For each <name> dir in outDir: read spark parquet result, run oracle_sql.json
+[name] in DuckDB with the sf tables registered as views, sort columns by name,
+sort rows, round-trip to strings, compare.  Not the driver's exact code, but
+the same contract (row/schema/value match).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: everything to string via repr-ish canonical form
+    def cell(v):
+        if pd.isna(v):
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.6g}" if v == v else "NULL"
+        return str(v)
+    out = df.applymap(cell) if hasattr(df, "applymap") else df.map(cell)
+    out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
+    return out
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(outdir)):
+        d = os.path.join(outdir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        spark_df = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        if name not in oracle:
+            results[name] = f"rows-only ({len(spark_df)} rows)"
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE SQL ERROR: {e}"
+            continue
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            results[name] = f"SCHEMA MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+        elif len(a) != len(b):
+            results[name] = f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
+        elif not a.equals(b):
+            neq = (a != b).any(axis=1)
+            idx = neq[neq].index[:3]
+            diffs = [f"row{j}: spark={a.loc[j].to_dict()} duck={b.loc[j].to_dict()}" for j in idx]
+            results[name] = "VALUE MISMATCH " + " | ".join(diffs)
+        else:
+            results[name] = f"OK ({len(a)} rows)"
+    bad = 0
+    for k, v in sorted(results.items()):
+        flag = "PASS" if v.startswith(("OK", "rows-only")) else "FAIL"
+        bad += flag == "FAIL"
+        print(f"[{flag}] {k}: {v}")
+    print(f"\n{len(results) - bad}/{len(results)} pass")
+    sys.exit(1 if bad else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -1,0 +1,146 @@
+package graft.kmeans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.NearestCentroid
+
+/** A centroid — reference `Centroid{id, Point{x, y}}` (mapreduce.proto:12-15),
+  * ids 1-based. */
+final case class Centroid(id: Int, x: Double, y: Double)
+
+/** Result of a full Lloyd run. */
+final case class KMeansModel(centroids: Seq[Centroid], sizes: Map[Int, Long],
+    iterations: Int, converged: Boolean)
+
+/** Spark-native Lloyd's K-Means — the reference engine's whole workload
+  * (master.py / mapper.py / reducer.py), re-expressed as a DataFrame plan:
+  *
+  *   - centroid "broadcast" (master.py:59) = double arrays embedded in a
+  *     codegen'd [[NearestCentroid]] expression — no gRPC, no protobuf;
+  *   - the mapper's per-reducer partition files + FetchData shuffle
+  *     (mapper.py:68-71, reducer.py:19-27) = Spark's hash shuffle under
+  *     `groupBy(cid)`, with map-side partial aggregation, so the wire
+  *     carries K×partitions partial sums instead of every point;
+  *   - the reducer's per-cluster mean (reducer.py:41-51) = `avg(x),avg(y)`;
+  *   - the master's retry-forever loop on simulated failures
+  *     (master.py:73-89) = Spark task re-execution, natively;
+  *   - convergence: `np.allclose(old, new, atol=1e-4)` (master.py:144) =
+  *     |old-new| <= atol + rtol*|new| per coordinate, rtol=1e-5 (numpy's
+  *     default rtol is retained by the reference).
+  *
+  * Per-iteration driver traffic is K rows; the scan is a narrow projection
+  * of two double columns — at 100 TB the plan is scan + partial-agg +
+  * K-row shuffle, nothing else.
+  *
+  * Deviations from the reference (documented): empty clusters keep their
+  * previous centroid (the reference drops the id from the reducer dict and
+  * would crash `np.allclose` on shape mismatch, master.py:144); init is
+  * deterministic (K smallest point ids via distributed top-K) instead of
+  * `random.sample` (master.py:34), so results are reproducible and
+  * oracle-checkable. Production alternative: seeded sample / MLlib
+  * k-means|| ([[MLlibKMeans]]).
+  */
+object KMeans {
+  val DefaultAtol = 1e-4
+  val DefaultRtol = 1e-5
+
+  /** Deterministic init: the K points smallest by (pid, x, y), ids
+    * assigned in that order. pids need not be unique (the x, y tie-break
+    * keeps selection deterministic). Distributed top-K
+    * (TakeOrderedAndProject) — O(K) memory per partition, no global sort,
+    * scales to any input size. */
+  def init(points: DataFrame, k: Int): Seq[Centroid] = {
+    val rows = points.select("pid", "x", "y")
+      .orderBy("pid", "x", "y").limit(k).collect()
+    rows.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sorted.zipWithIndex.map { case ((_, x, y), i) =>
+        Centroid(i + 1, x, y)
+      }.toSeq
+  }
+
+  /** Map phase: tag each point with its nearest centroid id. */
+  def assign(points: DataFrame, cs: Seq[Centroid]): DataFrame = {
+    val cxs = cs.map(_.x).toArray
+    val cys = cs.map(_.y).toArray
+    points.withColumn("cid", NearestCentroid(col("x"), col("y"), cxs, cys))
+  }
+
+  /** One full map-reduce cycle: new centroid = mean of assigned points;
+    * empty cluster keeps the old centroid. Returns (centroids, sizes). */
+  def step(points: DataFrame, cs: Seq[Centroid]): (Seq[Centroid], Map[Int, Long]) = {
+    val means = assign(points, cs)
+      .groupBy("cid")
+      .agg(avg("x").as("ax"), avg("y").as("ay"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    val next = cs.map { c =>
+      means.get(c.id) match {
+        case Some((ax, ay, _)) => Centroid(c.id, ax, ay)
+        case None => c
+      }
+    }
+    (next, cs.map(c => c.id -> means.get(c.id).map(_._3).getOrElse(0L)).toMap)
+  }
+
+  def converged(old: Seq[Centroid], next: Seq[Centroid],
+      atol: Double = DefaultAtol, rtol: Double = DefaultRtol): Boolean =
+    old.zip(next).forall { case (a, b) =>
+      math.abs(a.x - b.x) <= atol + rtol * math.abs(b.x) &&
+      math.abs(a.y - b.y) <= atol + rtol * math.abs(b.y)
+    }
+
+  /** The master's iteration loop (master.py:138-150). */
+  def fit(points: DataFrame, k: Int, maxIter: Int = 50,
+      atol: Double = DefaultAtol, rtol: Double = DefaultRtol): KMeansModel = {
+    var cs = init(points, k)
+    var sizes = Map.empty[Int, Long]
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val (next, ns) = step(points, cs)
+      iter += 1
+      done = converged(cs, next, atol, rtol)
+      cs = next
+      sizes = ns
+    }
+    KMeansModel(cs, sizes, iter, done)
+  }
+
+  /** Mean squared distance to the assigned centroid (WSSSE/n). */
+  def cost(points: DataFrame, cs: Seq[Centroid]): DataFrame = {
+    val cxArr = array(cs.sortBy(_.id).map(c => lit(c.x)): _*)
+    val cyArr = array(cs.sortBy(_.id).map(c => lit(c.y)): _*)
+    assign(points, cs)
+      .withColumn("dx", col("x") - element_at(cxArr, col("cid")))
+      .withColumn("dy", col("y") - element_at(cyArr, col("cid")))
+      .agg(
+        round(avg(col("dx") * col("dx") + col("dy") * col("dy")), 4).as("mean_sq_dist"),
+        count(lit(1)).as("n_points"))
+  }
+}
+
+/** Point-plane extraction from the columnar testdata — the engine's
+  * equivalent of the reference's `np.loadtxt` CSV plane (master.py:36-41).
+  * `pid` is a unique point id used only for deterministic init. */
+object Points {
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("pid"),
+      (col("l_extendedprice") / 1000.0).as("x"),
+      col("l_quantity").as("y"))
+
+  val lineitemSql: String =
+    "SELECT l_orderkey*10+l_linenumber AS pid, l_extendedprice/1000.0 AS x, l_quantity AS y FROM lineitem"
+
+  /** Second plane for the multi-source scenario (master.py scenario 2). */
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders").select(
+      (-col("o_orderkey")).cast("long").as("pid"),
+      (col("o_totalprice") / 1000.0).as("x"),
+      (col("o_orderkey") % 50).cast("double").as("y"))
+
+  val ordersSql: String =
+    "SELECT CAST(-o_orderkey AS BIGINT) AS pid, o_totalprice/1000.0 AS x, CAST(o_orderkey % 50 AS DOUBLE) AS y FROM orders"
+}

@@ -1,0 +1,112 @@
+package graft.kmeans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.A — the reference's K-Means surface as driver-contract
+  * queries, each mirrored by a [[KMeansOracle]] DuckDB SQL. K is fixed at 8
+  * (the reference takes K on the command line, master.py:156). */
+object KMeansQueries {
+  val K = 8
+
+  private def rounded(cs: Seq[Centroid], spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    cs.map(c => (c.id, math.round(c.x * 10000) / 10000.0,
+        math.round(c.y * 10000) / 10000.0))
+      .toDF("cid", "x", "y").orderBy("cid")
+  }
+
+  /** Point-plane load summary (reference `load_data`). */
+  def points(s: SparkSession, dir: String): DataFrame =
+    Points.lineitem(s, dir).agg(
+      count(lit(1)).as("n_points"),
+      round(avg("x"), 4).as("avg_x"),
+      round(avg("y"), 4).as("avg_y"),
+      round(min("x"), 4).as("min_x"),
+      round(max("x"), 4).as("max_x"))
+
+  val pointsSql: String =
+    s"""WITH pts AS (${Points.lineitemSql})
+       |SELECT count(*) AS n_points, round(avg(x), 4) AS avg_x,
+       |  round(avg(y), 4) AS avg_y, round(min(x), 4) AS min_x,
+       |  round(max(x), 4) AS max_x FROM pts""".stripMargin
+
+  /** Deterministic init (SURVEY.md §2.A kmeans_init). */
+  def init(s: SparkSession, dir: String): DataFrame =
+    rounded(KMeans.init(Points.lineitem(s, dir), K), s)
+
+  /** One map phase: per-cluster counts + member means. */
+  def assign(s: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem(s, dir)
+    KMeans.assign(pts, KMeans.init(pts, K))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_points"),
+        round(avg("x"), 4).as("mean_x"),
+        round(avg("y"), 4).as("mean_y"))
+      .orderBy("cid")
+      .select("cid", "n_points", "mean_x", "mean_y")
+  }
+
+  /** Centroids after `iters` full Lloyd cycles. */
+  def iterated(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val pts = Points.lineitem(s, dir)
+    var cs = KMeans.init(pts, K)
+    for (_ <- 1 to iters) cs = KMeans.step(pts, cs)._1
+    rounded(cs, s)
+  }
+
+  /** Mean squared distance at the init centroids. */
+  def cost(s: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem(s, dir)
+    KMeans.cost(pts, KMeans.init(pts, K))
+  }
+
+  /** Full loop to convergence — rows-only (iterative; not SQL-expressible
+    * in one statement). */
+  def fit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = KMeans.fit(Points.lineitem(s, dir), K)
+    m.centroids.map(c => (c.id, math.round(c.x * 10000) / 10000.0,
+        math.round(c.y * 10000) / 10000.0,
+        m.sizes.getOrElse(c.id, 0L), m.iterations, m.converged))
+      .toDF("cid", "x", "y", "size", "n_iter", "converged").orderBy("cid")
+  }
+
+  /** Scenario 2: two planes clustered together (reference multi-file). */
+  def multifile(s: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem(s, dir).unionByName(Points.orders(s, dir))
+    var cs = KMeans.init(pts, K)
+    cs = KMeans.step(pts, cs)._1
+    rounded(cs, s)
+  }
+
+  val multifileSql: String = {
+    val union = s"${Points.lineitemSql} UNION ALL ${Points.ordersSql}"
+    KMeansOracle.iterSql(union, K, 1)
+  }
+
+  /** MLlib production path — rows-only (k-means|| init isn't
+    * SQL-reproducible). */
+  def mllib(s: SparkSession, dir: String): DataFrame =
+    MLlibKMeans.fitSummary(Points.lineitem(s, dir), K)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_points" -> (points(_, _)),
+    "kmeans_init" -> (init(_, _)),
+    "kmeans_assign" -> (assign(_, _)),
+    "kmeans_step" -> (iterated(_, _, 1)),
+    "kmeans_iter3" -> (iterated(_, _, 3)),
+    "kmeans_cost" -> (cost(_, _)),
+    "kmeans_fit" -> (fit(_, _)),
+    "kmeans_multifile" -> (multifile(_, _)),
+    "mllib_kmeans" -> (mllib(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "kmeans_points" -> pointsSql,
+    "kmeans_init" -> KMeansOracle.initSql(Points.lineitemSql, K),
+    "kmeans_assign" -> KMeansOracle.assignSql(Points.lineitemSql, K),
+    "kmeans_step" -> KMeansOracle.iterSql(Points.lineitemSql, K, 1),
+    "kmeans_iter3" -> KMeansOracle.iterSql(Points.lineitemSql, K, 3),
+    "kmeans_cost" -> KMeansOracle.costSql(Points.lineitemSql, K),
+    "kmeans_multifile" -> multifileSql)
+}

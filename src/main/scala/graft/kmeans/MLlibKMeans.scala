@@ -1,0 +1,32 @@
+package graft.kmeans
+
+import org.apache.spark.ml.clustering.{KMeans => SparkKMeans}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Production path: `org.apache.spark.ml.clustering.KMeans` (k-means||
+  * init, distributed Lloyd) over the same point planes. This is the
+  * library-grade replacement for the reference's whole master/mapper/
+  * reducer system — seeded for reproducibility.
+  */
+object MLlibKMeans {
+  /** Fit and return one row per centroid: (cid, x, y, size), plus the
+    * training cost, deterministically ordered by cid. */
+  def fitSummary(points: DataFrame, k: Int, seed: Long = 42L,
+      maxIter: Int = 20): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val features = new VectorAssembler()
+      .setInputCols(Array("x", "y")).setOutputCol("features")
+      .transform(points)
+    val model = new SparkKMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter).setTol(KMeans.DefaultAtol)
+      .fit(features)
+    val sizes = model.summary.clusterSizes
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i + 1, math.round(c(0) * 10000) / 10000.0,
+        math.round(c(1) * 10000) / 10000.0, sizes(i).toLong)
+    }.toSeq.toDF("cid", "x", "y", "size").orderBy("cid")
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kmeans.{Centroid, KMeans, MLlibKMeans, Points}
+import graft.functions.NearestCentroid
+import graft.sources.PointsSource
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class KMeansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def pts(rows: (Long, Double, Double)*) =
+    rows.toDF("pid", "x", "y")
+
+  test("nearest centroid: argmin with smaller-id tie-break (codegen path)") {
+    // (0,0) is equidistant from centroids 1 and 2 -> id 1 must win,
+    // mirroring the reference's strict-< scan in id order.
+    val df = pts((1L, 0.0, 0.0), (2L, 9.0, 1.0), (3L, -3.0, -4.0))
+    val cs = Seq(Centroid(1, 1.0, 0.0), Centroid(2, -1.0, 0.0), Centroid(3, 8.0, 0.0))
+    val got = KMeans.assign(df, cs).select("pid", "cid").as[(Long, Int)]
+      .collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 3, 3L -> 2))
+  }
+
+  test("nearest centroid: interpreted eval matches codegen") {
+    val df = pts((1L, 2.5, -3.5), (2L, -100.0, 50.0), (3L, 0.1, 0.1))
+    val cs = Seq(Centroid(1, 0.0, 0.0), Centroid(2, -99.0, 49.0), Centroid(3, 3.0, -3.0))
+    val viaDf = KMeans.assign(df, cs).select("pid", "cid").as[(Long, Int)]
+      .collect().toMap
+    val expr = NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.catalyst.expressions.BoundReference(1,
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      cs.map(_.x).toArray, cs.map(_.y).toArray)
+    val viaEval = df.select("pid", "x", "y").as[(Long, Double, Double)].collect()
+      .map { case (pid, x, y) =>
+        pid -> expr.eval(org.apache.spark.sql.catalyst.InternalRow(x, y))
+      }.toMap
+    assert(viaDf == viaEval)
+  }
+
+  test("one step computes per-cluster means; empty cluster keeps centroid") {
+    val df = pts((1L, 0.0, 0.0), (2L, 2.0, 0.0), (3L, 10.0, 10.0))
+    val cs = Seq(Centroid(1, 1.0, 0.0), Centroid(2, 11.0, 11.0), Centroid(3, 500.0, 500.0))
+    val (next, sizes) = KMeans.step(df, cs)
+    assert(next(0) == Centroid(1, 1.0, 0.0))      // mean of (0,0),(2,0)
+    assert(next(1) == Centroid(2, 10.0, 10.0))    // single member
+    assert(next(2) == Centroid(3, 500.0, 500.0))  // empty -> unchanged
+    assert(sizes == Map(1 -> 2L, 2 -> 1L, 3 -> 0L))
+  }
+
+  test("fit converges on well-separated blobs") {
+    val blobA = (0 until 50).map(i => (i.toLong, 0.0 + (i % 5) * 0.01, 0.0 + (i % 7) * 0.01))
+    val blobB = (0 until 50).map(i => (100L + i, 50.0 + (i % 5) * 0.01, 50.0 + (i % 7) * 0.01))
+    val m = KMeans.fit(pts(blobA ++ blobB: _*), 2, maxIter = 20)
+    assert(m.converged)
+    assert(m.sizes.values.toSeq.sorted == Seq(50L, 50L))
+    val xs = m.centroids.map(_.x).sorted
+    assert(math.abs(xs.head - 0.02) < 0.1 && math.abs(xs.last - 50.02) < 0.1)
+  }
+
+  test("convergence criterion mirrors np.allclose(atol=1e-4, rtol=1e-5)") {
+    val a = Seq(Centroid(1, 100.0, 0.0))
+    assert(KMeans.converged(a, Seq(Centroid(1, 100.001, 0.0))))   // 1e-3 <= 1e-4 + 1e-5*100
+    assert(!KMeans.converged(a, Seq(Centroid(1, 100.01, 0.0))))
+    assert(KMeans.converged(Seq(Centroid(1, 0.0, 0.0)), Seq(Centroid(1, 0.00009, 0.0))))
+    assert(!KMeans.converged(Seq(Centroid(1, 0.0, 0.0)), Seq(Centroid(1, 0.0002, 0.0))))
+  }
+
+  test("points source: scenario 1 and 2, ragged whitespace tolerated") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpts").toFile
+    val f1 = new java.io.File(dir, "p1.txt")
+    val f2 = new java.io.File(dir, "p2.txt")
+    java.nio.file.Files.writeString(f1.toPath, "0.4,7.2\n-1.5,7.3\n")
+    java.nio.file.Files.writeString(f2.toPath, "2.42, 14.20 \n81.43, 50.33 \n")
+    val s1 = PointsSource.scenario1(spark, f1.getPath)
+    assert(s1.select("x", "y").as[(Double, Double)].collect().toSet ==
+      Set((0.4, 7.2), (-1.5, 7.3)))
+    val s2 = PointsSource.scenario2(spark, Seq(f1.getPath, f2.getPath))
+    assert(s2.count() == 4)
+    assert(s2.select("pid").distinct().count() == 4)
+  }
+
+  test("mllib wrapper returns k ordered centroids with sizes") {
+    val df = Points.lineitem(spark, "/root/testdata/sf0.001")
+    val got = MLlibKMeans.fitSummary(df, 4).collect()
+    assert(got.length == 4)
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(got.map(_.getLong(3)).sum == df.count())
+  }
+
+  test("deterministic init is stable across partitioning") {
+    val df = Points.lineitem(spark, "/root/testdata/sf0.001")
+    val a = KMeans.init(df, 8)
+    val b = KMeans.init(df.repartition(13), 8)
+    assert(a == b)
+  }
+}

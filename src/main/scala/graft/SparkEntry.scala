@@ -16,7 +16,9 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = kmeans.KMeansQueries.queries ++ Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    kmeans.KMeansQueries.queries ++
+    operators.RelationalQueries.queries ++ Map(
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "lineitem")
@@ -35,7 +37,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = kmeans.KMeansQueries.oracles ++ Map(
+  def oracleSql: Map[String, String] =
+    kmeans.KMeansQueries.oracles ++
+    operators.RelationalQueries.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

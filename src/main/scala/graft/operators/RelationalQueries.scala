@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.B — the relational core: scans, broadcast star joins,
+  * windowed ranking, sessionization, windowed event aggregation. These
+  * exercise the same loader/shuffle/aggregate machinery the K-Means path
+  * uses, as plain queries.
+  *
+  * Scale notes (100 TB stance): dimension sides (region/nation/customer/
+  * supplier) are `broadcast()` so the fact scan never shuffles for the
+  * join; aggregations rely on map-side partial agg; window functions
+  * partition by high-cardinality keys (user_id, suppkey) so the sort is
+  * per-group, not global. Timestamps are truncated to seconds in both
+  * engines (parquet stores ns; Spark reads µs — second truncation makes
+  * the oracle comparison precision-proof).
+  */
+object RelationalQueries {
+
+  def q3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = Tables(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val orders = Tables(s, dir, "orders")
+      .filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+    val lineitem = Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" > lit("1996-01-01").cast("timestamp"))
+    lineitem
+      .join(broadcast(orders), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |  AND l_shipdate > TIMESTAMP '1996-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val region = Tables(s, dir, "region").filter($"r_name" === "ASIA")
+    val nation = Tables(s, dir, "nation")
+    val customer = Tables(s, dir, "customer")
+    val supplier = Tables(s, dir, "supplier")
+    val orders = Tables(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val lineitem = Tables(s, dir, "lineitem")
+    lineitem
+      .join(broadcast(orders.select("o_orderkey", "o_custkey")), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Per-supplier top-3 parts by revenue — windowed ranking. */
+  def topkWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables(s, dir, "lineitem")
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    val w = Window.partitionBy($"l_suppkey").orderBy($"rev".desc, $"l_partkey")
+    rev.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"l_suppkey", $"l_partkey", round($"rev", 4).as("revenue"), $"rk")
+      .orderBy($"l_suppkey", $"rk")
+  }
+
+  val topkWindowSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    sum(l_extendedprice * (1.0 - l_discount)) AS rev
+      |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+      |ranked AS (
+      |  SELECT l_suppkey, l_partkey, rev,
+      |    CAST(row_number() OVER (PARTITION BY l_suppkey
+      |      ORDER BY rev DESC, l_partkey) AS INT) AS rk
+      |  FROM rev)
+      |SELECT l_suppkey, l_partkey, round(rev, 4) AS revenue, rk
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY l_suppkey, rk""".stripMargin
+
+  /** Sessionization: 30-min inactivity gap, per-user session stats.
+    * lag + running sum of session starts — one shuffle on user_id. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"user_id", date_trunc("second", $"ts").as("ts"), $"event_id")
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sessions = ev
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L).otherwise(0L))
+      .withColumn("sess_id", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts"))).as("dur_sec"))
+    sessions.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"),
+        max($"dur_sec").as("max_dur_sec"),
+        round(avg($"n_events"), 4).as("avg_events_per_session"))
+      .orderBy($"user_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('second', ts) AS ts, event_id FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, event_id,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM flagged),
+      |per_sess AS (
+      |  SELECT user_id, sess_id, count(*) AS n_events,
+      |    date_diff('second', min(ts), max(ts)) AS dur_sec
+      |  FROM sess GROUP BY user_id, sess_id)
+      |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+      |  max(dur_sec) AS max_dur_sec,
+      |  round(avg(n_events), 4) AS avg_events_per_session
+      |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Tumbling 1-day windowed aggregation — the batch twin of the
+    * Structured Streaming query in graft.streaming (same plan shape). */
+  def windowAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(window($"ts", "1 day").getField("start").as("window_start"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"window_start", $"event_type")
+  }
+
+  val windowAggSql: String =
+    """SELECT date_trunc('day', ts) AS window_start, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_join" -> (q3(_, _)),
+    "q5_multijoin" -> (q5(_, _)),
+    "topk_window" -> (topkWindow(_, _)),
+    "sessionize" -> (sessionize(_, _)),
+    "stream_window_agg" -> (windowAgg(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q3_join" -> q3Sql,
+    "q5_multijoin" -> q5Sql,
+    "topk_window" -> topkWindowSql,
+    "sessionize" -> sessionizeSql,
+    "stream_window_agg" -> windowAggSql)
+}

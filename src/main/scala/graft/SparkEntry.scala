@@ -18,7 +18,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     kmeans.KMeansQueries.queries ++
-    operators.RelationalQueries.queries ++ Map(
+    operators.RelationalQueries.queries ++
+    operators.TextAnalysis.queries ++ Map(
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "lineitem")
@@ -39,7 +40,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     kmeans.KMeansQueries.oracles ++
-    operators.RelationalQueries.oracles ++ Map(
+    operators.RelationalQueries.oracles ++
+    operators.TextAnalysis.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

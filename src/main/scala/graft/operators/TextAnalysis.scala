@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PolyHash
+
+/** SURVEY.md §2.E — text analysis over the `documents` table: token
+  * counting, language-ID heuristic, quality scoring, document
+  * fingerprinting. These are the per-document map stages of a training-data
+  * pipeline: every query is a single narrow scan + per-row codegen'd
+  * expressions + one small aggregation — no join, at most one shuffle on a
+  * low-cardinality key, so the shape survives 100 TB unchanged.
+  *
+  * Oracle parity: token = non-empty `\s+` split; char-class counts via
+  * global regexp_replace (DuckDB needs the explicit 'g' flag); ratios are
+  * computed identically per row in both engines before aggregation.
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens of (lowercased) text. */
+  private def toks(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
+  private val duckToks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
+
+  /** Count of tokens equal to any of `words`. */
+  private def tokCount(ts: Column, words: Seq[String]): Column =
+    size(filter(ts, t => words.map(w => t === lit(w)).reduce(_ || _)))
+
+  private def duckTokCount(words: Seq[String]): String =
+    s"len(list_filter($duckToks, t -> ${words.map(w => s"t = '$w'").mkString(" OR ")}))"
+
+  // ---------------------------------------------------------------- stats
+
+  /** Per-source corpus stats: docs, whitespace words, regex (BPE-ish)
+    * tokens, chars. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    Tables(s, dir, "documents")
+      .withColumn("words", size(toks(lower($"text"))))
+      .withColumn("tokens", regexp_count($"text", lit(tokenRe)))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"words").as("sum_words"),
+        round(avg($"words"), 4).as("avg_words"),
+        sum($"tokens").as("sum_tokens"),
+        sum(length($"text")).as("sum_chars"),
+        round(avg(length($"text")), 4).as("avg_chars"))
+      .orderBy($"source")
+  }
+
+  val textStatsSql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |  sum(words) AS sum_words, round(avg(words), 4) AS avg_words,
+       |  sum(tokens) AS sum_tokens,
+       |  sum(length(text)) AS sum_chars, round(avg(length(text)), 4) AS avg_chars
+       |FROM (
+       |  SELECT source, text, len($duckToks) AS words,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tokens
+       |  FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------- lang id
+
+  /** Stopword-marker language heuristic. Marker hit-counts per language,
+    * argmax with fixed priority tie-break, vs the labeled `lang` column →
+    * confusion counts. (The synthetic corpus is English-vocabulary
+    * regardless of label; the *computation* is what the oracle checks.) */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "et"),
+    "zh" -> Seq("de", "shi", "zai"))
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ts = toks(lower($"text"))
+    val scored = langMarkers.foldLeft(Tables(s, dir, "documents")) {
+      case (df, (lang, ws)) => df.withColumn(s"s_$lang", tokCount(ts, ws))
+    }
+    // argmax with declaration-order priority tie-break
+    val pred = langMarkers.map(_._1).zipWithIndex.foldRight(lit("unk")) {
+      case ((lang, _), els) =>
+        val beats = langMarkers.map(_._1).filter(_ != lang)
+          .map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+        when(beats && col(s"s_$lang") > 0, lang).otherwise(els)
+    }
+    scored.withColumn("pred", pred)
+      .groupBy($"lang", $"pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"pred")
+  }
+
+  val langIdSql: String = {
+    val scores = langMarkers
+      .map { case (l, ws) => s"${duckTokCount(ws)} AS s_$l" }.mkString(",\n    ")
+    val langs = langMarkers.map(_._1)
+    val pred = langs.foldRight("'unk'") { (lang, els) =>
+      val beats = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"CASE WHEN $beats AND s_$lang > 0 THEN '$lang' ELSE $els END"
+    }
+    s"""SELECT lang, pred, count(*) AS n FROM (
+       |  SELECT lang, $pred AS pred FROM (
+       |    SELECT lang, text,
+       |    $scores
+       |    FROM documents))
+       |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+  }
+
+  // ------------------------------------------------------------- quality
+
+  /** Composite quality score from length / punctuation / digit / stopword
+    * ratios, bucketed to 0.1; per-bucket counts + mean components. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .withColumn("chars", greatest(length($"text"), lit(1)))
+      .withColumn("words", greatest(size(toks(lower($"text"))), lit(1)))
+      .withColumn("punct",
+        length(regexp_replace($"text", "[A-Za-z0-9\\s]", "")) / $"chars")
+      .withColumn("digit",
+        length(regexp_replace($"text", "[^0-9]", "")) / $"chars")
+      .withColumn("stop", tokCount(toks(lower($"text")), Seq("the", "a", "of")) / $"words")
+      .withColumn("lenscore", least($"words" / lit(100.0), lit(1.0)))
+      .withColumn("score",
+        lit(0.25) * $"lenscore" + lit(0.25) * (lit(1.0) - $"punct") +
+        lit(0.25) * (lit(1.0) - $"digit") + lit(0.25) * $"stop")
+      .withColumn("bucket", floor($"score" * 10).cast("int"))
+    docs.groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"score"), 4).as("avg_score"),
+        round(avg($"punct"), 4).as("avg_punct_ratio"),
+        round(avg($"stop"), 4).as("avg_stop_ratio"))
+      .orderBy($"bucket")
+  }
+
+  val qualityScoreSql: String =
+    s"""SELECT bucket, count(*) AS n_docs,
+       |  round(avg(score), 4) AS avg_score,
+       |  round(avg(punct), 4) AS avg_punct_ratio,
+       |  round(avg(stop), 4) AS avg_stop_ratio
+       |FROM (
+       |  SELECT CAST(floor(score * 10) AS INT) AS bucket, score, punct, stop FROM (
+       |    SELECT
+       |      0.25 * least(words / 100.0, 1.0) + 0.25 * (1.0 - punct)
+       |        + 0.25 * (1.0 - digit) + 0.25 * stop AS score,
+       |      punct, stop
+       |    FROM (
+       |      SELECT
+       |        length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / chars AS punct,
+       |        length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / chars AS digit,
+       |        ${duckTokCount(Seq("the", "a", "of"))} * 1.0 / words AS stop,
+       |        words
+       |      FROM (
+       |        SELECT text, greatest(length(text), 1) AS chars,
+       |          greatest(len($duckToks), 1) AS words
+       |        FROM documents))))
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // --------------------------------------------------------- fingerprint
+
+  /** Rolling polynomial fingerprint per document ([[PolyHash]], codegen'd)
+    * + per-fingerprint duplicate-group size. */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", PolyHash($"text").as("fp"))
+      .withColumn("group_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .orderBy($"doc_id")
+  }
+
+  val docFingerprintSql: String =
+    s"""SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS group_size
+       |FROM (SELECT doc_id, ${PolyHash.duckSql("text")} AS fp FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats(_, _)),
+    "lang_id" -> (langId(_, _)),
+    "quality_score" -> (qualityScore(_, _)),
+    "doc_fingerprint" -> (docFingerprint(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "lang_id" -> langIdSql,
+    "quality_score" -> qualityScoreSql,
+    "doc_fingerprint" -> docFingerprintSql)
+}

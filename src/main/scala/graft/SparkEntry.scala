@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     kmeans.KMeansQueries.queries ++
     operators.RelationalQueries.queries ++
-    operators.TextAnalysis.queries ++ Map(
+    operators.TextAnalysis.queries ++
+    operators.Dedup.queries ++ Map(
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "lineitem")
@@ -41,7 +42,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     kmeans.KMeansQueries.oracles ++
     operators.RelationalQueries.oracles ++
-    operators.TextAnalysis.oracles ++ Map(
+    operators.TextAnalysis.oracles ++
+    operators.Dedup.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,303 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{PolyHash, SimHash64, TextFeatures => TF}
+
+/** SURVEY.md §2.C — the deduplication suite over the `documents` table:
+  * exact hash-dedup, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. These are the core 100-TB training-data
+  * pipeline operators.
+  *
+  * Scale shapes (each holds at 1000 executors):
+  *   - exact: one shuffle keyed by (n_chars, poly_hash, text) — the two
+  *     cheap prefix keys bound skew; full text in the key keeps it exact.
+  *   - ngram: inverted-index self-join keyed by (block, gram) — candidate
+  *     fanout is bounded by the blocking key (lang × length-bucket), the
+  *     standard all-pairs-avoidance for set-similarity joins.
+  *   - minhash: signatures via 16 parallel min-aggregations over one
+  *     gram-hash scan (map-side partial agg; NO 16× row fanout), then an
+  *     LSH band-bucket equi-join whose output is only the candidate set;
+  *     exact Jaccard verification touches candidates, not all pairs.
+  *   - simhash: one-pass codegen'd [[SimHash64]] fingerprint, then a
+  *     4×16-bit chunk equi-join (pigeonhole: Hamming ≤ 3 ⇒ some chunk
+  *     equal) — no quadratic pair scan.
+  *   - embedding: label-blocked cosine pairs; the all-pairs form is the
+  *     exactness baseline, [[Similarity]] holds the sub-quadratic path.
+  *
+  * All hashes are portable polynomial folds ([[PolyHash]]) so every
+  * operator is DuckDB-oracle-checkable end to end (SURVEY.md §5).
+  */
+object Dedup {
+  private val P = 2147483647L // 2^31 - 1, the PolyHash modulus
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: survivor = min doc_id per identical text; survivor
+    * counts per source. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .groupBy($"n_chars", PolyHash($"text").as("h"), $"text")
+      .agg(min_by($"source", $"doc_id").as("source"),
+        count(lit(1)).as("n_copies"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_survivors"), sum($"n_copies").as("n_docs"))
+      .orderBy($"source")
+  }
+
+  val dedupExactSql: String =
+    s"""SELECT source, count(*) AS n_survivors, sum(n_copies) AS n_docs
+       |FROM (
+       |  SELECT min_by(source, doc_id) AS source, count(*) AS n_copies
+       |  FROM documents
+       |  GROUP BY n_chars, ${PolyHash.duckSql("text")}, text)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- ngram
+
+  val NgramN = 3
+  val JaccardTau = 0.5
+
+  /** Distinct word-3-grams per doc with the blocking key
+    * (lang, n_chars DIV 100). */
+  private def grams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", expr("n_chars DIV 100").as("lb"),
+        explode(array_distinct(
+          TF.wordNgrams(TF.toks(lower($"text")), NgramN))).as("gram"))
+  }
+
+  private val duckGrams: String =
+    s"""SELECT doc_id, lang, n_chars // 100 AS lb,
+       |    unnest(list_distinct(${TF.duckNgrams(TF.duckToks, NgramN)})) AS gram
+       |  FROM documents""".stripMargin
+
+  /** N-gram Jaccard near-dup pairs within blocks, via inverted-index
+    * join. */
+  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = grams(s, dir)
+    val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val shared = g.as("a").join(g.as("b"),
+        $"a.lang" === $"b.lang" && $"a.lb" === $"b.lb" &&
+        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+      .withColumn("jaccard",
+        round($"shared".cast("double") / ($"na" + $"nb" - $"shared"), 4))
+      .filter($"jaccard" >= JaccardTau)
+      .select($"a_id", $"b_id", $"jaccard")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val dedupNgramSql: String =
+    s"""WITH grams AS ($duckGrams),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+       |  FROM grams a JOIN grams b
+       |    ON a.lang = b.lang AND a.lb = b.lb AND a.gram = b.gram
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, jaccard FROM (
+       |  SELECT a_id, b_id,
+       |    round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) AS jaccard
+       |  FROM shared
+       |  JOIN sizes sa ON a_id = sa.doc_id
+       |  JOIN sizes sb ON b_id = sb.doc_id)
+       |WHERE jaccard >= $JaccardTau
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // -------------------------------------------------------------- minhash
+
+  val MinHashK = 16 // signature length
+  val Bands = 4     // 4 bands × 4 rows
+
+  /** MinHash+LSH near-dup pairs: signatures → band buckets → candidate
+    * equi-join → exact-Jaccard verify of candidates only. */
+  def dedupMinHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = grams(s, dir).select($"doc_id", $"gram")
+    val hashed = g.select($"doc_id", PolyHash($"gram").as("gh"))
+    // 16 affine min-hashes in ONE aggregation pass (no row fanout):
+    // h_i(g) = ((2i+1)·gh + 1000003·i) mod p
+    val sigAggs = (0 until MinHashK).map { i =>
+      min((lit(2L * i + 1) * $"gh" + lit(1000003L * i)) % P).as(s"s$i")
+    }
+    val sigs = hashed.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    // band key = base-31 polynomial combine of the band's 4 signature rows
+    val weights = Seq(29791L, 961L, 31L, 1L)
+    val bandCols = (0 until Bands).map { b =>
+      val key = (0 until 4).map(j => col(s"s${4 * b + j}") * lit(weights(j)))
+        .reduce(_ + _) % P
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val bands = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
+    // exact-Jaccard verify on candidates only
+    val gsets = g.groupBy($"doc_id").agg(collect_set($"gram").as("gs"))
+    cand
+      .join(gsets.select($"doc_id".as("a_id"), $"gs".as("ga")), "a_id")
+      .join(gsets.select($"doc_id".as("b_id"), $"gs".as("gb")), "b_id")
+      .withColumn("inter", size(array_intersect($"ga", $"gb")))
+      .withColumn("jaccard", round(
+        $"inter".cast("double") / (size($"ga") + size($"gb") - $"inter"), 4))
+      .filter($"jaccard" >= JaccardTau)
+      .select($"a_id", $"b_id", $"jaccard")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val dedupMinHashSql: String =
+    s"""WITH grams AS ($duckGrams),
+       |gh AS (SELECT doc_id, ${PolyHash.duckSql("gram")} AS gh FROM grams),
+       |sig AS (
+       |  SELECT doc_id, i, min(((2*i+1)*gh + 1000003*i) % $P) AS s
+       |  FROM gh CROSS JOIN range(0, $MinHashK) t(i) GROUP BY doc_id, i),
+       |band AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    sum(s * (CASE CAST(i % 4 AS INT) WHEN 0 THEN 29791
+       |             WHEN 1 THEN 961 WHEN 2 THEN 31 ELSE 1 END)) % $P AS bkey
+       |  FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM band a JOIN band b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a_id, b_id, count(*) AS sh
+       |  FROM cand
+       |  JOIN grams ga ON ga.doc_id = a_id
+       |  JOIN grams gb ON gb.doc_id = b_id AND ga.gram = gb.gram
+       |  GROUP BY a_id, b_id)
+       |SELECT a_id, b_id, jaccard FROM (
+       |  SELECT a_id, b_id,
+       |    round(CAST(sh AS DOUBLE) / (sa.n + sb.n - sh), 4) AS jaccard
+       |  FROM shared
+       |  JOIN sizes sa ON a_id = sa.doc_id
+       |  JOIN sizes sb ON b_id = sb.doc_id)
+       |WHERE jaccard >= $JaccardTau
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // -------------------------------------------------------------- simhash
+
+  val HammingTau = 3
+
+  /** SimHash near-dup pairs: codegen'd 62-bit fingerprint, 16-bit-chunk
+    * candidate join (pigeonhole), Hamming ≤ 3. */
+  def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fps = Tables(s, dir, "documents")
+      .select($"doc_id", SimHash64(TF.toks(lower($"text"))).as("fp"))
+    val chunks = fps.select($"doc_id", $"fp",
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("shiftright(fp, CAST(16*c AS INT)) & 65535"))
+    chunks.as("a").join(chunks.as("b"),
+        $"a.c" === $"b.c" && $"a.chunk" === $"b.chunk" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+        $"a.fp".as("afp"), $"b.fp".as("bfp"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(afp ^ bfp)"))
+      .filter($"hamming" <= HammingTau)
+      .select($"a_id", $"b_id", $"hamming")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val dedupSimHashSql: String = {
+    val w31 = PolyHash.duckSql("w", 31)
+    val w131 = PolyHash.duckSql("w", 131)
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${TF.duckToks}) AS w FROM documents),
+       |wh AS (
+       |  SELECT doc_id, count(*) AS cnt, ($w31 | ($w131 << 31)) AS h
+       |  FROM toks GROUP BY doc_id, w),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+       |  FROM wh CROSS JOIN range(0, 62) t(b) GROUP BY doc_id, b),
+       |fp AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+       |        ELSE CAST(0 AS BIGINT) END) AS fp
+       |  FROM bits GROUP BY doc_id),
+       |chunks AS (
+       |  SELECT doc_id, fp, c, (fp >> (16*CAST(c AS INT))) & 65535 AS chunk
+       |  FROM fp CROSS JOIN range(0, 4) t(c)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.fp AS afp, b.fp AS bfp
+       |  FROM chunks a JOIN chunks b
+       |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, hamming FROM (
+       |  SELECT a_id, b_id, bit_count(xor(afp, bfp)) AS hamming FROM cand)
+       |WHERE hamming <= $HammingTau
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ embedding
+
+  val CosineTau = 0.35
+
+  /** Embedding-cosine near-dup pairs within label blocks. Sequential
+    * left-to-right double folds on both engines make the cosine values
+    * bit-identical (SURVEY.md §5). */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (a, x) => a + x)))
+    e.as("a").join(e.as("b"),
+        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cosine", round(
+        aggregate(zip_with($"a.v", $"b.v", (x, y) => x * y),
+          lit(0.0), (a, x) => a + x) / ($"a.nrm" * $"b.nrm"), 4))
+      .filter($"cosine" >= CosineTau)
+      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"), $"cosine")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(v, x -> x*x)), (a, x) -> a + x)) AS nrm
+       |  FROM e)
+       |SELECT a_id, b_id, cosine FROM (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+       |      (acc, x) -> acc + x) / (a.nrm * b.nrm), 4) AS cosine
+       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |WHERE cosine >= $CosineTau
+       |ORDER BY a_id, b_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact(_, _)),
+    "dedup_ngram" -> (dedupNgram(_, _)),
+    "dedup_minhash" -> (dedupMinHash(_, _)),
+    "dedup_simhash" -> (dedupSimHash(_, _)),
+    "dedup_embedding" -> (dedupEmbedding(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram" -> dedupNgramSql,
+    "dedup_minhash" -> dedupMinHashSql,
+    "dedup_simhash" -> dedupSimHashSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
+}

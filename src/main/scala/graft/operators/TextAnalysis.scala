@@ -18,11 +18,11 @@ import graft.functions.PolyHash
   */
 object TextAnalysis {
 
-  /** Non-empty whitespace tokens of (lowercased) text. */
-  private def toks(c: Column): Column =
-    filter(split(c, "\\s+"), t => t =!= lit(""))
+  /** Non-empty whitespace tokens of (lowercased) text — see
+    * [[graft.functions.TextFeatures]]. */
+  private def toks(c: Column): Column = graft.functions.TextFeatures.toks(c)
 
-  private val duckToks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
+  private val duckToks = graft.functions.TextFeatures.duckToks
 
   /** Count of tokens equal to any of `words`. */
   private def tokCount(ts: Column, words: Seq[String]): Column =

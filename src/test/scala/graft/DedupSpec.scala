@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.{PolyHash, SimHash64, TextFeatures}
+import graft.operators.Dedup
+
+/** SURVEY.md §2.C specs: portable-hash determinism, shingling edges, and
+  * the dedup operators' invariants on the sf0.001 testdata. */
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("PolyHash: deterministic, bounded, empty-string is 0") {
+    import spark.implicits._
+    val df = Seq("", "a", "spark", "spark", "kmeans").toDF("text")
+      .select($"text", PolyHash($"text").as("h"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("") == 0L)
+    assert(rows("a") == 'a'.toLong)
+    assert(rows.values.forall(h => h >= 0 && h < PolyHash.Mod))
+    // same input, same hash (the two "spark" rows collapse in the map)
+    assert(df.distinct().count() == 4)
+  }
+
+  test("SimHash64: identical docs collide, disjoint docs differ") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", SimHash64(TextFeatures.toks(lower($"text"))).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+    assert(fps.values.forall(_ >= 0L)) // 62-bit: non-negative
+  }
+
+  test("wordNgrams: n-1 edge and join format") {
+    import spark.implicits._
+    val out = Seq("a b c d", "a b").toDF("text")
+      .select(TextFeatures.wordNgrams(
+        TextFeatures.toks(lower(col("text"))), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty)
+  }
+
+  test("dedup_exact: survivor totals cover every document") {
+    val docs = Tables(spark, sf, "documents").count()
+    val out = Dedup.dedupExact(spark, sf)
+    val agg = out.agg(sum("n_docs"), sum("n_survivors")).head()
+    assert(agg.getLong(0) == docs)       // every doc accounted for
+    assert(agg.getLong(1) <= docs)       // survivors ≤ docs
+  }
+
+  test("dedup_ngram: pairs are ordered, above threshold, and symmetric-free") {
+    val out = Dedup.dedupNgram(spark, sf).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(_.getDouble(2) >= Dedup.JaccardTau))
+  }
+
+  test("minhash candidates recover the high-jaccard ngram pairs") {
+    // At J ≥ 0.5 with 4 bands × 4 rows, P(candidate) = 1-(1-J^4)^4 ≥ 0.23;
+    // the planted near-dups sit at J ≈ 0.96+ where P ≈ 1 — minhash must
+    // find every pair the exact ngram join finds at high J.
+    val ngram = Dedup.dedupNgram(spark, sf).filter(col("jaccard") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.dedupMinHash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ngram.subsetOf(mh))
+  }
+
+  test("dedup_simhash: hamming bounded and pairs ordered") {
+    val out = Dedup.dedupSimHash(spark, sf).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(_.getInt(2) <= Dedup.HammingTau))
+  }
+
+  test("dedup_embedding: cosine within [-1,1] and above threshold") {
+    val out = Dedup.dedupEmbedding(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getDouble(2) >= Dedup.CosineTau && r.getDouble(2) <= 1.0))
+  }
+}

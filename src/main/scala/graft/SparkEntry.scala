@@ -20,7 +20,8 @@ object SparkEntry {
     kmeans.KMeansQueries.queries ++
     operators.RelationalQueries.queries ++
     operators.TextAnalysis.queries ++
-    operators.Dedup.queries ++ Map(
+    operators.Dedup.queries ++
+    operators.Similarity.queries ++ Map(
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "lineitem")
@@ -43,7 +44,8 @@ object SparkEntry {
     kmeans.KMeansQueries.oracles ++
     operators.RelationalQueries.oracles ++
     operators.TextAnalysis.oracles ++
-    operators.Dedup.oracles ++ Map(
+    operators.Dedup.oracles ++
+    operators.Similarity.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.D — similarity search over the `embeddings` table
+  * (`Array[Float]` column): exact brute-force top-k cosine as the
+  * oracle-checked baseline, and two sub-quadratic scale paths (IVF coarse
+  * quantization, random-hyperplane LSH), both deterministic and
+  * recall-tested against the brute force in ScalaTest.
+  *
+  * Scale shapes:
+  *   - brute force: the query set is tiny and broadcast; the corpus scan
+  *     is embarrassingly parallel; per-partition candidate scoring feeds
+  *     one k-row-per-query window. Exactness baseline, O(N·Q).
+  *   - IVF: corpus partitioned once into nlist inverted lists by nearest
+  *     coarse centroid (a narrow scan + integer key); queries probe only
+  *     nprobe/nlist of the data — the scan cost drops proportionally, and
+  *     the list assignment is a plain partition key a 1000-executor
+  *     cluster co-locates by.
+  *   - LSH: per-row signature (L tables × nplanes sign bits, all codegen
+  *     arithmetic), candidates = bucket equi-join — no pairwise scan.
+  *
+  * Cosine math is sequential left-to-right double folds, identical to the
+  * DuckDB oracle (SURVEY.md §5).
+  */
+object Similarity {
+  val NumQueries = 10 // query set = vec_id < 10
+  val TopK = 10
+
+  /** Embeddings with double vectors and precomputed norms. */
+  private[operators] def embedded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (a, x) => a + x)))
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Rank candidate rows (q_id, vec_id, cos) to top-k per query. */
+  private def topk(cands: DataFrame): DataFrame = {
+    import cands.sparkSession.implicits._
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    cands.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TopK)
+      .select($"q_id", $"vec_id".as("n_id"), $"rk", round($"cos", 4).as("cosine"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  // ----------------------------------------------------------- bruteforce
+
+  /** Exact top-k cosine neighbors for the query set. */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embedded(s, dir)
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val cands = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"nrm"))
+    topk(cands)
+  }
+
+  val annBruteForceSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(v, x -> x*x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cos
+       |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, n_id) AS INT) AS rk
+       |  FROM scored)
+       |SELECT q_id, n_id, rk, round(cos, 4) AS cosine
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+
+  // ------------------------------------------------------------------ IVF
+
+  val NList = 16
+  val NProbe = 11
+  val QuantizerIters = 5
+
+  /** Coarse-quantizer centroids: evenly spaced vectors in vec_id order
+    * (deterministic; the reference seeds its init in the same spirit,
+    * master.py:27-34), refined by [[QuantizerIters]] spherical-k-means
+    * Lloyd iterations — the same broadcast-assign / K-row-aggregate loop
+    * as [[graft.kmeans.KMeans]], in n dimensions. Each iteration moves
+    * only NList×dim doubles to the driver. Returns (list_id, vector,
+    * norm). */
+  private def coarseCentroids(e: DataFrame): Array[(Int, Seq[Double], Double)] = {
+    import e.sparkSession.implicits._
+    val n = e.count()
+    val dim = e.select(size($"v")).head().getInt(0)
+    val ids = (0 until NList).map(i => i * n / NList)
+    var cs = e.filter($"vec_id".isin(ids: _*)).orderBy($"vec_id")
+      .select($"v", $"nrm").collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0), r.getDouble(1)) }
+    for (_ <- 1 to QuantizerIters) {
+      val meanAggs = (0 until dim).map(i => avg($"v"(i)).as(s"m$i"))
+      val means = e.withColumn("ds", centroidCosines(cs))
+        .withColumn("list_id", expr("array_position(ds, array_max(ds)) - 1"))
+        .groupBy($"list_id").agg(meanAggs.head, meanAggs.tail: _*)
+        .collect()
+        .map { r =>
+          val v = (0 until dim).map(i => r.getDouble(i + 1))
+          r.getLong(0).toInt -> v
+        }.toMap
+      cs = cs.map { case (i, old, oldNrm) =>
+        means.get(i) match {
+          case Some(v) => (i, v, math.sqrt(v.map(x => x * x).sum))
+          case None    => (i, old, oldNrm) // empty list keeps its centroid
+        }
+      }
+    }
+    cs
+  }
+
+  /** Cosine of the row vector against each centroid, as an array column. */
+  private def centroidCosines(cents: Array[(Int, Seq[Double], Double)]): Column =
+    array(cents.map { case (_, cv, cn) =>
+      dot(col("v"), typedlit(cv)) / (col("nrm") * lit(cn))
+    }: _*)
+
+  /** IVF ANN: assign corpus to nearest coarse centroid (inverted lists),
+    * probe the NProbe nearest lists per query. Approximate → rows-only;
+    * recall vs brute force asserted in SimilaritySpec. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embedded(s, dir)
+    val cents = coarseCentroids(e)
+    val lists = e.withColumn("ds", centroidCosines(cents))
+      .withColumn("list_id", expr("array_position(ds, array_max(ds)) - 1"))
+      .select($"vec_id", $"v", $"nrm", $"list_id")
+    val probes = e.filter($"vec_id" < NumQueries)
+      .withColumn("ds", centroidCosines(cents))
+      .withColumn("probe", expr(
+        s"slice(transform(array_sort(zip_with(ds, sequence(0, ${NList - 1}), " +
+          s"(d, i) -> struct(-d AS nd, i AS i))), x -> x.i), 1, $NProbe)"))
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        explode($"probe").as("list_id"))
+    val cands = lists.join(broadcast(probes),
+        lists("list_id") === probes("list_id") && $"vec_id" =!= $"q_id")
+      .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"nrm"))
+    topk(cands)
+  }
+
+  // ------------------------------------------------------------------ LSH
+
+  val Tables_ = 8  // L hash tables
+  val NPlanes = 3  // bits per table → 8 buckets/table
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1) from a
+    * 64-bit mix of (table, plane, dim) — no RNG state, reproducible
+    * everywhere. */
+  private def planeComponent(t: Int, p: Int, d: Int): Double = {
+    var x = t.toLong * 0x9E3779B97F4A7C15L + p.toLong * 0xC2B2AE3D27D4EB4FL +
+      d.toLong * 0x165667B19E3779F9L + 0x27D4EB2F165667C5L
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+    x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+    x ^= x >>> 33
+    (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  private def plane(t: Int, p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(planeComponent(t, p, _))
+
+  /** Per-table bucket id: sign bits of the vector against NPlanes
+    * hyperplanes. */
+  private def bucketCol(t: Int, dim: Int): Column =
+    (0 until NPlanes).map { p =>
+      when(dot(col("v"), typedlit(plane(t, p, dim))) > 0, lit(1 << p))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH ANN: candidates share a bucket in any of the L tables; exact
+    * cosine rank within candidates. rows-only; recall asserted in
+    * SimilaritySpec. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embedded(s, dir)
+    val dim = e.select(size($"v")).head().getInt(0)
+    val tableCols = (0 until Tables_).map(t =>
+      struct(lit(t).as("t"), bucketCol(t, dim).as("bucket")))
+    def withBuckets(df: DataFrame): DataFrame =
+      df.withColumn("tb", explode(array(tableCols: _*)))
+        .select(df.columns.map(col) :+ $"tb.t".as("t") :+ $"tb.bucket".as("bucket"): _*)
+    val corpus = withBuckets(e)
+    val qs = withBuckets(e.filter($"vec_id" < NumQueries))
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"), $"t", $"bucket")
+    val cands = corpus.join(broadcast(qs), Seq("t", "bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"qv", $"qn", $"vec_id", $"v", $"nrm").distinct()
+      .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"nrm"))
+    topk(cands)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> (annBruteForce(_, _)),
+    "ann_ivf" -> (annIvf(_, _)),
+    "ann_lsh" -> (annLsh(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "ann_bruteforce" -> annBruteForceSql)
+}

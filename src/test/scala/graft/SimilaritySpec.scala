@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.Similarity
+
+/** SURVEY.md §2.D specs: brute-force exactness invariants and recall of
+  * the approximate (IVF / LSH) paths against it on sf0.001. */
+class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private lazy val exact = neighborSets(Similarity.annBruteForce(spark, sf))
+
+  test("bruteforce: k neighbors per query, no self-matches, ranked") {
+    val rows = Similarity.annBruteForce(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == Similarity.NumQueries)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == Similarity.TopK)
+      assert(rs.forall(_.getLong(1) != q))
+      val ranks = rs.map(_.getInt(2)).sorted
+      assert(ranks.sameElements(1 to Similarity.TopK))
+    }
+  }
+
+  test("IVF recall@10 >= 0.9 vs brute force") {
+    val approx = neighborSets(Similarity.annIvf(spark, sf))
+    val recall = exact.map { case (q, ns) =>
+      ns.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / ns.size
+    }.sum / exact.size
+    info(f"IVF recall@10 = $recall%.3f (nprobe=${Similarity.NProbe}/${Similarity.NList})")
+    assert(recall >= 0.9)
+  }
+
+  test("LSH recall@10 vs brute force above floor") {
+    val approx = neighborSets(Similarity.annLsh(spark, sf))
+    val recall = exact.map { case (q, ns) =>
+      ns.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / ns.size
+    }.sum / exact.size
+    info(f"LSH recall@10 = $recall%.3f (L=${Similarity.Tables_}, planes=${Similarity.NPlanes})")
+    assert(recall >= 0.5)
+  }
+}

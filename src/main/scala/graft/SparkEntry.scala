@@ -21,7 +21,8 @@ object SparkEntry {
     operators.RelationalQueries.queries ++
     operators.TextAnalysis.queries ++
     operators.Dedup.queries ++
-    operators.Similarity.queries ++ Map(
+    operators.Similarity.queries ++
+    operators.Multimodal.queries ++ Map(
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "lineitem")
@@ -45,7 +46,8 @@ object SparkEntry {
     operators.RelationalQueries.oracles ++
     operators.TextAnalysis.oracles ++
     operators.Dedup.oracles ++
-    operators.Similarity.oracles ++ Map(
+    operators.Similarity.oracles ++
+    operators.Multimodal.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -143,4 +143,15 @@ object Points {
 
   val ordersSql: String =
     "SELECT CAST(-o_orderkey AS BIGINT) AS pid, o_totalprice/1000.0 AS x, CAST(o_orderkey % 50 AS DOUBLE) AS y FROM orders"
+
+  /** Event-stream plane — the substrate of the streaming K-Means path
+    * ([[graft.streaming.StreamOps]]); its batch twin is oracle-checked. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events").select(
+      col("event_id").as("pid"),
+      col("value").as("x"),
+      (col("user_id") % 100).cast("double").as("y"))
+
+  val eventsSql: String =
+    "SELECT event_id AS pid, value AS x, CAST(user_id % 100 AS DOUBLE) AS y FROM events"
 }

@@ -90,6 +90,16 @@ object KMeansQueries {
   def mllib(s: SparkSession, dir: String): DataFrame =
     MLlibKMeans.fitSummary(Points.lineitem(s, dir), K)
 
+  /** Batch twin of [[graft.streaming.StreamOps.streamingKMeans]]: the
+    * running per-cluster state after the whole events stream has been
+    * seen equals one Lloyd step over the full input — which IS this
+    * query, so the streaming semantics are oracle-checked here and the
+    * incremental path is exercised in StreamingSpec. */
+  def streamingBatchTwin(s: SparkSession, dir: String): DataFrame = {
+    val pts = Points.events(s, dir)
+    rounded(KMeans.step(pts, KMeans.init(pts, K))._1, s)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_points" -> (points(_, _)),
     "kmeans_init" -> (init(_, _)),
@@ -99,7 +109,8 @@ object KMeansQueries {
     "kmeans_cost" -> (cost(_, _)),
     "kmeans_fit" -> (fit(_, _)),
     "kmeans_multifile" -> (multifile(_, _)),
-    "mllib_kmeans" -> (mllib(_, _)))
+    "mllib_kmeans" -> (mllib(_, _)),
+    "streaming_kmeans" -> (streamingBatchTwin(_, _)))
 
   def oracles: Map[String, String] = Map(
     "kmeans_points" -> pointsSql,
@@ -108,5 +119,6 @@ object KMeansQueries {
     "kmeans_step" -> KMeansOracle.iterSql(Points.lineitemSql, K, 1),
     "kmeans_iter3" -> KMeansOracle.iterSql(Points.lineitemSql, K, 3),
     "kmeans_cost" -> KMeansOracle.costSql(Points.lineitemSql, K),
-    "kmeans_multifile" -> multifileSql)
+    "kmeans_multifile" -> multifileSql,
+    "streaming_kmeans" -> KMeansOracle.iterSql(Points.eventsSql, K, 1))
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** A multimodal record: opaque payload bytes + typed metadata. */
+final case class MMRecord(doc_id: Long, fmt: String, payload: Array[Byte])
+
+/** Fake "decoded" media features — see [[Multimodal.decodeStub]]. */
+final case class MMDecoded(doc_id: Long, fmt: String, n_bytes: Long,
+    width: Int, height: Int, n_frames: Int)
+
+/** SURVEY.md §2.F — multimodal column plumbing: image/audio/video
+  * payloads as opaque `binary` columns with a typed metadata struct, and
+  * a partition-parallel decode stage.
+  *
+  * The payload here is synthesized deterministically from `text` (UTF-8
+  * bytes) because the container has no media libraries — what is REAL and
+  * tested is the Spark-side plumbing a 100-TB media pipeline needs:
+  *   - `binary` column through scan/shuffle/agg (Tungsten treats it as
+  *     opaque bytes; no row-size surprises),
+  *   - typed metadata derived by codegen'd expressions (octet length,
+  *     magic prefix, format tag) — prunable columns so a
+  *     metadata-only query never deserializes payloads,
+  *   - a typed `Dataset[MMRecord].mapPartitions` decode stage — the
+  *     batch-per-partition shape you would hand to an image decoder
+  *     (JNI / Arrow batch / Python worker); the decoder body itself is a
+  *     clearly-marked deterministic STUB.
+  *
+  * The decode math is pure arithmetic on the byte length, so the whole
+  * pipeline — including the "decoded" dimensions — is DuckDB-oracle-
+  * checkable.
+  */
+object Multimodal {
+  val Formats = Seq("png", "jpg", "wav", "mp4")
+
+  /** Documents with payload bytes + typed metadata. */
+  def withPayload(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("payload", encode($"text", "UTF-8"))
+      .withColumn("fmt", element_at(
+        typedlit(Formats), ($"doc_id" % Formats.size).cast("int") + 1))
+      .withColumn("meta", struct(
+        length($"payload").cast("long").as("n_bytes"),
+        substring(hex($"payload"), 1, 8).as("magic"),
+        $"fmt".as("format")))
+  }
+
+  /** STUB DECODER — the container has no image/audio libraries, so the
+    * "decode" derives dimensions deterministically from the byte length:
+    *
+    *   width    = 1 + (31·n_bytes mod 509)
+    *   height   = 1 + (131·n_bytes mod 509)
+    *   n_frames = 1 (still) or 1 + n_bytes mod 16 (wav/mp4)
+    *
+    * A real deployment replaces ONLY this body (e.g. JNI to libjpeg /
+    * ffmpeg probe); the partition-iterator shape — one decoder init per
+    * partition, streaming over records — is the production contract. */
+  def decodeStub(records: Dataset[MMRecord]): Dataset[MMDecoded] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition decoder init would go here (expensive handle reuse)
+      it.map { r =>
+        val n = r.payload.length.toLong
+        val frames =
+          if (r.fmt == "wav" || r.fmt == "mp4") 1 + (n % 16).toInt else 1
+        MMDecoded(r.doc_id, r.fmt, n,
+          1 + (31 * n % 509).toInt, 1 + (131 * n % 509).toInt, frames)
+      }
+    }
+  }
+
+  /** Per-format corpus stats over metadata + decoded dimensions. */
+  def mmMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = withPayload(s, dir)
+      .select($"doc_id", $"fmt", $"payload").as[MMRecord]
+    val magic = withPayload(s, dir)
+      .select($"doc_id", $"meta.magic".as("magic"))
+    decodeStub(recs).toDF()
+      .join(magic, "doc_id")
+      .groupBy($"fmt")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_bytes").as("sum_bytes"),
+        round(avg($"width"), 4).as("avg_width"),
+        round(avg($"height"), 4).as("avg_height"),
+        sum($"n_frames").as("sum_frames"),
+        count_distinct($"magic").as("n_magics"))
+      .orderBy($"fmt")
+  }
+
+  val mmMetaSql: String = {
+    val fmtCase = Formats.zipWithIndex
+      .map { case (f, i) => s"WHEN $i THEN '$f'" }.mkString(" ")
+    s"""WITH rec AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % ${Formats.size} AS INT) $fmtCase END AS fmt,
+       |    octet_length(encode(text)) AS n_bytes,
+       |    substring(hex(encode(text)), 1, 8) AS magic
+       |  FROM documents),
+       |dec AS (
+       |  SELECT doc_id, fmt, n_bytes, magic,
+       |    CAST(1 + (31 * n_bytes % 509) AS INT) AS width,
+       |    CAST(1 + (131 * n_bytes % 509) AS INT) AS height,
+       |    CASE WHEN fmt IN ('wav', 'mp4')
+       |      THEN CAST(1 + n_bytes % 16 AS INT) ELSE 1 END AS n_frames
+       |  FROM rec)
+       |SELECT fmt, count(*) AS n_docs, sum(n_bytes) AS sum_bytes,
+       |  round(avg(width), 4) AS avg_width,
+       |  round(avg(height), 4) AS avg_height,
+       |  sum(n_frames) AS sum_frames,
+       |  count(DISTINCT magic) AS n_magics
+       |FROM dec GROUP BY fmt ORDER BY fmt""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> (mmMeta(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "mm_meta" -> mmMetaSql)
+}

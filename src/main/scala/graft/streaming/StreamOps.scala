@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.kmeans.Centroid
+
+/** A point flowing through the streaming K-Means pipeline. */
+final case class StreamPoint(pid: Long, x: Double, y: Double)
+
+/** Running per-cluster state: sum of members and count. */
+final case class ClusterState(sx: Double, sy: Double, n: Long)
+
+/** An updated centroid emitted per trigger. */
+final case class CentroidUpdate(cid: Int, x: Double, y: Double, n: Long)
+
+/** SURVEY.md §2.A streaming surface — Structured Streaming twins of the
+  * batch operators:
+  *
+  *   - [[windowedAgg]]: watermarked tumbling-window event aggregation.
+  *     The IDENTICAL plan runs batch or streaming (the `queries` entry
+  *     `stream_window_agg` is the batch run, oracle-checked; the
+  *     streaming run is exercised in StreamingSpec with a MemoryStream).
+  *   - [[streamingKMeans]]: incremental centroid maintenance — points
+  *     are keyed by nearest initial centroid (broadcast, codegen'd
+  *     distance argmin, same map phase as batch [[graft.kmeans.KMeans]]),
+  *     and `mapGroupsWithState` keeps a running (sum, count) per cluster,
+  *     emitting the running-mean centroid each trigger. After all data is
+  *     seen, the state equals one batch Lloyd step over the whole input —
+  *     which is what the oracle-checked `streaming_kmeans` query runs.
+  *
+  * Scale: state is K rows (one per cluster); each micro-batch shuffles
+  * only its own points once, keyed by cid — partial aggregation upstream
+  * of the state store keeps per-trigger state updates K-row-sized.
+  */
+object StreamOps {
+
+  /** Tumbling 1-day windowed aggregation; runs on a batch OR streaming
+    * events DataFrame (watermark is a no-op in batch). */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  private def updateCluster(cid: Int, rows: Iterator[(Int, Double, Double)],
+      state: GroupState[ClusterState]): CentroidUpdate = {
+    var s = state.getOption.getOrElse(ClusterState(0.0, 0.0, 0L))
+    rows.foreach { case (_, x, y) => s = ClusterState(s.sx + x, s.sy + y, s.n + 1) }
+    state.update(s)
+    CentroidUpdate(cid, s.sx / s.n, s.sy / s.n, s.n)
+  }
+
+  /** Incremental K-Means over a stream of points: running-mean centroid
+    * per initial-assignment cluster. `cs` is the (broadcast) initial
+    * codebook. Works on batch or streaming Datasets; use OutputMode
+    * Update when streaming. */
+  def streamingKMeans(points: Dataset[StreamPoint],
+      cs: Seq[Centroid]): Dataset[CentroidUpdate] = {
+    import points.sparkSession.implicits._
+    graft.kmeans.KMeans.assign(points.toDF(), cs)
+      .select(col("cid").cast("int"), col("x"), col("y"))
+      .as[(Int, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateCluster)
+  }
+
+  /** OutputMode for the streaming K-Means sink. */
+  val KMeansOutputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.{MMRecord, Multimodal}
+
+/** SURVEY.md §2.F specs: binary payload plumbing + stub decode. */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("payload bytes round-trip: n_bytes = UTF-8 length of text") {
+    val s = spark
+    import s.implicits._
+    val bad = Multimodal.withPayload(spark, sf)
+      .filter($"meta.n_bytes" =!= length(encode($"text", "UTF-8")))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("decode stub: deterministic, dimensions in range, frames by format") {
+    val s = spark
+    import s.implicits._
+    val recs = Multimodal.withPayload(spark, sf)
+      .select($"doc_id", $"fmt", $"payload").as[MMRecord]
+    val a = Multimodal.decodeStub(recs).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeStub(recs).collect().sortBy(_.doc_id)
+    assert(a.sameElements(b)) // deterministic across runs
+    assert(a.forall(d => d.width >= 1 && d.width <= 509))
+    assert(a.forall(d => d.height >= 1 && d.height <= 509))
+    assert(a.filter(d => d.fmt == "png" || d.fmt == "jpg").forall(_.n_frames == 1))
+    assert(a.forall(d => d.n_frames >= 1 && d.n_frames <= 16))
+  }
+
+  test("mm_meta covers every format with all docs accounted for") {
+    val docs = Tables(spark, sf, "documents").count()
+    val out = Multimodal.mmMeta(spark, sf).collect()
+    assert(out.map(_.getString(0)).sorted.sameElements(Multimodal.Formats.sorted))
+    assert(out.map(_.getLong(1)).sum == docs)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.kmeans.Centroid
+import graft.streaming.{StreamOps, StreamPoint}
+
+/** SURVEY.md §2.A streaming specs: the Structured Streaming paths run
+  * against MemoryStreams and are checked against their batch twins (the
+  * twins themselves are DuckDB-oracle-checked via the driver contract). */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedAgg: streaming run equals batch run on the same events") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (ts("2026-01-01 01:00:00"), "click", 1.0),
+      (ts("2026-01-01 09:30:00"), "click", 2.5),
+      (ts("2026-01-01 12:00:00"), "view", 4.0),
+      (ts("2026-01-02 00:10:00"), "click", 8.0))
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.windowedAgg(
+        mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("wagg")
+      .outputMode("complete").start()
+    mem.addData(rows.take(2))
+    q.processAllAvailable()
+    mem.addData(rows.drop(2)) // second micro-batch updates day-1, adds day-2
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wagg")
+      .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = StreamOps.windowedAgg(
+        rows.toDF("ts", "event_type", "value"))
+      .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 3) // (day1 click), (day1 view), (day2 click)
+  }
+
+  test("streamingKMeans: running state across micro-batches = cumulative means") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val cs = Seq(Centroid(1, 0.0, 0.0), Centroid(2, 10.0, 10.0))
+    val mem = MemoryStream[StreamPoint]
+    val q = StreamOps.streamingKMeans(mem.toDS(), cs)
+      .writeStream.format("memory").queryName("skm")
+      .outputMode(StreamOps.KMeansOutputMode).start()
+    mem.addData(StreamPoint(1, 1.0, 1.0), StreamPoint(2, 9.0, 9.0))
+    q.processAllAvailable()
+    mem.addData(StreamPoint(3, 3.0, 1.0), StreamPoint(4, 11.0, 13.0))
+    q.processAllAvailable()
+    q.stop()
+    // latest update per cluster = mean over ALL its points so far
+    val last = spark.table("skm")
+      .groupBy($"cid").agg(max_by(struct($"x", $"y", $"n"), $"n").as("s"))
+      .select($"cid", $"s.x", $"s.y", $"s.n")
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(last(1) == ((2.0, 1.0, 2L)))   // (1,1),(3,1) → mean (2,1)
+    assert(last(2) == ((10.0, 11.0, 2L))) // (9,9),(11,13) → mean (10,11)
+  }
+}

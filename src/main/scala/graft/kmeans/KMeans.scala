@@ -91,21 +91,30 @@ object KMeans {
       math.abs(a.y - b.y) <= atol + rtol * math.abs(b.y)
     }
 
-  /** The master's iteration loop (master.py:138-150). */
+  /** The master's iteration loop (master.py:138-150). The projected
+    * (pid, x, y) plane is persisted across iterations — every Lloyd pass
+    * re-reads it, and at 100 TB the 3-column projection is a small
+    * fraction of the source table; re-scanning parquet per iteration
+    * would make the loop IO-bound. MEMORY_AND_DISK spills gracefully
+    * when the plane outgrows executor memory. */
   def fit(points: DataFrame, k: Int, maxIter: Int = 50,
       atol: Double = DefaultAtol, rtol: Double = DefaultRtol): KMeansModel = {
-    var cs = init(points, k)
-    var sizes = Map.empty[Int, Long]
-    var iter = 0
-    var done = false
-    while (iter < maxIter && !done) {
-      val (next, ns) = step(points, cs)
-      iter += 1
-      done = converged(cs, next, atol, rtol)
-      cs = next
-      sizes = ns
-    }
-    KMeansModel(cs, sizes, iter, done)
+    val plane = points.select("pid", "x", "y")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cs = init(plane, k)
+      var sizes = Map.empty[Int, Long]
+      var iter = 0
+      var done = false
+      while (iter < maxIter && !done) {
+        val (next, ns) = step(plane, cs)
+        iter += 1
+        done = converged(cs, next, atol, rtol)
+        cs = next
+        sizes = ns
+      }
+      KMeansModel(cs, sizes, iter, done)
+    } finally plane.unpersist(blocking = false)
   }
 
   /** Mean squared distance to the assigned centroid (WSSSE/n). */

@@ -17,6 +17,9 @@ object MLlibKMeans {
       maxIter: Int = 20): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
+    // No explicit persist: ml.KMeans.fit caches its internal RDD when the
+    // input is uncached (handlePersistence) — persisting here double-
+    // caches and measurably slows the fit.
     val features = new VectorAssembler()
       .setInputCols(Array("x", "y")).setOutputCol("features")
       .transform(points)

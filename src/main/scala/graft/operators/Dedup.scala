@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{PolyHash, SimHash64, TextFeatures => TF}
+import graft.functions.{PolyHash, SimHash64, WordNgrams, TextFeatures => TF}
 
 /** SURVEY.md §2.C — the deduplication suite over the `documents` table:
   * exact hash-dedup, n-gram Jaccard, MinHash+LSH, SimHash, and
@@ -60,35 +60,42 @@ object Dedup {
   val NgramN = 3
   val JaccardTau = 0.5
 
-  /** Distinct word-3-grams per doc with the blocking key
-    * (lang, n_chars DIV 100). */
+  /** Distinct word-3-grams per doc, exploded, each row carrying the
+    * blocking key (lang, n_chars DIV 100) and the doc's TOTAL distinct-
+    * gram count `n` — denormalizing `n` onto every gram row costs 8
+    * bytes/row and saves the separate per-doc count aggregation plus two
+    * re-join shuffles downstream.
+    *
+    * Gram generation is the native one-pass [[WordNgrams]] expression;
+    * see its scaladoc for why the composed HOF form is an optimizer
+    * trap. `n` is computed BELOW the explode so the Generate carries 4
+    * scalar columns, not the gram array. */
   private def grams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
+      .withColumn("gs", WordNgrams($"text", NgramN))
+      .withColumn("n", size($"gs"))
       .select($"doc_id", $"lang", expr("n_chars DIV 100").as("lb"),
-        explode(array_distinct(
-          TF.wordNgrams(TF.toks(lower($"text")), NgramN))).as("gram"))
+        $"n", explode($"gs").as("gram"))
   }
 
   private val duckGrams: String =
-    s"""SELECT doc_id, lang, n_chars // 100 AS lb,
-       |    unnest(list_distinct(${TF.duckNgrams(TF.duckToks, NgramN)})) AS gram
-       |  FROM documents""".stripMargin
+    s"""SELECT doc_id, lang, lb, len(gs) AS n, unnest(gs) AS gram FROM (
+       |    SELECT doc_id, lang, n_chars // 100 AS lb,
+       |      list_distinct(${TF.duckNgrams(TF.duckToks, NgramN)}) AS gs
+       |    FROM documents)""".stripMargin
 
   /** N-gram Jaccard near-dup pairs within blocks, via inverted-index
     * join. */
   def dedupNgram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val g = grams(s, dir)
-    val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val shared = g.as("a").join(g.as("b"),
+    g.as("a").join(g.as("b"),
         $"a.lang" === $"b.lang" && $"a.lb" === $"b.lb" &&
         $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
-      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+      // na/nb are constant within a pair group (denormalized onto rows)
+      .agg(count(lit(1)).as("shared"), min($"a.n").as("na"), min($"b.n").as("nb"))
       .withColumn("jaccard",
         round($"shared".cast("double") / ($"na" + $"nb" - $"shared"), 4))
       .filter($"jaccard" >= JaccardTau)
@@ -98,19 +105,17 @@ object Dedup {
 
   val dedupNgramSql: String =
     s"""WITH grams AS ($duckGrams),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
        |shared AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+       |    min(a.n) AS na, min(b.n) AS nb
        |  FROM grams a JOIN grams b
        |    ON a.lang = b.lang AND a.lb = b.lb AND a.gram = b.gram
        |    AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT a_id, b_id, jaccard FROM (
        |  SELECT a_id, b_id,
-       |    round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) AS jaccard
-       |  FROM shared
-       |  JOIN sizes sa ON a_id = sa.doc_id
-       |  JOIN sizes sb ON b_id = sb.doc_id)
+       |    round(CAST(shared AS DOUBLE) / (na + nb - shared), 4) AS jaccard
+       |  FROM shared)
        |WHERE jaccard >= $JaccardTau
        |ORDER BY a_id, b_id""".stripMargin
 
@@ -123,14 +128,16 @@ object Dedup {
     * equi-join → exact-Jaccard verify of candidates only. */
   def dedupMinHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val g = grams(s, dir).select($"doc_id", $"gram")
-    val hashed = g.select($"doc_id", PolyHash($"gram").as("gh"))
-    // 16 affine min-hashes in ONE aggregation pass (no row fanout):
-    // h_i(g) = ((2i+1)·gh + 1000003·i) mod p
+    // ONE aggregation pass computes both the 16 affine min-hashes
+    // h_i(g) = ((2i+1)·gh + 1000003·i) mod p  (no 16× row fanout) and
+    // the doc's gram set for the verify stage — a single shuffle keyed
+    // by doc_id instead of separate signature/gram-set aggregations.
     val sigAggs = (0 until MinHashK).map { i =>
       min((lit(2L * i + 1) * $"gh" + lit(1000003L * i)) % P).as(s"s$i")
-    }
-    val sigs = hashed.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    } :+ collect_set($"gram").as("gs")
+    val profile = grams(s, dir)
+      .select($"doc_id", $"gram", PolyHash($"gram").as("gh"))
+      .groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     // band key = base-31 polynomial combine of the band's 4 signature rows
     val weights = Seq(29791L, 961L, 31L, 1L)
     val bandCols = (0 until Bands).map { b =>
@@ -138,17 +145,16 @@ object Dedup {
         .reduce(_ + _) % P
       struct(lit(b).as("band"), key.as("bkey"))
     }
-    val bands = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+    val bands = profile.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
     val cand = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
         $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
     // exact-Jaccard verify on candidates only
-    val gsets = g.groupBy($"doc_id").agg(collect_set($"gram").as("gs"))
     cand
-      .join(gsets.select($"doc_id".as("a_id"), $"gs".as("ga")), "a_id")
-      .join(gsets.select($"doc_id".as("b_id"), $"gs".as("gb")), "b_id")
+      .join(profile.select($"doc_id".as("a_id"), $"gs".as("ga")), "a_id")
+      .join(profile.select($"doc_id".as("b_id"), $"gs".as("gb")), "b_id")
       .withColumn("inter", size(array_intersect($"ga", $"gb")))
       .withColumn("jaccard", round(
         $"inter".cast("double") / (size($"ga") + size($"gb") - $"inter"), 4))
@@ -256,13 +262,11 @@ object Dedup {
     val e = Tables(s, dir, "embeddings")
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("nrm", graft.functions.DotProduct.norm($"v"))
     e.as("a").join(e.as("b"),
         $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .withColumn("cosine", round(
-        aggregate(zip_with($"a.v", $"b.v", (x, y) => x * y),
-          lit(0.0), (a, x) => a + x) / ($"a.nrm" * $"b.nrm"), 4))
+        graft.functions.DotProduct($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 4))
       .filter($"cosine" >= CosineTau)
       .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"), $"cosine")
       .orderBy($"a_id", $"b_id")

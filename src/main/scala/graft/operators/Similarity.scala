@@ -30,18 +30,21 @@ object Similarity {
   val NumQueries = 10 // query set = vec_id < 10
   val TopK = 10
 
-  /** Embeddings with double vectors and precomputed norms. */
+  /** Embeddings with double vectors and precomputed norms. The cast to
+    * `array<double>` is materialized as its own projection so the norm
+    * and every downstream dot read the converted array instead of
+    * re-running the element cast. */
   private[operators] def embedded(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "embeddings")
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("nrm", graft.functions.DotProduct.norm($"v"))
   }
 
+  /** Codegen'd sequential dot — same fold order as the DuckDB oracle. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct(a, b)
 
   /** Rank candidate rows (q_id, vec_id, cos) to top-k per query. */
   private def topk(cands: DataFrame): DataFrame = {
@@ -145,7 +148,10 @@ object Similarity {
     * recall vs brute force asserted in SimilaritySpec. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Persist: the quantizer refinement takes QuantizerIters+2 passes
+    // over the (cast, norm'd) vectors before the probe query runs.
     val e = embedded(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = coarseCentroids(e)
     val lists = e.withColumn("ds", centroidCosines(cents))
       .withColumn("list_id", expr("array_position(ds, array_max(ds)) - 1"))

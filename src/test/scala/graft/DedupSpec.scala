@@ -46,6 +46,20 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fps.values.forall(_ >= 0L)) // 62-bit: non-negative
   }
 
+  test("native WordNgrams == composed HOF column form on real docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_distinct, lower}
+    val docs = Tables(spark, sf, "documents")
+    val native = docs.select($"doc_id",
+      graft.functions.WordNgrams($"text", 3).as("g"))
+    val composed = docs.select($"doc_id",
+      array_distinct(TextFeatures.wordNgrams(
+        TextFeatures.toks(lower($"text")), 3)).as("g"))
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val c = composed.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(n == c)
+  }
+
   test("wordNgrams: n-1 edge and join format") {
     import spark.implicits._
     val out = Seq("a b c d", "a b").toDF("text")

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{DotProduct, PolyHash, SimHash64, WordNgrams}
+
+/** SQL surface for the engine's native expressions. Register with
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * and the functions are callable from `spark.sql`:
+  *
+  *   SELECT poly_hash(text), simhash64(tokens), word_ngrams(text, 3),
+  *          dot_product(a, b) FROM ...
+  *
+  * This is the standard extension-point mechanism for Spark-native
+  * libraries — no fork, no UDF registry, full codegen retained.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("poly_hash"),
+      info("poly_hash", "poly_hash(str[, base]) - portable polynomial hash mod 2^31-1"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s)    => PolyHash(s, PolyHash.DefaultBase)
+        case Seq(s, b) => PolyHash(s, intArg(b, "poly_hash base").toLong)
+        case _ => throw new IllegalArgumentException("poly_hash takes 1 or 2 args")
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 62-bit simhash of a string array"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(text, n) - distinct word n-grams"),
+      (args: Seq[Expression]) =>
+        WordNgrams(args.head, intArg(args(1), "word_ngrams n"))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - sequential dot of double arrays"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+  }
+}

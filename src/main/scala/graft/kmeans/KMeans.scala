@@ -9,9 +9,13 @@ import graft.functions.NearestCentroid
   * ids 1-based. */
 final case class Centroid(id: Int, x: Double, y: Double)
 
-/** Result of a full Lloyd run. */
+/** Result of a full Lloyd run. `history` is the per-iteration centroid
+  * log — the reference's observability surface (dump.txt, written by the
+  * master each cycle); entry 0 is the init, entry i the centroids after
+  * iteration i. K rows per iteration, so retaining it is free. */
 final case class KMeansModel(centroids: Seq[Centroid], sizes: Map[Int, Long],
-    iterations: Int, converged: Boolean)
+    iterations: Int, converged: Boolean,
+    history: Seq[Seq[Centroid]] = Nil)
 
 /** Spark-native Lloyd's K-Means — the reference engine's whole workload
   * (master.py / mapper.py / reducer.py), re-expressed as a DataFrame plan:
@@ -103,6 +107,8 @@ object KMeans {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cs = init(plane, k)
+      val history = Seq.newBuilder[Seq[Centroid]]
+      history += cs
       var sizes = Map.empty[Int, Long]
       var iter = 0
       var done = false
@@ -112,8 +118,9 @@ object KMeans {
         done = converged(cs, next, atol, rtol)
         cs = next
         sizes = ns
+        history += cs
       }
-      KMeansModel(cs, sizes, iter, done)
+      KMeansModel(cs, sizes, iter, done, history.result())
     } finally plane.unpersist(blocking = false)
   }
 

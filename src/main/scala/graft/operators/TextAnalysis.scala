@@ -180,15 +180,38 @@ object TextAnalysis {
        |FROM (SELECT doc_id, ${PolyHash.duckSql("text")} AS fp FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- vocab
+
+  /** Corpus vocabulary: top-50 words by total occurrences (word
+    * tie-break), with document frequency. One explode + one word-keyed
+    * aggregation; TakeOrdered ranks without a global sort — the plan a
+    * 100-TB vocabulary build needs. */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", explode(toks(lower($"text"))).as("w"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("n"), count_distinct($"doc_id").as("doc_freq"))
+      .orderBy($"n".desc, $"w")
+      .limit(50)
+  }
+
+  val vocabTopKSql: String =
+    s"""SELECT w, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
+       |FROM (SELECT doc_id, unnest($duckToks) AS w FROM documents)
+       |GROUP BY w ORDER BY n DESC, w LIMIT 50""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats(_, _)),
     "lang_id" -> (langId(_, _)),
     "quality_score" -> (qualityScore(_, _)),
-    "doc_fingerprint" -> (docFingerprint(_, _)))
+    "doc_fingerprint" -> (docFingerprint(_, _)),
+    "vocab_topk" -> (vocabTopK(_, _)))
 
   def oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
-    "doc_fingerprint" -> docFingerprintSql)
+    "doc_fingerprint" -> docFingerprintSql,
+    "vocab_topk" -> vocabTopKSql)
 }

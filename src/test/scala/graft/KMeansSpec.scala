@@ -69,6 +69,10 @@ class KMeansSpec extends AnyFunSuite {
     assert(m.sizes.values.toSeq.sorted == Seq(50L, 50L))
     val xs = m.centroids.map(_.x).sorted
     assert(math.abs(xs.head - 0.02) < 0.1 && math.abs(xs.last - 50.02) < 0.1)
+    // per-iteration centroid log (the reference's dump.txt surface):
+    // init + one entry per iteration, ending at the final centroids
+    assert(m.history.length == m.iterations + 1)
+    assert(m.history.last == m.centroids)
   }
 
   test("convergence criterion mirrors np.allclose(atol=1e-4, rtol=1e-5)") {

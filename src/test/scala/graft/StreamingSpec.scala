@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import graft.kmeans.Centroid
-import graft.streaming.{StreamOps, StreamPoint}
+import graft.streaming.{SessionEvent, SessionizeStream, StreamOps, StreamPoint}
 
 /** SURVEY.md §2.A streaming specs: the Structured Streaming paths run
   * against MemoryStreams and are checked against their batch twins (the
@@ -52,6 +52,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
     assert(streamed.size == 3) // (day1 click), (day1 view), (day2 click)
+  }
+
+  test("streaming sessionize: sessions close on gap, survive across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = SessionizeStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    // batch 1: user 1 has two events 10 min apart (one open session);
+    // user 2 one event
+    mem.addData(
+      SessionEvent(1L, ts("2026-01-01 10:00:00"), 1),
+      SessionEvent(1L, ts("2026-01-01 10:10:00"), 2),
+      SessionEvent(2L, ts("2026-01-01 10:00:00"), 3))
+    q.processAllAvailable()
+    assert(spark.table("sess").count() == 0) // nothing closed yet
+    // batch 2: user 1 returns after 2 h -> closes the first session
+    // (2 events, 600 s); user 2 event 5 min later extends, stays open
+    mem.addData(
+      SessionEvent(1L, ts("2026-01-01 12:10:00"), 4),
+      SessionEvent(2L, ts("2026-01-01 10:05:00"), 5))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(closed == Set((1L, 2L, 600L)))
   }
 
   test("streamingKMeans: running state across micro-batches = cumulative means") {

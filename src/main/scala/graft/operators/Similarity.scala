@@ -99,7 +99,7 @@ object Similarity {
 
   val NList = 16
   val NProbe = 11
-  val QuantizerIters = 5
+  val QuantizerIters = 3
 
   /** Coarse-quantizer centroids: evenly spaced vectors in vec_id order
     * (deterministic; the reference seeds its init in the same spirit,

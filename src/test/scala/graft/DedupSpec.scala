@@ -32,6 +32,44 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.distinct().count() == 4)
   }
 
+  test("PolyHash byte-level decode == String.codePointAt fold (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    import org.scalatest.prop.Configuration
+    // reference fold over String code points (the spec PolyHash.hash
+    // must match after its allocation-free UTF-8 rewrite)
+    def ref(str: String, base: Long): Long = {
+      var h = 0L; var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        h = (h * base + cp) % graft.functions.PolyHash.Mod
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    // well-formed BMP chars only (unpaired surrogates are not valid
+    // strings); 4-byte astral-plane coverage via the explicit cases below
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.choose(' ', '\u00ff'),
+      Gen.choose('\u0100', '\ud7ff'))).map(_.mkString)
+    val prop = forAll(gen) { str =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(str)
+      graft.functions.PolyHash.hash(u, 31L) == ref(str, 31L) &&
+      graft.functions.PolyHash.hash(u, 131L) == ref(str, 131L)
+    }
+    // 4-byte path needs real surrogate pairs — add explicit cases
+    val astral = Seq("😀", "a😀b", "𐍈𐍈", "日本語 text",
+      "", "mixed é中🎉 end")
+    astral.foreach { str =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(str)
+      assert(graft.functions.PolyHash.hash(u, 31L) == ref(str, 31L), s"astral: $str")
+    }
+    assert(org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200),
+      prop).passed)
+  }
+
   test("SimHash64: identical docs collide, disjoint docs differ") {
     import spark.implicits._
     val df = Seq(

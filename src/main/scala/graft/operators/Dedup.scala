@@ -291,17 +291,60 @@ object Dedup {
        |WHERE cosine >= $CosineTau
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ------------------------------------------------------- materialization
+
+  /** The end-to-end dedup a pipeline actually consumes: the corpus with
+    * exact duplicates AND n-gram near-duplicates removed. Keep rule: the
+    * min doc_id of an exact-text group survives; of each near-dup pair,
+    * the lower doc_id survives (drop every b_id). Output is per-source
+    * retention counts — at 100 TB the kept rows stream straight to the
+    * next stage; the left-anti join against the (tiny) drop list is a
+    * broadcast. */
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val exactDrops = docs
+      .groupBy($"n_chars", PolyHash($"text").as("h"), $"text")
+      .agg(min($"doc_id").as("keep_id"), collect_list($"doc_id").as("ids"))
+      .select(explode($"ids").as("doc_id"), $"keep_id")
+      .filter($"doc_id" =!= $"keep_id")
+      .select($"doc_id")
+    val nearDrops = dedupNgram(s, dir).select($"b_id".as("doc_id"))
+    docs.join(broadcast(exactDrops.union(nearDrops).distinct()),
+        Seq("doc_id"), "left_anti")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("kept_chars"))
+      .orderBy($"source")
+  }
+
+  val dedupSurvivorsSql: String =
+    s"""WITH exact_drops AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep_id
+       |    FROM documents)
+       |  WHERE doc_id != keep_id),
+       |near AS (${dedupNgramSql.replace("ORDER BY a_id, b_id", "")}),
+       |drops AS (
+       |  SELECT doc_id FROM exact_drops
+       |  UNION SELECT b_id AS doc_id FROM near)
+       |SELECT source, count(*) AS n_kept, sum(n_chars) AS kept_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram" -> (dedupNgram(_, _)),
     "dedup_minhash" -> (dedupMinHash(_, _)),
     "dedup_simhash" -> (dedupSimHash(_, _)),
-    "dedup_embedding" -> (dedupEmbedding(_, _)))
+    "dedup_embedding" -> (dedupEmbedding(_, _)),
+    "dedup_survivors" -> (dedupSurvivors(_, _)))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_minhash" -> dedupMinHashSql,
     "dedup_simhash" -> dedupSimHashSql,
-    "dedup_embedding" -> dedupEmbeddingSql)
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_survivors" -> dedupSurvivorsSql)
 }

@@ -11,6 +11,10 @@ final case class MMRecord(doc_id: Long, fmt: String, payload: Array[Byte])
 final case class MMDecoded(doc_id: Long, fmt: String, n_bytes: Long,
     width: Int, height: Int, n_frames: Int)
 
+/** A sampled, resize-targeted frame — see [[Multimodal.frameSampleStub]]. */
+final case class MMFrame(doc_id: Long, fmt: String, frame_idx: Int,
+    out_w: Int, out_h: Int)
+
 /** SURVEY.md §2.F — multimodal column plumbing: image/audio/video
   * payloads as opaque `binary` columns with a typed metadata struct, and
   * a partition-parallel decode stage.
@@ -72,6 +76,78 @@ object Multimodal {
     }
   }
 
+  val ResizeBox = 224
+  val FrameStep = 3
+
+  /** STUB resize + frame-sample stage downstream of [[decodeStub]]: keep
+    * every [[FrameStep]]-th frame, and compute the aspect-preserving fit
+    * of each frame into a [[ResizeBox]]² target (integer math — the
+    * numbers a real resizer would be handed). Same contract as
+    * decodeStub: the flatMap row-expansion shape is the production
+    * plumbing; only the arithmetic is a stand-in for pixel work. */
+  def frameSampleStub(decoded: Dataset[MMDecoded]): Dataset[MMFrame] = {
+    import decoded.sparkSession.implicits._
+    decoded.flatMap { d =>
+      val (ow, oh) =
+        if (d.width >= d.height)
+          (ResizeBox, math.max(1, d.height * ResizeBox / d.width))
+        else
+          (math.max(1, d.width * ResizeBox / d.height), ResizeBox)
+      (0 until d.n_frames by FrameStep).map(fi =>
+        MMFrame(d.doc_id, d.fmt, fi, ow, oh))
+    }
+  }
+
+  /** Per-format stats of the sampled+resized frame stream. */
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = withPayload(s, dir)
+      .select($"doc_id", $"fmt", $"payload").as[MMRecord]
+    frameSampleStub(decodeStub(recs)).toDF()
+      .groupBy($"fmt")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        count_distinct($"doc_id").as("n_docs"),
+        round(avg($"out_w"), 4).as("avg_out_w"),
+        round(avg($"out_h"), 4).as("avg_out_h"),
+        max($"frame_idx").as("max_frame_idx"))
+      .orderBy($"fmt")
+  }
+
+  val mmFramesSql: String = {
+    val fmtCase = Formats.zipWithIndex
+      .map { case (f, i) => s"WHEN $i THEN '$f'" }.mkString(" ")
+    s"""WITH rec AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % ${Formats.size} AS INT) $fmtCase END AS fmt,
+       |    octet_length(encode(text)) AS n_bytes
+       |  FROM documents),
+       |dec AS (
+       |  SELECT doc_id, fmt,
+       |    CAST(1 + (31 * n_bytes % 509) AS INT) AS width,
+       |    CAST(1 + (131 * n_bytes % 509) AS INT) AS height,
+       |    CASE WHEN fmt IN ('wav', 'mp4')
+       |      THEN CAST(1 + n_bytes % 16 AS INT) ELSE 1 END AS n_frames
+       |  FROM rec),
+       |res AS (
+       |  SELECT doc_id, fmt, n_frames,
+       |    CASE WHEN width >= height THEN $ResizeBox
+       |      ELSE greatest(1, width * $ResizeBox // height) END AS out_w,
+       |    CASE WHEN width >= height
+       |      THEN greatest(1, height * $ResizeBox // width)
+       |      ELSE $ResizeBox END AS out_h
+       |  FROM dec),
+       |frames AS (
+       |  SELECT doc_id, fmt, out_w, out_h,
+       |    unnest(range(0, n_frames, $FrameStep)) AS frame_idx
+       |  FROM res)
+       |SELECT fmt, count(*) AS n_frames, count(DISTINCT doc_id) AS n_docs,
+       |  round(avg(out_w), 4) AS avg_out_w,
+       |  round(avg(out_h), 4) AS avg_out_h,
+       |  max(frame_idx) AS max_frame_idx
+       |FROM frames GROUP BY fmt ORDER BY fmt""".stripMargin
+  }
+
   /** Per-format corpus stats over metadata + decoded dimensions. */
   def mmMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -117,8 +193,10 @@ object Multimodal {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_meta" -> (mmMeta(_, _)))
+    "mm_meta" -> (mmMeta(_, _)),
+    "mm_frames" -> (mmFrames(_, _)))
 
   def oracles: Map[String, String] = Map(
-    "mm_meta" -> mmMetaSql)
+    "mm_meta" -> mmMetaSql,
+    "mm_frames" -> mmFramesSql)
 }

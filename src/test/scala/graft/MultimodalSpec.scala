@@ -41,6 +41,21 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.forall(d => d.n_frames >= 1 && d.n_frames <= 16))
   }
 
+  test("frame sampling: stills yield 1 frame, resize fits the 224 box") {
+    val s = spark
+    import s.implicits._
+    val recs = Multimodal.withPayload(spark, sf)
+      .select($"doc_id", $"fmt", $"payload").as[MMRecord]
+    val frames = Multimodal.frameSampleStub(Multimodal.decodeStub(recs)).collect()
+    val stills = frames.filter(f => f.fmt == "png" || f.fmt == "jpg")
+    assert(stills.groupBy(_.doc_id).forall(_._2.length == 1))
+    assert(frames.forall(f => f.out_w <= Multimodal.ResizeBox &&
+      f.out_h <= Multimodal.ResizeBox))
+    assert(frames.forall(f => f.out_w == Multimodal.ResizeBox ||
+      f.out_h == Multimodal.ResizeBox)) // aspect fit touches the box
+    assert(frames.forall(_.frame_idx % Multimodal.FrameStep == 0))
+  }
+
   test("mm_meta covers every format with all docs accounted for") {
     val docs = Tables(spark, sf, "documents").count()
     val out = Multimodal.mmMeta(spark, sf).collect()

@@ -22,7 +22,8 @@ object SparkEntry {
     operators.TextAnalysis.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
-    operators.Multimodal.queries ++ Map(
+    operators.Multimodal.queries ++
+    operators.AsOfJoin.queries ++ Map(
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "lineitem")
@@ -47,7 +48,8 @@ object SparkEntry {
     operators.TextAnalysis.oracles ++
     operators.Dedup.oracles ++
     operators.Similarity.oracles ++
-    operators.Multimodal.oracles ++ Map(
+    operators.Multimodal.oracles ++
+    operators.AsOfJoin.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

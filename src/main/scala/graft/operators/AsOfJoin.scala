@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** As-of (point-in-time) join — an operator Spark's built-ins don't
+  * provide directly. For each left row, attach the greatest right-side
+  * timestamp ≤ the left timestamp within the same key.
+  *
+  * Implementation is the scalable union-sort pattern, NOT a range join:
+  * tag both sides, union, ONE hash-shuffle on the key, per-key sort by
+  * (time, side) with the right side ordered first at equal timestamps
+  * (as-of means `left.t >= right.t`), then a running
+  * `last(right_time, ignoreNulls)` window carries the most recent right
+  * timestamp onto every left row. Cost: one shuffle + per-key sort —
+  * the same shape as any windowed query; no quadratic candidate
+  * explosion, no per-row range probe. At 100 TB this is the only as-of
+  * formulation whose memory is bounded by the sort spill, not by range
+  * fanout.
+  *
+  * The oracle is DuckDB's native `ASOF JOIN`, so the semantics are
+  * checked against an independent first-class implementation.
+  */
+object AsOfJoin {
+
+  /** Left rows (`key`, `t`, rest...) each gain `asof_t`: the max right
+    * `t` ≤ left `t` for the key, or null. `right` must be unique per
+    * (key, t) — pre-aggregate if not (ties at the same instant are
+    * ambiguous in any as-of semantics). */
+  def asOf(left: DataFrame, right: DataFrame, key: String, time: String)
+      : DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__rt", lit(null).cast(left.schema(time).dataType))
+    val extra = left.columns.filterNot(c => c == key || c == time)
+    val r = extra.foldLeft(
+        right.select(col(key), col(time), col(time).as("__rt"))
+          .withColumn("__side", lit(0))) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+    // right-before-left at equal t ⇒ as-of uses left.t >= right.t
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("asof_t", last(col("__rt"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rt")
+  }
+
+  /** Driver query: each event joined as-of to the latest prior order of
+    * its (bucketed) customer; per-event-type match rate and mean lag. */
+  def eventsAsOfOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select(
+      ($"user_id" % 50).as("k"),
+      date_trunc("second", $"ts").as("t"),
+      $"event_type")
+    // unique (k, t) on the right side: max orderdate per key-instant is
+    // a no-op dedupe that makes as-of ties impossible
+    val ord = Tables(s, dir, "orders")
+      .select(($"o_custkey" % 50).as("k"), $"o_orderdate".as("t"))
+      .groupBy($"k", $"t").agg(count(lit(1)).as("__drop")).drop("__drop")
+    asOf(ev, ord, "k", "t")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count($"asof_t").as("n_matched"),
+        round(avg(unix_timestamp($"t") - unix_timestamp($"asof_t")), 4)
+          .as("avg_lag_sec"))
+      .orderBy($"event_type")
+  }
+
+  val eventsAsOfOrdersSql: String =
+    """WITH ev AS (
+      |  SELECT user_id % 50 AS k, date_trunc('second', ts) AS t, event_type
+      |  FROM events),
+      |ord AS (
+      |  SELECT DISTINCT o_custkey % 50 AS k, o_orderdate AS rt FROM orders)
+      |SELECT event_type, count(*) AS n_events, count(rt) AS n_matched,
+      |  round(avg(date_diff('second', rt, t)), 4) AS avg_lag_sec
+      |FROM ev ASOF LEFT JOIN ord ON ev.k = ord.k AND ev.t >= ord.rt
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> (eventsAsOfOrders(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "asof_join" -> eventsAsOfOrdersSql)
+}

@@ -23,7 +23,8 @@ object SparkEntry {
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.Multimodal.queries ++
-    operators.AsOfJoin.queries ++ Map(
+    operators.AsOfJoin.queries ++
+    operators.EventAnalytics.queries ++ Map(
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "lineitem")
@@ -49,7 +50,8 @@ object SparkEntry {
     operators.Dedup.oracles ++
     operators.Similarity.oracles ++
     operators.Multimodal.oracles ++
-    operators.AsOfJoin.oracles ++ Map(
+    operators.AsOfJoin.oracles ++
+    operators.EventAnalytics.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-sequence and OLAP-shape analytics over the `events`/`lineitem`
+  * tables — the funnel / temporal-correlation / cube queries an
+  * analytics engine is expected to answer, each with the scalable plan
+  * shape called out.
+  */
+object EventAnalytics {
+
+  /** 3-stage funnel: first `view` → first `click` at/after it → first
+    * `purchase` at/after that, per user. Three user-keyed conditional
+    * aggregations (150 rows/agg at sf, K-row shuffles at any scale —
+    * user_id is the natural partition key throughout). */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"user_id", date_trunc("second", $"ts").as("ts"), $"event_type")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" >= $"v_ts")
+      .groupBy($"user_id", $"v_ts").agg(min($"ts").as("c_ts"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" >= $"c_ts")
+      .groupBy($"user_id", $"v_ts", $"c_ts").agg(min($"ts").as("p_ts"))
+    v.join(c.select($"user_id", $"c_ts"), Seq("user_id"), "left")
+      .join(p.select($"user_id", $"p_ts"), Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_viewed"),
+        count($"c_ts").as("n_clicked_after"),
+        count($"p_ts").as("n_purchased_after"),
+        round(avg(unix_timestamp($"c_ts") - unix_timestamp($"v_ts")), 4)
+          .as("avg_view_to_click_sec"))
+  }
+
+  val funnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('second', ts) AS ts, event_type FROM events),
+      |v AS (
+      |  SELECT user_id, min(ts) AS v_ts FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT ev.user_id, v_ts, min(ts) AS c_ts
+      |  FROM ev JOIN v ON ev.user_id = v.user_id AND ts >= v_ts
+      |  WHERE event_type = 'click' GROUP BY ev.user_id, v_ts),
+      |p AS (
+      |  SELECT ev.user_id, min(ts) AS p_ts
+      |  FROM ev JOIN c ON ev.user_id = c.user_id AND ts >= c_ts
+      |  WHERE event_type = 'purchase' GROUP BY ev.user_id)
+      |SELECT count(*) AS n_viewed, count(c_ts) AS n_clicked_after,
+      |  count(p_ts) AS n_purchased_after,
+      |  round(avg(date_diff('second', v.v_ts, c_ts)), 4) AS avg_view_to_click_sec
+      |FROM v
+      |LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
+  /** Temporal range join, bucketed: `error` events within 1 hour AFTER a
+    * `click` by the same user. The scalable shape: explode each click
+    * into its (at most 2) covering hour buckets, equi-join on
+    * (user, hour-bucket), then apply the exact range residually — no
+    * theta-join, no per-row range probe; candidate fanout is bounded by
+    * events-per-user-hour. */
+  def clickErrorRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"user_id", date_trunc("second", $"ts").as("ts"),
+        $"event_type", $"event_id")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("c_ts"), $"event_id".as("c_id"))
+      .withColumn("hb", explode(array(
+        date_trunc("hour", $"c_ts"),
+        date_trunc("hour", $"c_ts" + expr("INTERVAL 1 HOUR")))))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts".as("e_ts"), $"event_id".as("e_id"))
+      .withColumn("hb", date_trunc("hour", $"e_ts"))
+    val pairs = errors.join(clicks, Seq("user_id", "hb"))
+      .filter($"e_ts" >= $"c_ts" &&
+        $"e_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"c_id", $"e_id").distinct()
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      count_distinct($"c_id").as("n_clicks_with_error"),
+      count_distinct($"e_id").as("n_errors_after_click"))
+  }
+
+  val clickErrorRangeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('second', ts) AS ts, event_type, event_id
+      |  FROM events),
+      |pairs AS (
+      |  SELECT c.event_id AS c_id, e.event_id AS e_id
+      |  FROM ev c JOIN ev e
+      |    ON c.user_id = e.user_id
+      |    AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR
+      |  WHERE c.event_type = 'click' AND e.event_type = 'error')
+      |SELECT count(*) AS n_pairs,
+      |  count(DISTINCT c_id) AS n_clicks_with_error,
+      |  count(DISTINCT e_id) AS n_errors_after_click
+      |FROM pairs""".stripMargin
+
+  /** OLAP rollup: lineitem measures at (flag, status), (flag), and
+    * grand-total grains in one pass — Spark's partial-agg handles all
+    * three grains map-side. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("flag"),
+        coalesce($"l_linestatus", lit("ALL")).as("status"),
+        $"sum_qty", $"n")
+      .orderBy($"flag", $"status")
+  }
+
+  val rollupAggSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |  coalesce(l_linestatus, 'ALL') AS status,
+      |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: daily event counts, one column per event type (fixed value
+    * list ⇒ deterministic schema, single-pass conditional aggregation —
+    * no second job to discover pivot values). */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select(to_date(date_trunc("day", $"ts")).as("day"), $"event_type")
+      .groupBy($"day")
+      .pivot("event_type", EventTypes)
+      .count()
+      .na.fill(0L, EventTypes)
+      .orderBy($"day")
+  }
+
+  val pivotEventsSql: String = {
+    val cols = EventTypes.map(t =>
+      s"count(*) FILTER (event_type = '$t') AS $t").mkString(",\n  ")
+    s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |  $cols
+       |FROM events GROUP BY day ORDER BY day""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel" -> (funnel(_, _)),
+    "range_join_bucketed" -> (clickErrorRange(_, _)),
+    "rollup_agg" -> (rollupAgg(_, _)),
+    "pivot_events" -> (pivotEvents(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "funnel" -> funnelSql,
+    "range_join_bucketed" -> clickErrorRangeSql,
+    "rollup_agg" -> rollupAggSql,
+    "pivot_events" -> pivotEventsSql)
+}

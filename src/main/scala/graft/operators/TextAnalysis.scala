@@ -201,7 +201,42 @@ object TextAnalysis {
        |FROM (SELECT doc_id, unnest($duckToks) AS w FROM documents)
        |GROUP BY w ORDER BY n DESC, w LIMIT 50""".stripMargin
 
+  // --------------------------------------------------------- normalize
+
+  /** Normalization map stage: lowercase, strip non-alphanumerics (keep
+    * spaces), collapse whitespace runs, trim. Reports per-source
+    * shrinkage — the cheap cleanup pass a corpus runs before
+    * tokenization; pure per-row codegen'd string ops, no shuffle before
+    * the final small aggregation. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9\\s]", " "), "\\s+", " ")))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length($"text")).as("raw_chars"),
+        sum(length($"norm")).as("norm_chars"),
+        round(avg(length($"norm") / greatest(length($"text"), lit(1))), 4)
+          .as("avg_keep_ratio"))
+      .orderBy($"source")
+  }
+
+  val textNormalizeSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  sum(length(text)) AS raw_chars, sum(length(norm)) AS norm_chars,
+      |  round(avg(length(norm) * 1.0 / greatest(length(text), 1)), 4)
+      |    AS avg_keep_ratio
+      |FROM (
+      |  SELECT source, text,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> (textNormalize(_, _)),
     "text_stats" -> (textStats(_, _)),
     "lang_id" -> (langId(_, _)),
     "quality_score" -> (qualityScore(_, _)),
@@ -209,6 +244,7 @@ object TextAnalysis {
     "vocab_topk" -> (vocabTopK(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "text_normalize" -> textNormalizeSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,

@@ -235,7 +235,58 @@ object TextAnalysis {
       |  FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------- cardinality
+
+  val KmvK = 64
+  private val KmvNum = (KmvK - 1).toLong * PolyHash.Mod // (k-1)·p
+  // Scatter step: raw PolyHash of short words is biased toward small
+  // values (few base-31 wraps), which breaks the KMV uniformity
+  // assumption; a multiplicative affine map mod p spreads them across
+  // [0, p) and stays portable (h < 2^31, A < 2^31 ⇒ product < 2^62).
+  val KmvA = 1103515245L
+  val KmvB = 12345L
+
+  /** Per-source distinct-word cardinality, exact AND via the bounded-
+    * memory [[graft.functions.KMinValues]] KMV sketch (k smallest
+    * distinct PolyHash values; estimate = (k-1)·p / h_k). The sketch
+    * shuffles ≤ k longs per group per partition where count_distinct
+    * shuffles every distinct word — the 100-TB cardinality path. The
+    * deterministic hash makes even the approximate estimate
+    * oracle-checkable. */
+  def distinctSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"source", explode(toks(lower($"text"))).as("w"))
+      .select($"source", $"w",
+        ((PolyHash($"w") * KmvA + KmvB) % PolyHash.Mod).as("h"))
+      .groupBy($"source")
+      .agg(count_distinct($"w").as("exact_distinct"),
+        graft.functions.KMinValues($"h", KmvK).as("kmv"))
+      .select($"source", $"exact_distinct",
+        when(size($"kmv") < KmvK, size($"kmv").cast("long"))
+          .otherwise(expr(s"CAST($KmvNum DIV element_at(kmv, $KmvK) AS BIGINT)"))
+          .as("kmv_estimate"))
+      .orderBy($"source")
+  }
+
+  val distinctSketchSql: String =
+    s"""WITH words AS (
+       |  SELECT source, unnest($duckToks) AS w FROM documents),
+       |hs AS (
+       |  SELECT source, w,
+       |    (${PolyHash.duckSql("w")} * $KmvA + $KmvB) % ${PolyHash.Mod} AS h
+       |  FROM words GROUP BY source, w),
+       |agg AS (
+       |  SELECT source, count(*) AS exact_distinct,
+       |    list_sort(list(DISTINCT h)) AS hs
+       |  FROM hs GROUP BY source)
+       |SELECT source, exact_distinct,
+       |  CASE WHEN len(hs) < $KmvK THEN len(hs)
+       |       ELSE $KmvNum // hs[$KmvK] END AS kmv_estimate
+       |FROM agg ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "distinct_sketch" -> (distinctSketch(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
     "text_stats" -> (textStats(_, _)),
     "lang_id" -> (langId(_, _)),
@@ -244,6 +295,7 @@ object TextAnalysis {
     "vocab_topk" -> (vocabTopK(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "distinct_sketch" -> distinctSketchSql,
     "text_normalize" -> textNormalizeSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,

@@ -70,6 +70,30 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       prop).passed)
   }
 
+  test("KMinValues: exact below k, bounded buffer, multi-partition merge") {
+    import spark.implicits._
+    import graft.functions.{KMinValues, PolyHash}
+    import graft.operators.TextAnalysis.{KmvA, KmvB}
+    // 10 partitions force serialize/merge across the exchange; the
+    // affine scatter (as in distinct_sketch) uniformizes short-string
+    // hashes so the KMV estimator's assumption holds
+    def h(c: org.apache.spark.sql.Column) =
+      (PolyHash(c) * KmvA + KmvB) % PolyHash.Mod
+    val few = spark.range(0, 40, 1, 10)
+      .select(h(concat(lit("w"), $"id")).as("h"))
+      .agg(KMinValues($"h", 64).as("kmv")).head().getSeq[Long](0)
+    assert(few.length == 40)               // below k: everything retained
+    assert(few == few.sorted)              // ascending
+    val many = spark.range(0, 5000, 1, 10)
+      .select(h(concat(lit("w"), $"id" % 1000)).as("h"))
+      .agg(KMinValues($"h", 64).as("kmv")).head().getSeq[Long](0)
+    assert(many.length == 64)              // bounded at k
+    assert(many.distinct.length == 64)     // distinct (dup inputs collapse)
+    // estimate quality: (k-1)p/h_k within 35% of true 1000
+    val est = 63L * PolyHash.Mod / many.last
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.35, s"estimate $est")
+  }
+
   test("SimHash64: identical docs collide, disjoint docs differ") {
     import spark.implicits._
     val df = Seq(

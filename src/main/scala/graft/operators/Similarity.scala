@@ -148,11 +148,14 @@ object Similarity {
     * recall vs brute force asserted in SimilaritySpec. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Persist: the quantizer refinement takes QuantizerIters+2 passes
-    // over the (cast, norm'd) vectors before the probe query runs.
-    val e = embedded(s, dir)
+    // Persist only for the quantizer refinement (QuantizerIters+2
+    // passes), then release: the returned plan is built on a fresh scan
+    // so repeated annIvf calls don't accumulate cache entries.
+    val cached = embedded(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = coarseCentroids(e)
+    val cents = try coarseCentroids(cached)
+      finally cached.unpersist(blocking = false)
+    val e = embedded(s, dir)
     val lists = e.withColumn("ds", centroidCosines(cents))
       .withColumn("list_id", expr("array_position(ds, array_max(ds)) - 1"))
       .select($"vec_id", $"v", $"nrm", $"list_id")

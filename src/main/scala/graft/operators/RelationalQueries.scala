@@ -179,7 +179,39 @@ object RelationalQueries {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Data profiling (the ANALYZE side of an engine): per-column
+    * min/max/null-count/distinct-count for the core lineitem measures,
+    * one row per column. One aggregation pass computes every statistic;
+    * the unpivot is a zero-shuffle projection of the 1-row result. */
+  def profileTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val li = Tables(s, dir, "lineitem")
+    val aggs = cols.flatMap(c => Seq(
+      round(min(col(c)), 4).as(s"${c}_min"),
+      round(max(col(c)), 4).as(s"${c}_max"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      count_distinct(col(c)).as(s"${c}_distinct")))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', ${c}_min, ${c}_max, ${c}_nulls, ${c}_distinct").mkString(", ")
+    one.select(expr(
+        s"stack(${cols.size}, $stacked) AS (col_name, min_val, max_val, n_nulls, n_distinct)"))
+      .orderBy($"col_name")
+  }
+
+  val profileTableSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    cols.map(c =>
+      s"""SELECT '$c' AS col_name, round(min($c), 4) AS min_val,
+         |  round(max($c), 4) AS max_val,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_table" -> (profileTable(_, _)),
     "q3_join" -> (q3(_, _)),
     "q5_multijoin" -> (q5(_, _)),
     "topk_window" -> (topkWindow(_, _)),
@@ -187,6 +219,7 @@ object RelationalQueries {
     "stream_window_agg" -> (windowAgg(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "profile_table" -> profileTableSql,
     "q3_join" -> q3Sql,
     "q5_multijoin" -> q5Sql,
     "topk_window" -> topkWindowSql,

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.sources.Sinks
+
+/** Sinks.writePartitioned: layout, round-trip, partition pruning. */
+class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("one file per partition value, round-trip, pruned scan") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft_sink").toString
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    Sinks.writePartitioned(docs, out, Seq("lang"))
+    // one parquet file per lang directory (repartition avoided the
+    // tasks × values small-file explosion)
+    val langDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+    assert(langDirs.length == 5)
+    langDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1, d.getName)
+    }
+    // round-trip
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    // partition pruning reaches the scan
+    val pruned = back.filter($"lang" === "de")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() ==
+      docs.filter($"lang" === "de").count())
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("lang"), "expected partition filter in scan")
+  }
+}

@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     ext.injectFunction((FunctionIdentifier("poly_hash"),
       info("poly_hash", "poly_hash(str[, base]) - portable polynomial hash mod 2^31-1"),
       (args: Seq[Expression]) => args match {

@@ -38,6 +38,30 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(4) == 11.0)
   }
 
+  test("optimizer rule rewrites HOF dot product to native DotProduct") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // table-backed input (literal input would constant-fold away)
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val df = e.select($"vec_id",
+      aggregate(zip_with($"v", $"v", (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("dp"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("dot_product"),
+      "expected the HOF pattern rewritten to dot_product")
+    // rewritten result == native column API result, row for row
+    val native = e.select($"vec_id",
+      graft.functions.DotProduct($"v", $"v").as("dp"))
+    assert(df.orderBy("vec_id").collect().map(_.getDouble(1))
+      .sameElements(native.orderBy("vec_id").collect().map(_.getDouble(1))))
+    // a deviating pattern (different zero) must NOT be rewritten
+    val other = e.select(
+      aggregate(zip_with($"v", $"v", (x, y) => x * y),
+        lit(1.0), (acc, x) => acc + x).as("dp"))
+    assert(!other.queryExecution.optimizedPlan.toString.contains("dot_product"))
+  }
+
   test("SQL poly_hash matches the column API over real data") {
     GraftSession.registerTables(spark, "/root/testdata/sf0.001")
     val viaSql = spark.sql(

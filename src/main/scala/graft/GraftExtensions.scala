@@ -23,13 +23,18 @@ import graft.functions.{DotProduct, PolyHash, SimHash64, WordNgrams}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other =>
       throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
+
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$name takes $n argument(s), got ${args.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
@@ -42,13 +47,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 62-bit simhash of a string array"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => {
+        arity("simhash64", args, 1); SimHash64(args.head)
+      }))
     ext.injectFunction((FunctionIdentifier("word_ngrams"),
       info("word_ngrams", "word_ngrams(text, n) - distinct word n-grams"),
-      (args: Seq[Expression]) =>
-        WordNgrams(args.head, intArg(args(1), "word_ngrams n"))))
+      (args: Seq[Expression]) => {
+        arity("word_ngrams", args, 2)
+        WordNgrams(args.head, intArg(args(1), "word_ngrams n"))
+      }))
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - sequential dot of double arrays"),
-      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+      (args: Seq[Expression]) => {
+        arity("dot_product", args, 2); DotProduct(args.head, args(1))
+      }))
   }
 }

@@ -23,10 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * the expression stays inside whole-stage codegen — the hot path for the
   * 100-TB dedup scans.
   */
-case class PolyHash(child: Expression, base: Long) extends UnaryExpression {
+case class PolyHash(child: Expression, base: Long)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   require(base > 0 && base < Int.MaxValue, "base must fit in 31 bits")
 
   override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def prettyName: String = "poly_hash"
 
   override protected def nullSafeEval(input: Any): Any =

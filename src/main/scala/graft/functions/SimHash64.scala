@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftShims
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** 62-bit SimHash over a token array (occurrence-weighted):
   *
@@ -23,8 +23,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * 62 bits (not 64) because each half comes from a mod-(2^31-1) hash:
   * the fingerprint stays a non-negative Long in both engines.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
   override def prettyName: String = "simhash64"
 
   override protected def nullSafeEval(input: Any): Any =

@@ -24,10 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * single opaque expression is evaluated at most twice per row (filter +
   * project), each evaluation one linear pass.
   */
-case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   require(n >= 1, "n-gram size must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def prettyName: String = "word_ngrams"
 
   override protected def nullSafeEval(input: Any): Any =

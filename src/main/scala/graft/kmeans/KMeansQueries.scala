@@ -47,12 +47,17 @@ object KMeansQueries {
       .select("cid", "n_points", "mean_x", "mean_y")
   }
 
-  /** Centroids after `iters` full Lloyd cycles. */
+  /** Centroids after `iters` full Lloyd cycles. Persists the plane
+    * across the init scan + `iters` step scans (same rationale as
+    * [[KMeans.fit]]). */
   def iterated(s: SparkSession, dir: String, iters: Int): DataFrame = {
     val pts = Points.lineitem(s, dir)
-    var cs = KMeans.init(pts, K)
-    for (_ <- 1 to iters) cs = KMeans.step(pts, cs)._1
-    rounded(cs, s)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cs = KMeans.init(pts, K)
+      for (_ <- 1 to iters) cs = KMeans.step(pts, cs)._1
+      rounded(cs, s)
+    } finally pts.unpersist(blocking = false)
   }
 
   /** Mean squared distance at the init centroids. */
@@ -75,9 +80,12 @@ object KMeansQueries {
   /** Scenario 2: two planes clustered together (reference multi-file). */
   def multifile(s: SparkSession, dir: String): DataFrame = {
     val pts = Points.lineitem(s, dir).unionByName(Points.orders(s, dir))
-    var cs = KMeans.init(pts, K)
-    cs = KMeans.step(pts, cs)._1
-    rounded(cs, s)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cs = KMeans.init(pts, K)
+      cs = KMeans.step(pts, cs)._1
+      rounded(cs, s)
+    } finally pts.unpersist(blocking = false)
   }
 
   val multifileSql: String = {

@@ -30,7 +30,7 @@ import graft.functions.{PolyHash, SimHash64, WordNgrams, TextFeatures => TF}
   * operator is DuckDB-oracle-checkable end to end (SURVEY.md §5).
   */
 object Dedup {
-  private val P = 2147483647L // 2^31 - 1, the PolyHash modulus
+  private val P = PolyHash.Mod // 2^31 - 1; one definition, one oracle
 
   // ---------------------------------------------------------------- exact
 
@@ -290,10 +290,9 @@ object Dedup {
     * bit-identical (SURVEY.md §5). */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables(s, dir, "embeddings")
-      .select($"vec_id", $"label",
-        transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("nrm", graft.functions.DotProduct.norm($"v"))
+    // same projection + norm as the similarity operators — one
+    // definition keeps the bit-identical-cosine parity in one place
+    val e = Similarity.embedded(s, dir)
     e.as("a").join(e.as("b"),
         $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .withColumn("cosine", round(

@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** A multimodal record: opaque payload bytes + typed metadata. */
-final case class MMRecord(doc_id: Long, fmt: String, payload: Array[Byte])
+final case class MMRecord(doc_id: Long, fmt: String, payload: Array[Byte],
+    magic: String)
 
 /** Fake "decoded" media features — see [[Multimodal.decodeStub]]. */
 final case class MMDecoded(doc_id: Long, fmt: String, n_bytes: Long,
-    width: Int, height: Int, n_frames: Int)
+    width: Int, height: Int, n_frames: Int, magic: String)
 
 /** A sampled, resize-targeted frame — see [[Multimodal.frameSampleStub]]. */
 final case class MMFrame(doc_id: Long, fmt: String, frame_idx: Int,
@@ -71,7 +72,8 @@ object Multimodal {
         val frames =
           if (r.fmt == "wav" || r.fmt == "mp4") 1 + (n % 16).toInt else 1
         MMDecoded(r.doc_id, r.fmt, n,
-          1 + (31 * n % 509).toInt, 1 + (131 * n % 509).toInt, frames)
+          1 + (31 * n % 509).toInt, 1 + (131 * n % 509).toInt, frames,
+          r.magic)
       }
     }
   }
@@ -102,7 +104,8 @@ object Multimodal {
   def mmFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val recs = withPayload(s, dir)
-      .select($"doc_id", $"fmt", $"payload").as[MMRecord]
+      .select($"doc_id", $"fmt", $"payload", $"meta.magic".as("magic"))
+      .as[MMRecord]
     frameSampleStub(decodeStub(recs)).toDF()
       .groupBy($"fmt")
       .agg(
@@ -151,12 +154,11 @@ object Multimodal {
   /** Per-format corpus stats over metadata + decoded dimensions. */
   def mmMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // magic rides in the typed record — ONE corpus scan, no re-join
     val recs = withPayload(s, dir)
-      .select($"doc_id", $"fmt", $"payload").as[MMRecord]
-    val magic = withPayload(s, dir)
-      .select($"doc_id", $"meta.magic".as("magic"))
+      .select($"doc_id", $"fmt", $"payload", $"meta.magic".as("magic"))
+      .as[MMRecord]
     decodeStub(recs).toDF()
-      .join(magic, "doc_id")
       .groupBy($"fmt")
       .agg(
         count(lit(1)).as("n_docs"),

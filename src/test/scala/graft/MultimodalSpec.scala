@@ -31,7 +31,8 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val recs = Multimodal.withPayload(spark, sf)
-      .select($"doc_id", $"fmt", $"payload").as[MMRecord]
+      .select($"doc_id", $"fmt", $"payload", $"meta.magic".as("magic"))
+      .as[MMRecord]
     val a = Multimodal.decodeStub(recs).collect().sortBy(_.doc_id)
     val b = Multimodal.decodeStub(recs).collect().sortBy(_.doc_id)
     assert(a.sameElements(b)) // deterministic across runs
@@ -45,7 +46,8 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val recs = Multimodal.withPayload(spark, sf)
-      .select($"doc_id", $"fmt", $"payload").as[MMRecord]
+      .select($"doc_id", $"fmt", $"payload", $"meta.magic".as("magic"))
+      .as[MMRecord]
     val frames = Multimodal.frameSampleStub(Multimodal.decodeStub(recs)).collect()
     val stills = frames.filter(f => f.fmt == "png" || f.fmt == "jpg")
     assert(stills.groupBy(_.doc_id).forall(_._2.length == 1))

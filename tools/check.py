@@ -35,6 +35,11 @@ def main(sfdir, outdir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
+    # a query that failed inside Verify writes no output dir — that must
+    # FAIL the gate, not silently vanish from the report
+    dirs = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
+    for name in sorted(set(oracle) - dirs):
+        results[name] = "MISSING OUTPUT (query failed in Verify?)" 
     for name in sorted(os.listdir(outdir)):
         d = os.path.join(outdir, name)
         if not os.path.isdir(d):

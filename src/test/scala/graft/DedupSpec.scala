@@ -70,6 +70,25 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       prop).passed)
   }
 
+  test("DotProduct matches HOF aggregate/zip_with on nulls and length skew") {
+    import spark.implicits._
+    import graft.functions.DotProduct
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),
+      (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("id", "a", "b")
+    val out = df.select($"id",
+        DotProduct($"a", $"b").as("native"),
+        aggregate(zip_with($"a", $"b", (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out(1L) == ((Some(11.0), Some(11.0))))
+    assert(out(2L) == ((None, None))) // length skew -> NULL, both forms
+    assert(out(3L) == ((None, None))) // null element -> NULL, both forms
+  }
+
   test("KMinValues: exact below k, bounded buffer, multi-partition merge") {
     import spark.implicits._
     import graft.functions.{KMinValues, PolyHash}

@@ -150,13 +150,44 @@ object EventAnalytics {
        |FROM events GROUP BY day ORDER BY day""".stripMargin
   }
 
+  /** Semi-structured extraction: parse the `props` JSON column with a
+    * declared schema (`from_json` — codegen'd, no UDF) and aggregate the
+    * extracted field. Schema-on-read for the payload column every event
+    * pipeline carries; the scan still prunes to (event_type, props). */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"event_type",
+        from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count($"k").as("n_with_k"),
+        round(avg($"k"), 4).as("avg_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+      |  round(avg(k), 4) AS avg_k, min(k) AS min_k, max(k) AS max_k
+      |FROM (
+      |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_extract" -> (jsonExtract(_, _)),
     "funnel" -> (funnel(_, _)),
     "range_join_bucketed" -> (clickErrorRange(_, _)),
     "rollup_agg" -> (rollupAgg(_, _)),
     "pivot_events" -> (pivotEvents(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "json_extract" -> jsonExtractSql,
     "funnel" -> funnelSql,
     "range_join_bucketed" -> clickErrorRangeSql,
     "rollup_agg" -> rollupAggSql,

@@ -210,7 +210,33 @@ object RelationalQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Exact interpolated quantiles per group — Spark's `percentile` and
+    * DuckDB's `quantile_cont` share the (n-1)·p linear-interpolation
+    * definition, so the values are oracle-checkable to 4 decimals. (The
+    * 100-TB path swaps in `approx_percentile` — same plan shape, sketch
+    * merge instead of a per-group sort buffer.) */
+  def quantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy($"l_returnflag")
+  }
+
+  val quantilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantiles" -> (quantiles(_, _)),
     "profile_table" -> (profileTable(_, _)),
     "q3_join" -> (q3(_, _)),
     "q5_multijoin" -> (q5(_, _)),
@@ -219,6 +245,7 @@ object RelationalQueries {
     "stream_window_agg" -> (windowAgg(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "quantiles" -> quantilesSql,
     "profile_table" -> profileTableSql,
     "q3_join" -> q3Sql,
     "q5_multijoin" -> q5Sql,

@@ -217,13 +217,15 @@ object RelationalQueries {
     * merge instead of a per-group sort buffer.) */
   def quantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // one percentile() call with an array argument = ONE value buffer
+    // per group (4 separate calls would quadruple the agg state)
     Tables(s, dir, "lineitem")
       .groupBy($"l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D, 0.99D))")
+        .as("ps"))
+      .select($"l_returnflag",
+        round($"ps"(0), 4).as("p25"), round($"ps"(1), 4).as("p50"),
+        round($"ps"(2), 4).as("p95"), round($"ps"(3), 4).as("p99"))
       .orderBy($"l_returnflag")
   }
 

@@ -25,6 +25,8 @@ object Bench {
     // transient host noise; the min is the steady-state throughput a
     // long-running cluster job sees.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // settle GC debt from earlier queries so it isn't billed to this one
+      System.gc()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok =

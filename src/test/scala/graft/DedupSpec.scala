@@ -141,6 +141,32 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == c)
   }
 
+  test("WordNgrams == plain-Scala reference over random inputs (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    // independent reference: tokenize + shingle + distinct in plain Scala
+    def ref(text: String, n: Int): Seq[String] = {
+      val ts = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (ts.length < n) Seq.empty
+      else ts.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    }
+    val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("the", "a", "of", "key", "row"))
+    val text = Gen.listOf(Gen.oneOf(word, Gen.const(" "), Gen.const("\t")))
+      .map(_.mkString(" "))
+    val prop = forAll(text, Gen.choose(1, 4)) { (t, n) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val got = {
+        val arr = graft.functions.WordNgrams.compute(u, n)
+        (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      }
+      got == ref(t, n)
+    }
+    assert(org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300),
+      prop).passed)
+  }
+
   test("wordNgrams: n-1 edge and join format") {
     import spark.implicits._
     val out = Seq("a b c d", "a b").toDF("text")

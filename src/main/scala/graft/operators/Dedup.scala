@@ -11,11 +11,16 @@ import graft.functions.{PolyHash, SimHash64, WordNgrams, TextFeatures => TF}
   * pipeline operators.
   *
   * Scale shapes (each holds at 1000 executors):
-  *   - exact: one shuffle keyed by (n_chars, poly_hash, text) — the two
-  *     cheap prefix keys bound skew; full text in the key keeps it exact.
-  *   - ngram: inverted-index self-join keyed by (block, gram) — candidate
-  *     fanout is bounded by the blocking key (lang × length-bucket), the
-  *     standard all-pairs-avoidance for set-similarity joins.
+  *   - exact: one shuffle keyed by (n_chars, poly_hash(31), poly_hash(131))
+  *     — a 124-bit-entropy composite key, so the exchange carries three
+  *     longs per group instead of every document's full text; collision
+  *     odds across two independent-base 31-bit hashes plus the length are
+  *     ~2^-62 per pair — below any realistic corpus error floor.
+  *   - ngram: inverted-index self-join keyed by (block, gram), blocked by
+  *     (lang × length-bucket) and pruned by a document-frequency cap
+  *     ([[NgramDfCap]]) so boilerplate grams can't square a posting list;
+  *     candidates are then verified with EXACT Jaccard over full gram
+  *     sets — the standard candidate/verify set-similarity split.
   *   - minhash: signatures via 16 parallel min-aggregations over one
   *     gram-hash scan (map-side partial agg; NO 16× row fanout), then an
   *     LSH band-bucket equi-join whose output is only the candidate set;
@@ -35,11 +40,15 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: survivor = min doc_id per identical text; survivor
-    * counts per source. */
+    * counts per source. Grouping key is (n_chars, h31, h131) — two
+    * independent-base polynomial hashes plus the length — NOT the text
+    * itself, so the groupBy exchange moves 24 bytes of key per document
+    * instead of the whole corpus (see the scale notes above). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
-      .groupBy($"n_chars", PolyHash($"text").as("h"), $"text")
+      .groupBy($"n_chars", PolyHash($"text").as("h31"),
+        PolyHash($"text", 131).as("h131"))
       .agg(min_by($"source", $"doc_id").as("source"),
         count(lit(1)).as("n_copies"))
       .groupBy($"source")
@@ -47,18 +56,36 @@ object Dedup {
       .orderBy($"source")
   }
 
+  // CAST(sum(..) AS BIGINT): DuckDB sum(BIGINT) returns HUGEINT, which
+  // lands as float64 in the driver's pandas compare — cast restores the
+  // BIGINT dtype Spark produces so the hash gate matches.
   val dedupExactSql: String =
-    s"""SELECT source, count(*) AS n_survivors, sum(n_copies) AS n_docs
+    s"""SELECT source, count(*) AS n_survivors,
+       |  CAST(sum(n_copies) AS BIGINT) AS n_docs
        |FROM (
        |  SELECT min_by(source, doc_id) AS source, count(*) AS n_copies
        |  FROM documents
-       |  GROUP BY n_chars, ${PolyHash.duckSql("text")}, text)
+       |  GROUP BY n_chars, ${PolyHash.duckSql("text")},
+       |    ${PolyHash.duckSql("text", 131)})
        |GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- ngram
 
   val NgramN = 3
   val JaccardTau = 0.5
+
+  /** Document-frequency cap for n-gram CANDIDATE GENERATION: a gram
+    * present in more than this many documents of one block is corpus
+    * boilerplate (template headers, licence lines) and is excluded from
+    * the inverted-index self-join — one such gram in a block otherwise
+    * contributes df² candidate pairs, the posting-list quadratic blow-up
+    * that kills the join at 100 TB. Verification is still EXACT over the
+    * full gram sets, so the only recall loss is a pair whose every
+    * shared gram exceeds the cap — at τ = 0.5 such a pair shares ≥ ⅓ of
+    * its grams, all boilerplate, i.e. a template match rather than a
+    * content near-duplicate. DedupSpec demonstrates the candidate
+    * reduction on a boilerplate corpus with unchanged τ-pairs. */
+  val NgramDfCap = 64L
 
   /** Distinct word-3-grams per doc, exploded, each row carrying the
     * blocking key (lang, n_chars DIV 100) and the doc's TOTAL distinct-
@@ -70,14 +97,17 @@ object Dedup {
     * see its scaladoc for why the composed HOF form is an optimizer
     * trap. `n` is computed BELOW the explode so the Generate carries 4
     * scalar columns, not the gram array. */
-  private def grams(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables(s, dir, "documents")
+  private def gramsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .withColumn("gs", WordNgrams($"text", NgramN))
       .withColumn("n", size($"gs"))
       .select($"doc_id", $"lang", expr("n_chars DIV 100").as("lb"),
         $"n", explode($"gs").as("gram"))
   }
+
+  private def grams(s: SparkSession, dir: String): DataFrame =
+    gramsOf(Tables(s, dir, "documents"))
 
   private val duckGrams: String =
     s"""SELECT doc_id, lang, lb, len(gs) AS n, unnest(gs) AS gram FROM (
@@ -85,17 +115,39 @@ object Dedup {
        |      list_distinct(${TF.duckNgrams(TF.duckToks, NgramN)}) AS gs
        |    FROM documents)""".stripMargin
 
-  /** N-gram Jaccard near-dup pairs within blocks, via inverted-index
-    * join. */
-  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val g = grams(s, dir)
-    g.as("a").join(g.as("b"),
+  /** Candidate (a_id, b_id) pairs from the DF-capped inverted-index
+    * self-join — public so DedupSpec can measure the candidate-count
+    * reduction the cap buys on a boilerplate corpus. */
+  def ngramCandidates(docs: DataFrame, dfCap: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val g = gramsOf(docs)
+    // block-local document frequency per gram; the groupBy and the join
+    // back both hash on (lang, lb, gram), so the exchange is reused
+    val gdf = g.groupBy($"lang", $"lb", $"gram")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" <= dfCap)
+      .select($"lang", $"lb", $"gram")
+    val rare = g.join(gdf, Seq("lang", "lb", "gram"))
+    rare.as("a").join(rare.as("b"),
         $"a.lang" === $"b.lang" && $"a.lb" === $"b.lb" &&
         $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
-      // na/nb are constant within a pair group (denormalized onto rows)
-      .agg(count(lit(1)).as("shared"), min($"a.n").as("na"), min($"b.n").as("nb"))
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard near-dup pairs within blocks: DF-capped inverted-
+    * index candidate join, then EXACT Jaccard verification over the full
+    * gram sets (the minhash shape: candidates bound the work, the verify
+    * restores exactness). The verify joins attach gram arrays only to
+    * candidate rows — candidate set ≪ corpus at any scale. */
+  def dedupNgramOn(docs: DataFrame, dfCap: Long = NgramDfCap): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sets = docs.withColumn("gs", WordNgrams($"text", NgramN))
+      .select($"doc_id", $"gs", size($"gs").as("n"))
+    ngramCandidates(docs, dfCap)
+      .join(sets.select($"doc_id".as("a_id"), $"gs".as("ga"), $"n".as("na")), "a_id")
+      .join(sets.select($"doc_id".as("b_id"), $"gs".as("gb"), $"n".as("nb")), "b_id")
+      .withColumn("shared", size(array_intersect($"ga", $"gb")))
       .withColumn("jaccard",
         round($"shared".cast("double") / ($"na" + $"nb" - $"shared"), 4))
       .filter($"jaccard" >= JaccardTau)
@@ -103,18 +155,32 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    dedupNgramOn(Tables(s, dir, "documents"))
+
   val dedupNgramSql: String =
     s"""WITH grams AS ($duckGrams),
-       |shared AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
-       |    min(a.n) AS na, min(b.n) AS nb
-       |  FROM grams a JOIN grams b
+       |gdf AS (
+       |  SELECT lang, lb, gram FROM (
+       |    SELECT lang, lb, gram, count(*) AS df
+       |    FROM grams GROUP BY lang, lb, gram)
+       |  WHERE df <= $NgramDfCap),
+       |rare AS (
+       |  SELECT g.* FROM grams g JOIN gdf USING (lang, lb, gram)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM rare a JOIN rare b
        |    ON a.lang = b.lang AND a.lb = b.lb AND a.gram = b.gram
-       |    AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+       |    AND a.doc_id < b.doc_id),
+       |shared AS (
+       |  SELECT a_id, b_id, count(*) AS sh, min(ga.n) AS na, min(gb.n) AS nb
+       |  FROM cand
+       |  JOIN grams ga ON ga.doc_id = a_id
+       |  JOIN grams gb ON gb.doc_id = b_id AND ga.gram = gb.gram
+       |  GROUP BY a_id, b_id)
        |SELECT a_id, b_id, jaccard FROM (
        |  SELECT a_id, b_id,
-       |    round(CAST(shared AS DOUBLE) / (na + nb - shared), 4) AS jaccard
+       |    round(CAST(sh AS DOUBLE) / (na + nb - sh), 4) AS jaccard
        |  FROM shared)
        |WHERE jaccard >= $JaccardTau
        |ORDER BY a_id, b_id""".stripMargin
@@ -327,20 +393,27 @@ object Dedup {
     * exact duplicates AND n-gram near-duplicates removed. Keep rule: the
     * min doc_id of an exact-text group survives; of each near-dup pair,
     * the lower doc_id survives (drop every b_id). Output is per-source
-    * retention counts — at 100 TB the kept rows stream straight to the
-    * next stage; the left-anti join against the (tiny) drop list is a
-    * broadcast. */
+    * retention counts.
+    *
+    * The drop list scales with the DUPLICATE count — at 100 TB and a
+    * realistic dup rate it is a large fraction of the corpus, so it must
+    * NOT be broadcast (billions of ids = executor OOM). The left-anti
+    * join is a plain shuffle join: AQE will still pick a broadcast anti
+    * join at runtime when the measured drop list is genuinely small —
+    * size-based, not assumed. The exact-drop grouping uses the same
+    * dual-hash key as [[dedupExact]], so no shuffle here carries text. */
   def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     val exactDrops = docs
-      .groupBy($"n_chars", PolyHash($"text").as("h"), $"text")
+      .groupBy($"n_chars", PolyHash($"text").as("h31"),
+        PolyHash($"text", 131).as("h131"))
       .agg(min($"doc_id").as("keep_id"), collect_list($"doc_id").as("ids"))
       .select(explode($"ids").as("doc_id"), $"keep_id")
       .filter($"doc_id" =!= $"keep_id")
       .select($"doc_id")
     val nearDrops = dedupNgram(s, dir).select($"b_id".as("doc_id"))
-    docs.join(broadcast(exactDrops.union(nearDrops).distinct()),
+    docs.join(exactDrops.union(nearDrops).distinct(),
         Seq("doc_id"), "left_anti")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("kept_chars"))
@@ -348,16 +421,23 @@ object Dedup {
   }
 
   val dedupSurvivorsSql: String =
-    s"""WITH exact_drops AS (
+    s"""WITH hashed AS (
+       |  SELECT doc_id, n_chars,
+       |    ${PolyHash.duckSql("text")} AS h31,
+       |    ${PolyHash.duckSql("text", 131)} AS h131
+       |  FROM documents),
+       |exact_drops AS (
        |  SELECT doc_id FROM (
-       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep_id
-       |    FROM documents)
+       |    SELECT doc_id,
+       |      min(doc_id) OVER (PARTITION BY n_chars, h31, h131) AS keep_id
+       |    FROM hashed)
        |  WHERE doc_id != keep_id),
        |near AS (${dedupNgramSql.replace("ORDER BY a_id, b_id", "")}),
        |drops AS (
        |  SELECT doc_id FROM exact_drops
        |  UNION SELECT b_id AS doc_id FROM near)
-       |SELECT source, count(*) AS n_kept, sum(n_chars) AS kept_chars
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
        |FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
        |GROUP BY source ORDER BY source""".stripMargin

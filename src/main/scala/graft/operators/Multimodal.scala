@@ -186,10 +186,11 @@ object Multimodal {
        |    CASE WHEN fmt IN ('wav', 'mp4')
        |      THEN CAST(1 + n_bytes % 16 AS INT) ELSE 1 END AS n_frames
        |  FROM rec)
-       |SELECT fmt, count(*) AS n_docs, sum(n_bytes) AS sum_bytes,
+       |SELECT fmt, count(*) AS n_docs,
+       |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
        |  round(avg(width), 4) AS avg_width,
        |  round(avg(height), 4) AS avg_height,
-       |  sum(n_frames) AS sum_frames,
+       |  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
        |  count(DISTINCT magic) AS n_magics
        |FROM dec GROUP BY fmt ORDER BY fmt""".stripMargin
   }

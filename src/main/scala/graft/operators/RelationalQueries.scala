@@ -10,13 +10,19 @@ import graft.Tables
   * exercise the same loader/shuffle/aggregate machinery the K-Means path
   * uses, as plain queries.
   *
-  * Scale notes (100 TB stance): dimension sides (region/nation/customer/
-  * supplier) are `broadcast()` so the fact scan never shuffles for the
-  * join; aggregations rely on map-side partial agg; window functions
-  * partition by high-cardinality keys (user_id, suppkey) so the sort is
-  * per-group, not global. Timestamps are truncated to seconds in both
-  * engines (parquet stores ns; Spark reads µs — second truncation makes
-  * the oracle comparison precision-proof).
+  * Scale notes (100 TB stance): only the genuinely small dimension sides
+  * (region, nation, supplier) carry a `broadcast()` hint. orders and
+  * customer SCALE WITH THE FACT TABLE (orders ≈ ¼ of lineitem rows) — a
+  * forced broadcast of either is terabytes at 100 TB and an executor OOM,
+  * so those legs are left to the planner: shuffle hash/sort-merge join at
+  * scale, with AQE free to pick a broadcast at runtime when the measured
+  * side is actually small. JoinPlanSpec asserts no broadcast on the
+  * fact-sized legs under a size-blind planner. Aggregations rely on
+  * map-side partial agg; window functions partition by high-cardinality
+  * keys (user_id, suppkey) so the sort is per-group, not global.
+  * Timestamps are truncated to seconds in both engines (parquet stores
+  * ns; Spark reads µs — second truncation makes the oracle comparison
+  * precision-proof).
   */
 object RelationalQueries {
 
@@ -28,8 +34,8 @@ object RelationalQueries {
     val lineitem = Tables(s, dir, "lineitem")
       .filter($"l_shipdate" > lit("1996-01-01").cast("timestamp"))
     lineitem
-      .join(broadcast(orders), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(customer, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
@@ -60,8 +66,8 @@ object RelationalQueries {
         $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
     val lineitem = Tables(s, dir, "lineitem")
     lineitem
-      .join(broadcast(orders.select("o_orderkey", "o_custkey")), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(orders.select("o_orderkey", "o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .join(customer.select("c_custkey", "c_nationkey"), $"o_custkey" === $"c_custkey")
       .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
@@ -156,7 +162,8 @@ object RelationalQueries {
       |  SELECT user_id, sess_id, count(*) AS n_events,
       |    date_diff('second', min(ts), max(ts)) AS dur_sec
       |  FROM sess GROUP BY user_id, sess_id)
-      |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+      |SELECT user_id, count(*) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
       |  max(dur_sec) AS max_dur_sec,
       |  round(avg(n_events), 4) AS avg_events_per_session
       |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
@@ -205,7 +212,7 @@ object RelationalQueries {
     cols.map(c =>
       s"""SELECT '$c' AS col_name, round(min($c), 4) AS min_val,
          |  round(max($c), 4) AS max_val,
-         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
          |  count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
@@ -229,6 +236,26 @@ object RelationalQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** The 100-TB quantiles path: same plan shape as [[quantiles]], but the
+    * aggregation state is `approx_percentile`'s bounded sketch (KLL-style
+    * merge) instead of the exact percentile's every-value-in-the-group
+    * buffer — 3 groups × all of lineitem at 100 TB is an OOM in the exact
+    * form, while the sketch is O(accuracy) per group per partition and
+    * merges associatively map-side. rows-only (the sketch result is
+    * engine-specific); QuantilesSpec bounds |approx − exact| rank error. */
+  def quantilesApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(expr(
+        "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D, 0.99D), 10000)")
+        .as("ps"))
+      .select($"l_returnflag",
+        round($"ps"(0), 4).as("p25"), round($"ps"(1), 4).as("p50"),
+        round($"ps"(2), 4).as("p95"), round($"ps"(3), 4).as("p99"))
+      .orderBy($"l_returnflag")
+  }
+
   val quantilesSql: String =
     """SELECT l_returnflag,
       |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
@@ -239,6 +266,7 @@ object RelationalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quantiles" -> (quantiles(_, _)),
+    "quantiles_approx" -> (quantilesApprox(_, _)),
     "profile_table" -> (profileTable(_, _)),
     "q3_join" -> (q3(_, _)),
     "q5_multijoin" -> (q5(_, _)),

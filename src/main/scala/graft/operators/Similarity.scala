@@ -202,7 +202,15 @@ object Similarity {
 
   /** LSH ANN: candidates share a bucket in any of the L tables; exact
     * cosine rank within candidates. rows-only; recall asserted in
-    * SimilaritySpec. */
+    * SimilaritySpec.
+    *
+    * The candidate pipeline is ID-ONLY until after the distinct: the
+    * bucket join emits (q_id, vec_id) pairs and the dedup exchange moves
+    * 16-byte rows — a candidate that hits in several of the L tables
+    * would otherwise drag two full vectors through the shuffle per hit.
+    * Vectors re-attach afterwards: corpus vectors by a vec_id equi-join
+    * (candidate set ≪ corpus, AQE broadcasts the small side at runtime),
+    * query vectors by explicit broadcast (NumQueries rows). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = embedded(s, dir)
@@ -212,12 +220,17 @@ object Similarity {
     def withBuckets(df: DataFrame): DataFrame =
       df.withColumn("tb", explode(array(tableCols: _*)))
         .select(df.columns.map(col) :+ $"tb.t".as("t") :+ $"tb.bucket".as("bucket"): _*)
-    val corpus = withBuckets(e)
-    val qs = withBuckets(e.filter($"vec_id" < NumQueries))
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"), $"t", $"bucket")
-    val cands = corpus.join(broadcast(qs), Seq("t", "bucket"))
+    val corpusBuckets = withBuckets(e).select($"vec_id", $"t", $"bucket")
+    val qBuckets = withBuckets(e.filter($"vec_id" < NumQueries))
+      .select($"vec_id".as("q_id"), $"t", $"bucket")
+    val candIds = corpusBuckets.join(broadcast(qBuckets), Seq("t", "bucket"))
       .filter($"vec_id" =!= $"q_id")
-      .select($"q_id", $"qv", $"qn", $"vec_id", $"v", $"nrm").distinct()
+      .select($"q_id", $"vec_id").distinct()
+    val qVecs = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val cands = candIds
+      .join(e.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("q_id"))
       .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"nrm"))
     topk(cands)
   }

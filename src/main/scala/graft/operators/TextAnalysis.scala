@@ -52,11 +52,13 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  // CAST(sum(..) AS BIGINT): DuckDB sum(BIGINT) returns HUGEINT → float64
+  // in the driver's pandas compare; the cast restores Spark's dtype.
   val textStatsSql: String =
     s"""SELECT source, count(*) AS n_docs,
-       |  sum(words) AS sum_words, round(avg(words), 4) AS avg_words,
-       |  sum(tokens) AS sum_tokens,
-       |  sum(length(text)) AS sum_chars, round(avg(length(text)), 4) AS avg_chars
+       |  CAST(sum(words) AS BIGINT) AS sum_words, round(avg(words), 4) AS avg_words,
+       |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(length(text)) AS BIGINT) AS sum_chars, round(avg(length(text)), 4) AS avg_chars
        |FROM (
        |  SELECT source, text, len($duckToks) AS words,
        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tokens
@@ -223,9 +225,11 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  // sums CAST to BIGINT for dtype parity (see textStatsSql)
   val textNormalizeSql: String =
     """SELECT source, count(*) AS n_docs,
-      |  sum(length(text)) AS raw_chars, sum(length(norm)) AS norm_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS raw_chars,
+      |  CAST(sum(length(norm)) AS BIGINT) AS norm_chars,
       |  round(avg(length(norm) * 1.0 / greatest(length(text), 1)), 4)
       |    AS avg_keep_ratio
       |FROM (

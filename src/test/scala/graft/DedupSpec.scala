@@ -213,4 +213,32 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.nonEmpty)
     assert(out.forall(r => r.getDouble(2) >= Dedup.CosineTau && r.getDouble(2) <= 1.0))
   }
+
+  test("ngram DF cap prunes boilerplate candidates, τ-pairs unchanged") {
+    import spark.implicits._
+    // 40 docs sharing a boilerplate header (its grams hit DF = 40+) but
+    // pairwise-dissimilar bodies, plus one genuine near-dup pair whose
+    // shared grams are rare. Same lang and length bucket → one block.
+    val boiler = "terms of service apply to this document provided as is"
+    val docs = ((0 until 40).map { i =>
+      val body = (0 until 8).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, "en", s"$boiler $body")
+    } ++ Seq(
+      (100L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "en", "alpha beta gamma delta epsilon zeta eta theta iota lambda")))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.lit(50))
+    val uncapped = Dedup.ngramCandidates(docs, Long.MaxValue).count()
+    val capped = Dedup.ngramCandidates(docs, 10L).count()
+    // boilerplate grams pair all 40 docs uncapped: ≥ C(40,2) candidates
+    assert(uncapped >= 780L, s"uncapped=$uncapped")
+    assert(capped < uncapped / 10, s"capped=$capped uncapped=$uncapped")
+    // the reported τ ≥ 0.5 pairs are identical — verify stays exact
+    val pairsUncapped = Dedup.dedupNgramOn(docs, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pairsCapped = Dedup.dedupNgramOn(docs, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairsCapped == pairsUncapped)
+    assert(pairsCapped.exists { case (a, b, _) => a == 100L && b == 101L })
+  }
 }

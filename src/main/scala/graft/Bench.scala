@@ -43,8 +43,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries report -1 in `queries` but are EXCLUDED from the
+    // total (summing the sentinel would make a breakage read as a
+    // speedup); the explicit count makes a partial run unmistakable
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = results.count(_._2 < 0)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -63,6 +63,25 @@ object KMeans {
       }.toSeq
   }
 
+  /** Reference-parity seeded init: a pseudo-random K-sample of the
+    * points (`random.sample(points, K)`, master.py:27-34), made
+    * reproducible AND partitioning-independent by ranking on a 64-bit
+    * avalanche mix of (pid, seed) instead of RNG state — every executor
+    * computes the same rank for a row no matter which partition it lands
+    * in, and the selection is a distributed top-K (O(K) memory per
+    * partition, no global sort), so the init scales like [[init]].
+    * Centroid ids are 1-based in rank order (the reference numbers its
+    * sample 1..K in draw order, master.py:60). */
+  def initSample(points: DataFrame, k: Int, seed: Long): Seq[Centroid] = {
+    val rows = points.select(col("pid"), col("x"), col("y"))
+      .withColumn("__r", xxhash64(col("pid"), col("x"), col("y"), lit(seed)))
+      .orderBy(col("__r"), col("pid"), col("x"), col("y"))
+      .limit(k).collect()
+    rows.zipWithIndex.map { case (r, i) =>
+      Centroid(i + 1, r.getDouble(1), r.getDouble(2))
+    }.toSeq
+  }
+
   /** Map phase: tag each point with its nearest centroid id. */
   def assign(points: DataFrame, cs: Seq[Centroid]): DataFrame = {
     val cxs = cs.map(_.x).toArray
@@ -102,11 +121,12 @@ object KMeans {
     * would make the loop IO-bound. MEMORY_AND_DISK spills gracefully
     * when the plane outgrows executor memory. */
   def fit(points: DataFrame, k: Int, maxIter: Int = 50,
-      atol: Double = DefaultAtol, rtol: Double = DefaultRtol): KMeansModel = {
+      atol: Double = DefaultAtol, rtol: Double = DefaultRtol,
+      initFn: (DataFrame, Int) => Seq[Centroid] = init): KMeansModel = {
     val plane = points.select("pid", "x", "y")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var cs = init(plane, k)
+      var cs = initFn(plane, k)
       val history = Seq.newBuilder[Seq[Centroid]]
       history += cs
       var sizes = Map.empty[Int, Long]

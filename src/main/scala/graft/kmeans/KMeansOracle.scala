@@ -9,7 +9,16 @@ package graft.kmeans
 object KMeansOracle {
 
   /** CTE producing `c{n}(cid, x, y)` = centroids after `n` Lloyd
-    * iterations over `pts(pid, x, y)`, with `c0` = deterministic init. */
+    * iterations over `pts(pid, x, y)`, with `c0` = deterministic init.
+    *
+    * Each iteration's centroids are rounded to 4 decimals AT THE CHAIN
+    * BOUNDARY (not just in the final SELECT): Spark's partial-agg
+    * summation order differs from DuckDB's sequential scan, so unrounded
+    * means differ in the last float bits — enough to flip the assignment
+    * of a point sitting exactly on a Voronoi boundary in a later
+    * iteration. Rounding both engines to the contract precision at every
+    * boundary makes the fixed point order-insensitive. The Spark twin
+    * ([[KMeansQueries.iterated]]) rounds identically. */
   def centroidChain(pointsSql: String, k: Int, iters: Int): String = {
     // pids need not be unique (the testdata has duplicate rows), so the
     // assignment is a per-row LATERAL argmin, not a row_number-per-pid
@@ -31,7 +40,8 @@ object KMeansOracle {
          |  SELECT cid, avg(x) AS ax, avg(y) AS ay, count(*) AS n
          |  FROM a$i GROUP BY cid),
          |c$i AS (
-         |  SELECT i.cid, coalesce(m.ax, i.x) AS x, coalesce(m.ay, i.y) AS y
+         |  SELECT i.cid, round(coalesce(m.ax, i.x), 4) AS x,
+         |    round(coalesce(m.ay, i.y), 4) AS y
          |  FROM $prev i LEFT JOIN m$i m USING (cid))""".stripMargin
     }
     (init +: steps).mkString(",\n")

@@ -49,13 +49,19 @@ object KMeansQueries {
 
   /** Centroids after `iters` full Lloyd cycles. Persists the plane
     * across the init scan + `iters` step scans (same rationale as
-    * [[KMeans.fit]]). */
+    * [[KMeans.fit]]). Centroids are rounded to the 4-decimal contract
+    * precision at EVERY iteration boundary, mirroring the oracle chain
+    * (see [[KMeansOracle.centroidChain]]) — otherwise engine-specific
+    * float-summation order could flip a Voronoi-boundary point's
+    * assignment in a later iteration. */
   def iterated(s: SparkSession, dir: String, iters: Int): DataFrame = {
     val pts = Points.lineitem(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cs = KMeans.init(pts, K)
-      for (_ <- 1 to iters) cs = KMeans.step(pts, cs)._1
+      for (_ <- 1 to iters)
+        cs = KMeans.step(pts, cs)._1.map(c => Centroid(c.id,
+          math.round(c.x * 10000) / 10000.0, math.round(c.y * 10000) / 10000.0))
       rounded(cs, s)
     } finally pts.unpersist(blocking = false)
   }

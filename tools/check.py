@@ -8,7 +8,7 @@ For each <name> dir in outDir: read spark parquet result, run oracle_sql.json
 sort rows, round-trip to strings, compare.  Not the driver's exact code, but
 the same contract (row/schema/value match).
 """
-import sys, json, glob, os
+import sys, json, glob, os, math
 import duckdb
 import pandas as pd
 
@@ -21,11 +21,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.isna(v):
             return "NULL"
         if isinstance(v, float):
-            return f"{v:.6g}" if v == v else "NULL"
+            return f"{v:.10g}" if v == v else "NULL"
         return str(v)
     out = df.applymap(cell) if hasattr(df, "applymap") else df.map(cell)
     out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
     return out
+
+def cells_equal(x: str, y: str) -> bool:
+    """String-equal, or numerically equal within tolerance.  Both sides
+    already round doubles to 4 decimals (the SURVEY §5 contract), so the
+    tolerance only has to absorb representation noise from the round()
+    itself — rel 1e-12 — plus an absolute floor at half the contract's
+    last decimal; a genuine 4th-decimal mismatch still fails."""
+    if x == y:
+        return True
+    try:
+        fx, fy = float(x), float(y)
+    except ValueError:
+        return False
+    return math.isclose(fx, fy, rel_tol=1e-12, abs_tol=5e-5)
 
 def main(sfdir, outdir):
     con = duckdb.connect()
@@ -61,7 +75,13 @@ def main(sfdir, outdir):
         elif len(a) != len(b):
             results[name] = f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
         elif not a.equals(b):
-            neq = (a != b).any(axis=1)
+            neq = pd.Series([
+                not all(cells_equal(a.iat[i, j], b.iat[i, j])
+                        for j in range(a.shape[1]))
+                for i in range(len(a))], index=a.index)
+            if not neq.any():
+                results[name] = f"OK ({len(a)} rows, within float tolerance)"
+                continue
             idx = neq[neq].index[:3]
             diffs = [f"row{j}: spark={a.loc[j].to_dict()} duck={b.loc[j].to_dict()}" for j in idx]
             results[name] = "VALUE MISMATCH " + " | ".join(diffs)

@@ -24,6 +24,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // lets dev.ludovic.netlib pick VectorBLAS (SIMD) instead of the pure-JVM
+  // fallback — round-1 bench logged "Failed to load ... VectorBLAS" and ran
+  // MLlib's vector math scalar
+  "--add-modules", "jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 32 executor threads in one JVM at sf0.1 need real headroom — an 8g

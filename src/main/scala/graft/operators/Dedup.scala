@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{PolyHash, SimHash64, WordNgrams, TextFeatures => TF}
+import graft.functions.{PolyHash, SimHash64, WordNgrams, WordNgramHashes, TextFeatures => TF}
 
 /** SURVEY.md §2.C — the deduplication suite over the `documents` table:
   * exact hash-dedup, n-gram Jaccard, MinHash+LSH, SimHash, and
@@ -109,6 +109,16 @@ object Dedup {
   private def grams(s: SparkSession, dir: String): DataFrame =
     gramsOf(Tables(s, dir, "documents"))
 
+  /** Exploded 62-bit gram-hash rows ([[WordNgramHashes]]) with the
+    * blocking key — the candidate-stage representation: the exchange
+    * carries an 8-byte hash instead of a ~20-byte gram string. */
+  private def hashedGramsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.withColumn("hs", WordNgramHashes($"text", NgramN))
+      .select($"doc_id", $"lang", expr("n_chars DIV 100").as("lb"),
+        explode($"hs").as("gh"))
+  }
+
   private val duckGrams: String =
     s"""SELECT doc_id, lang, lb, len(gs) AS n, unnest(gs) AS gram FROM (
        |    SELECT doc_id, lang, n_chars // 100 AS lb,
@@ -120,34 +130,45 @@ object Dedup {
     * reduction the cap buys on a boilerplate corpus. */
   def ngramCandidates(docs: DataFrame, dfCap: Long): DataFrame = {
     import docs.sparkSession.implicits._
-    val g = gramsOf(docs)
-    // block-local document frequency per gram; the groupBy and the join
-    // back both hash on (lang, lb, gram), so the exchange is reused
-    val gdf = g.groupBy($"lang", $"lb", $"gram")
-      .agg(count(lit(1)).as("df"))
-      .filter($"df" <= dfCap)
-      .select($"lang", $"lb", $"gram")
-    val rare = g.join(gdf, Seq("lang", "lb", "gram"))
-    rare.as("a").join(rare.as("b"),
-        $"a.lang" === $"b.lang" && $"a.lb" === $"b.lb" &&
-        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+    // Posting-list formulation: ONE gram scan, ONE shuffle. Each (block,
+    // gram) group gathers its doc ids via the bounded
+    // [[graft.functions.BoundedCollect]] aggregate (buffer ≤ cap+1 longs
+    // per group under any skew — a corpus-boilerplate gram can't OOM a
+    // reducer), over-cap grams are dropped, and the candidate pairs are
+    // generated directly from each surviving list (≤ cap²/2 per gram).
+    // An inverted-index SELF-JOIN would instead re-evaluate the gram
+    // explode per join leg (measured 3× slower at sf0.1) and a window-df
+    // formulation buffers whole blocks in the sort (measured 10× slower).
+    val lim = if (dfCap >= Int.MaxValue) Int.MaxValue
+      else (dfCap + 1).toInt
+    hashedGramsOf(docs)
+      .groupBy($"lang", $"lb", $"gh")
+      .agg(graft.functions.BoundedCollect($"doc_id", lim).as("ids"))
+      .filter(size($"ids") < lim)
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> " +
+          "struct(a AS a_id, b AS b_id)))), p -> p.a_id < p.b_id)")).as("p"))
+      .select($"p.a_id", $"p.b_id")
       .distinct()
   }
 
-  /** N-gram Jaccard near-dup pairs within blocks: DF-capped inverted-
-    * index candidate join, then EXACT Jaccard verification over the full
-    * gram sets (the minhash shape: candidates bound the work, the verify
-    * restores exactness). The verify joins attach gram arrays only to
-    * candidate rows — candidate set ≪ corpus at any scale. */
+  /** N-gram Jaccard near-dup pairs within blocks: DF-capped posting-list
+    * candidates, then EXACT Jaccard verification over the full gram-HASH
+    * sets (the minhash shape: candidates bound the work, the verify
+    * restores exactness). Two verify accelerations, both lossless:
+    * a size-ratio prefilter (jaccard ≤ min(na,nb)/max(na,nb), so pairs
+    * with >1/τ size skew can't pass and skip the intersection), and long
+    * arrays instead of gram strings (see [[WordNgramHashes]]) — together
+    * they cut the sf0.1 verify from ~5 s to well under a second. */
   def dedupNgramOn(docs: DataFrame, dfCap: Long = NgramDfCap): DataFrame = {
     import docs.sparkSession.implicits._
-    val sets = docs.withColumn("gs", WordNgrams($"text", NgramN))
-      .select($"doc_id", $"gs", size($"gs").as("n"))
+    val sets = docs.withColumn("hs", WordNgramHashes($"text", NgramN))
+      .select($"doc_id", $"hs", size($"hs").as("n"))
     ngramCandidates(docs, dfCap)
-      .join(sets.select($"doc_id".as("a_id"), $"gs".as("ga"), $"n".as("na")), "a_id")
-      .join(sets.select($"doc_id".as("b_id"), $"gs".as("gb"), $"n".as("nb")), "b_id")
-      .withColumn("shared", size(array_intersect($"ga", $"gb")))
+      .join(sets.select($"doc_id".as("a_id"), $"hs".as("ha"), $"n".as("na")), "a_id")
+      .join(sets.select($"doc_id".as("b_id"), $"hs".as("hb"), $"n".as("nb")), "b_id")
+      .filter(least($"na", $"nb") >= lit(JaccardTau) * greatest($"na", $"nb"))
+      .withColumn("shared", size(array_intersect($"ha", $"hb")))
       .withColumn("jaccard",
         round($"shared".cast("double") / ($"na" + $"nb" - $"shared"), 4))
       .filter($"jaccard" >= JaccardTau)
@@ -158,30 +179,40 @@ object Dedup {
   def dedupNgram(s: SparkSession, dir: String): DataFrame =
     dedupNgramOn(Tables(s, dir, "documents"))
 
+  // Mirrors the hashed pipeline: grams → 62-bit packed dual-base hashes
+  // (identical fold, WordNgramHashes.duckSql), DISTINCT per doc, then the
+  // same df-capped candidates + exact hash-set Jaccard.
   val dedupNgramSql: String =
     s"""WITH grams AS ($duckGrams),
+       |gh AS (
+       |  SELECT DISTINCT doc_id, lang, lb,
+       |    ${WordNgramHashes.duckSql("gram")} AS gh
+       |  FROM grams),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
        |gdf AS (
-       |  SELECT lang, lb, gram FROM (
-       |    SELECT lang, lb, gram, count(*) AS df
-       |    FROM grams GROUP BY lang, lb, gram)
+       |  SELECT lang, lb, gh FROM (
+       |    SELECT lang, lb, gh, count(*) AS df
+       |    FROM gh GROUP BY lang, lb, gh)
        |  WHERE df <= $NgramDfCap),
        |rare AS (
-       |  SELECT g.* FROM grams g JOIN gdf USING (lang, lb, gram)),
+       |  SELECT g.* FROM gh g JOIN gdf USING (lang, lb, gh)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM rare a JOIN rare b
-       |    ON a.lang = b.lang AND a.lb = b.lb AND a.gram = b.gram
+       |    ON a.lang = b.lang AND a.lb = b.lb AND a.gh = b.gh
        |    AND a.doc_id < b.doc_id),
        |shared AS (
-       |  SELECT a_id, b_id, count(*) AS sh, min(ga.n) AS na, min(gb.n) AS nb
+       |  SELECT a_id, b_id, count(*) AS sh
        |  FROM cand
-       |  JOIN grams ga ON ga.doc_id = a_id
-       |  JOIN grams gb ON gb.doc_id = b_id AND ga.gram = gb.gram
+       |  JOIN gh ga ON ga.doc_id = a_id
+       |  JOIN gh gb ON gb.doc_id = b_id AND ga.gh = gb.gh
        |  GROUP BY a_id, b_id)
        |SELECT a_id, b_id, jaccard FROM (
        |  SELECT a_id, b_id,
-       |    round(CAST(sh AS DOUBLE) / (na + nb - sh), 4) AS jaccard
-       |  FROM shared)
+       |    round(CAST(sh AS DOUBLE) / (sa.n + sb.n - sh), 4) AS jaccard
+       |  FROM shared
+       |  JOIN sizes sa ON a_id = sa.doc_id
+       |  JOIN sizes sb ON b_id = sb.doc_id)
        |WHERE jaccard >= $JaccardTau
        |ORDER BY a_id, b_id""".stripMargin
 

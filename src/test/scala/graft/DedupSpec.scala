@@ -214,6 +214,22 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(r => r.getDouble(2) >= Dedup.CosineTau && r.getDouble(2) <= 1.0))
   }
 
+  test("WordNgramHashes == sorted-distinct dual PolyHash of WordNgrams") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").limit(200)
+    val composed = docs.select($"doc_id", explode(
+        graft.functions.WordNgrams($"text", 3)).as("g"))
+      .select($"doc_id",
+        (PolyHash($"g") + PolyHash($"g", 131) * lit(2147483648L)).as("h"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_set($"h")).as("want"))
+    val native = docs.select($"doc_id",
+      graft.functions.WordNgramHashes($"text", 3).as("got"))
+    val joined = native.join(composed, "doc_id")
+      .filter(not($"got" === $"want"))
+    assert(joined.count() == 0, "native hashes must equal composed form")
+  }
+
   test("ngram DF cap prunes boilerplate candidates, τ-pairs unchanged") {
     import spark.implicits._
     // 40 docs sharing a boilerplate header (its grams hit DF = 40+) but

@@ -226,14 +226,19 @@ object Dedup {
   def dedupMinHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // ONE aggregation pass computes both the 16 affine min-hashes
-    // h_i(g) = ((2i+1)·gh + 1000003·i) mod p  (no 16× row fanout) and
-    // the doc's gram set for the verify stage — a single shuffle keyed
-    // by doc_id instead of separate signature/gram-set aggregations.
+    // h_i(g) = ((2i+1)·g31 + 1000003·i) mod p  (no 16× row fanout) and
+    // the doc's gram-hash set for the verify stage — a single shuffle
+    // keyed by doc_id instead of separate signature/gram-set
+    // aggregations. Gram rows come from the shared [[hashedGramsOf]]
+    // pipeline; the packed hash's low 31 bits ARE PolyHash base 31
+    // (gh = h31 | h131 << 31), so `gh % 2^31` reproduces the original
+    // signature inputs exactly while the shuffle and the verify arrays
+    // carry 8-byte longs instead of gram strings.
     val sigAggs = (0 until MinHashK).map { i =>
-      min((lit(2L * i + 1) * $"gh" + lit(1000003L * i)) % P).as(s"s$i")
-    } :+ collect_set($"gram").as("gs")
-    val profile = grams(s, dir)
-      .select($"doc_id", $"gram", PolyHash($"gram").as("gh"))
+      min((lit(2L * i + 1) * $"g31" + lit(1000003L * i)) % P).as(s"s$i")
+    } :+ collect_set($"gh").as("gs")
+    val profile = hashedGramsOf(Tables(s, dir, "documents"))
+      .withColumn("g31", $"gh" % lit(2147483648L))
       .groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     // band key = base-31 polynomial combine of the band's 4 signature rows
     val weights = Seq(29791L, 961L, 31L, 1L)
@@ -260,11 +265,16 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  // Mirrors the hashed pipeline: the packed 62-bit gram hash's low 31
+  // bits (gh % 2^31) are PolyHash base 31, i.e. the original signature
+  // input; the verify joins intersect hash sets.
   val dedupMinHashSql: String =
     s"""WITH grams AS ($duckGrams),
-       |gh AS (SELECT doc_id, ${PolyHash.duckSql("gram")} AS gh FROM grams),
+       |gh AS (
+       |  SELECT DISTINCT doc_id, ${WordNgramHashes.duckSql("gram")} AS gh
+       |  FROM grams),
        |sig AS (
-       |  SELECT doc_id, i, min(((2*i+1)*gh + 1000003*i) % $P) AS s
+       |  SELECT doc_id, i, min(((2*i+1)*(gh % 2147483648) + 1000003*i) % $P) AS s
        |  FROM gh CROSS JOIN range(0, $MinHashK) t(i) GROUP BY doc_id, i),
        |band AS (
        |  SELECT doc_id, i // 4 AS band,
@@ -275,12 +285,12 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM band a JOIN band b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
        |shared AS (
        |  SELECT a_id, b_id, count(*) AS sh
        |  FROM cand
-       |  JOIN grams ga ON ga.doc_id = a_id
-       |  JOIN grams gb ON gb.doc_id = b_id AND ga.gram = gb.gram
+       |  JOIN gh ga ON ga.doc_id = a_id
+       |  JOIN gh gb ON gb.doc_id = b_id AND ga.gh = gb.gh
        |  GROUP BY a_id, b_id)
        |SELECT a_id, b_id, jaccard FROM (
        |  SELECT a_id, b_id,

@@ -24,6 +24,7 @@ object SparkEntry {
     operators.Similarity.queries ++
     operators.Multimodal.queries ++
     operators.AsOfJoin.queries ++
+    operators.CorpusOps.queries ++
     operators.EventAnalytics.queries ++ Map(
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
@@ -51,6 +52,7 @@ object SparkEntry {
     operators.Similarity.oracles ++
     operators.Multimodal.oracles ++
     operators.AsOfJoin.oracles ++
+    operators.CorpusOps.oracles ++
     operators.EventAnalytics.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{PolyHash, WordNgramHashes}
+
+/** Corpus-management operators a training-data pipeline runs besides
+  * dedup/quality (SURVEY.md §2.C/E companions):
+  *
+  *   - `decontaminate` — benchmark decontamination: flag corpus
+  *     documents sharing any word-n-gram with a held-out evaluation set
+  *     (the standard train/test-overlap check run before every LLM
+  *     training job). The eval set is inherently tiny next to the
+  *     corpus, so its distinct gram-hash set is BROADCAST — the corpus
+  *     never shuffles; the whole check is one broadcast semi-join over
+  *     a single corpus scan. That asymmetry (broadcast the benchmark,
+  *     stream the corpus) is the only shape that works at 100 TB.
+  *   - `sample_split` — deterministic stratified train/val/test
+  *     assignment by a portable polynomial hash of the document id:
+  *     reproducible across engines and runs, no RNG state, no shuffle
+  *     beyond the final small per-(source, split) aggregation.
+  *
+  * Both use the same portable hash machinery as the dedup suite
+  * ([[PolyHash]] / [[WordNgramHashes]]), so both are fully
+  * DuckDB-oracle-checkable.
+  */
+object CorpusOps {
+
+  /** Decontamination shingle width: 5-grams — short enough to catch
+    * paraphrase-free overlap on small documents, long enough that
+    * natural-language coincidence is rare. (Production corpora with
+    * long documents typically use 8-13.) */
+  val DecontamN = 5
+
+  /** The held-out "benchmark" slice of the testdata: one source plays
+    * the eval set, the rest are the training corpus. */
+  val BenchmarkSource = "src0"
+
+  /** Per-source contamination report: documents of each non-benchmark
+    * source that share at least one [[DecontamN]]-gram with the
+    * benchmark source. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val hashed = docs
+      .withColumn("hs", WordNgramHashes($"text", DecontamN))
+      .select($"doc_id", $"source", explode($"hs").as("gh"))
+    val bench = hashed.filter($"source" === BenchmarkSource)
+      .select($"gh").distinct()
+    val contaminated = hashed.filter($"source" =!= BenchmarkSource)
+      .join(broadcast(bench), Seq("gh"), "left_semi")
+      .select($"doc_id", $"source").distinct()
+    val perSource = docs.filter($"source" =!= BenchmarkSource)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val contPerSource = contaminated
+      .groupBy($"source").agg(count(lit(1)).as("n_contaminated"))
+    perSource.join(contPerSource, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"n_contaminated", lit(0L)).as("n_contaminated"),
+        round(coalesce($"n_contaminated", lit(0L)) / $"n_docs", 4)
+          .as("contamination_rate"))
+      .orderBy($"source")
+  }
+
+  val decontaminateSql: String = {
+    val toks = graft.functions.TextFeatures.duckToks
+    val ngrams = graft.functions.TextFeatures.duckNgrams(toks, DecontamN)
+    s"""WITH grams AS (
+       |  SELECT doc_id, source, unnest(list_distinct($ngrams)) AS gram
+       |  FROM documents),
+       |gh AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    ${WordNgramHashes.duckSql("gram")} AS gh
+       |  FROM grams),
+       |bench AS (
+       |  SELECT DISTINCT gh FROM gh WHERE source = '$BenchmarkSource'),
+       |cont AS (
+       |  SELECT DISTINCT g.doc_id, g.source
+       |  FROM gh g JOIN bench USING (gh)
+       |  WHERE g.source != '$BenchmarkSource'),
+       |per_src AS (
+       |  SELECT source, count(*) AS n_docs FROM documents
+       |  WHERE source != '$BenchmarkSource' GROUP BY source),
+       |cont_src AS (
+       |  SELECT source, count(*) AS n_contaminated FROM cont GROUP BY source)
+       |SELECT p.source, p.n_docs,
+       |  CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |  round(coalesce(c.n_contaminated, 0) * 1.0 / p.n_docs, 4)
+       |    AS contamination_rate
+       |FROM per_src p LEFT JOIN cont_src c USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
+  /** Train/val/test split fractions in percent (train < 90 ≤ val < 95 ≤
+    * test) over a 100-bucket hash ring. */
+  val TrainPct = 90
+  val ValPct = 95
+
+  /** Deterministic stratified split summary: every document lands in a
+    * split purely by `poly_hash(doc_id) mod 100` — stable across runs,
+    * partitionings, and engines (no RNG, no sampling variance), which is
+    * what makes a 100-TB train/val/test split reproducible and
+    * incrementally extensible (new documents don't reshuffle old
+    * assignments). */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("h", PolyHash($"doc_id".cast("string")) % 100)
+      .withColumn("split",
+        when($"h" < TrainPct, "train")
+          .when($"h" < ValPct, "val")
+          .otherwise("test"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"source", $"split")
+  }
+
+  val sampleSplitSql: String =
+    s"""SELECT source, split, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM (
+       |  SELECT source, n_chars,
+       |    CASE WHEN h < $TrainPct THEN 'train'
+       |         WHEN h < $ValPct THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT source, n_chars,
+       |      ${PolyHash.duckSql("CAST(doc_id AS VARCHAR)")} % 100 AS h
+       |    FROM documents))
+       |GROUP BY source, split
+       |ORDER BY source, split""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate" -> (decontaminate(_, _)),
+    "sample_split" -> (sampleSplit(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "decontaminate" -> decontaminateSql,
+    "sample_split" -> sampleSplitSql)
+}

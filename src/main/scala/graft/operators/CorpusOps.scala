@@ -131,11 +131,67 @@ object CorpusOps {
        |GROUP BY source, split
        |ORDER BY source, split""".stripMargin
 
+  /** Token budget per packed training sequence. */
+  val PackBudget = 512
+
+  /** Deterministic sequence packing summary: documents are packed into
+    * fixed-[[PackBudget]]-token training sequences per source, in
+    * doc_id order, each document belonging to the sequence that holds
+    * its first token (contiguous greedy fill — the order-preserving
+    * packing a pretraining shard build uses). Per-source output: docs,
+    * sequences, tokens, and mean fill ratio.
+    *
+    * Shape: one narrow scan computing token counts, one hash exchange
+    * on source, per-source sort by doc_id feeding a running-sum window
+    * — the sort IS the operator (packing is defined by an order). At
+    * extreme per-source volume the same semantics run over bucketed
+    * (source, doc_id)-sorted tables with zero extra shuffle
+    * (BucketingSpec shows the write path). */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables(s, dir, "documents")
+      .withColumn("tokens",
+        size(graft.functions.TextFeatures.toks(lower($"text"))))
+      .withColumn("start", coalesce(sum($"tokens").over(w), lit(0L)))
+      .withColumn("seq_id", ($"start" / PackBudget).cast("long"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct($"seq_id").as("n_seqs"),
+        sum($"tokens").as("total_tokens"),
+        round(sum($"tokens") / (count_distinct($"seq_id") * lit(PackBudget.toDouble)), 4)
+          .as("avg_fill"))
+      .orderBy($"source")
+  }
+
+  val packSequencesSql: String = {
+    val toks = graft.functions.TextFeatures.duckToks
+    s"""WITH t AS (
+       |  SELECT source, doc_id, len($toks) AS tokens FROM documents),
+       |placed AS (
+       |  SELECT source, tokens,
+       |    coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      // $PackBudget AS seq_id
+       |  FROM t)
+       |SELECT source, count(*) AS n_docs,
+       |  count(DISTINCT seq_id) AS n_seqs,
+       |  CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       |  round(sum(tokens) / (count(DISTINCT seq_id) * ${PackBudget}.0), 4)
+       |    AS avg_fill
+       |FROM placed GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> (decontaminate(_, _)),
-    "sample_split" -> (sampleSplit(_, _)))
+    "sample_split" -> (sampleSplit(_, _)),
+    "pack_sequences" -> (packSequences(_, _)))
 
   def oracles: Map[String, String] = Map(
     "decontaminate" -> decontaminateSql,
-    "sample_split" -> sampleSplitSql)
+    "sample_split" -> sampleSplitSql,
+    "pack_sequences" -> packSequencesSql)
 }

@@ -67,4 +67,23 @@ object StreamOps {
 
   /** OutputMode for the streaming K-Means sink. */
   val KMeansOutputMode: OutputMode = OutputMode.Update()
+
+  /** Streaming exact dedup — the at-ingest dedup stage of a streaming
+    * corpus pipeline: each document content is emitted once; late
+    * re-arrivals within the watermark horizon are dropped. The dedup
+    * key is the same (n_chars, h31, h131) dual-base PolyHash composite
+    * the batch [[graft.operators.Dedup.dedupExact]] shuffles on, so the
+    * state store holds 24 bytes per distinct document instead of its
+    * text, and `dropDuplicatesWithinWatermark` expires state once the
+    * watermark passes — bounded state at any stream volume, which an
+    * unbounded `dropDuplicates` would not give. Input needs (ts, text)
+    * columns; all input columns pass through. */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("h31", graft.functions.PolyHash(col("text")))
+      .withColumn("h131", graft.functions.PolyHash(col("text"), 131))
+      .withColumn("n_chars", length(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("n_chars", "h31", "h131")
+      .drop("h31", "h131", "n_chars")
 }

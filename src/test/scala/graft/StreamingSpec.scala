@@ -105,4 +105,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last(1) == ((2.0, 1.0, 2L)))   // (1,1),(3,1) → mean (2,1)
     assert(last(2) == ((10.0, 11.0, 2L))) // (9,9),(11,13) → mean (10,11)
   }
+
+  test("streamingDedup: duplicate content dropped across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.streamingDedup(
+        mem.toDF().toDF("ts", "doc_id", "text"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2026-01-01 00:00:00"), 1L, "alpha beta gamma"),
+      (ts("2026-01-01 00:01:00"), 2L, "delta epsilon"),
+      (ts("2026-01-01 00:02:00"), 3L, "alpha beta gamma")) // dup of 1 in-batch
+    q.processAllAvailable()
+    mem.addData(
+      (ts("2026-01-01 00:10:00"), 4L, "alpha beta gamma"),  // dup of 1 cross-batch
+      (ts("2026-01-01 00:11:00"), 5L, "zeta eta"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sdedup").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L),
+      s"each content emitted once, duplicates suppressed; got $kept")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{DotProduct, PolyHash, SimHash64, WordNgrams}
+import graft.functions.{BoundedCollect, DotProduct, PolyHash, SimHash64, WordNgramHashes, WordNgrams}
 
 /** SQL surface for the engine's native expressions. Register with
   *
@@ -60,6 +60,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("dot_product", "dot_product(a, b) - sequential dot of double arrays"),
       (args: Seq[Expression]) => {
         arity("dot_product", args, 2); DotProduct(args.head, args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("word_ngram_hashes"),
+      info("word_ngram_hashes",
+        "word_ngram_hashes(text, n) - sorted distinct 62-bit dual-PolyHash word n-gram hashes"),
+      (args: Seq[Expression]) => {
+        arity("word_ngram_hashes", args, 2)
+        WordNgramHashes(args.head, intArg(args(1), "word_ngram_hashes n"))
+      }))
+    ext.injectFunction((FunctionIdentifier("bounded_collect"),
+      info("bounded_collect",
+        "bounded_collect(col, limit) - aggregate: up to limit longs per group, skew-safe"),
+      (args: Seq[Expression]) => {
+        arity("bounded_collect", args, 2)
+        BoundedCollect(args.head, intArg(args(1), "bounded_collect limit"))
+          .toAggregateExpression()
       }))
   }
 }

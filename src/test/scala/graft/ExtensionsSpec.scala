@@ -38,6 +38,23 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(4) == 11.0)
   }
 
+  test("word_ngram_hashes / bounded_collect from SQL") {
+    val r = spark.sql(
+      """SELECT word_ngram_hashes('x y z w', 3) AS hs,
+        |  (SELECT bounded_collect(v, 3) FROM VALUES (1L), (2L), (3L), (4L) t(v)) AS bc""".stripMargin)
+      .head()
+    val hs = r.getSeq[Long](0)
+    assert(hs.length == 2 && hs == hs.sorted)
+    // hashes equal the dual-PolyHash of the gram strings
+    val want = Seq("x y z", "y z w").map { g =>
+      val h31 = g.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+      val h131 = g.foldLeft(0L)((h, c) => (h * 131 + c) % 2147483647L)
+      h31 | (h131 << 31)
+    }.sorted
+    assert(hs == want)
+    assert(r.getSeq[Long](1).length == 3, "bounded_collect caps at limit")
+  }
+
   test("optimizer rule rewrites HOF dot product to native DotProduct") {
     val s = spark
     import s.implicits._

@@ -428,6 +428,40 @@ object Dedup {
        |WHERE cosine >= $CosineTau
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Sub-quadratic embedding dedup — the 100-TB path [[dedupEmbedding]]
+    * is the exactness baseline for: candidate pairs share a random-
+    * hyperplane LSH bucket (same [[Similarity.Tables_]] × 8-bucket
+    * machinery as ann_lsh) within the label block, so the join fanout is
+    * per-bucket instead of per-block-squared; candidates carry IDS ONLY
+    * through the distinct, vectors re-attach for the exact cosine
+    * verify. Approximate in recall (a pair can land in different buckets
+    * in all L tables — probability falls exponentially with cosine;
+    * DedupSpec measures recall vs the exact baseline), exact in
+    * precision (every reported cosine is verified). rows-only. */
+  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Similarity.embedded(s, dir)
+    val dim = e.select(size($"v")).head().getInt(0)
+    val tableCols = (0 until Similarity.Tables_).map(t =>
+      struct(lit(t).as("t"), Similarity.bucketCol(t, dim).as("bucket")))
+    val buckets = e.withColumn("tb", explode(array(tableCols: _*)))
+      .select($"vec_id", $"label", $"tb.t".as("t"), $"tb.bucket".as("bucket"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        $"a.label" === $"b.label" && $"a.t" === $"b.t" &&
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"))
+      .distinct()
+    val vecs = e.select($"vec_id", $"v", $"nrm")
+    cand
+      .join(vecs.select($"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na")), "a_id")
+      .join(vecs.select($"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb")), "b_id")
+      .withColumn("cosine", round(
+        graft.functions.DotProduct($"va", $"vb") / ($"na" * $"nb"), 4))
+      .filter($"cosine" >= CosineTau)
+      .select($"a_id", $"b_id", $"cosine")
+      .orderBy($"a_id", $"b_id")
+  }
+
   // ------------------------------------------------------- materialization
 
   /** The end-to-end dedup a pipeline actually consumes: the corpus with
@@ -489,6 +523,7 @@ object Dedup {
     "dedup_minhash" -> (dedupMinHash(_, _)),
     "dedup_simhash" -> (dedupSimHash(_, _)),
     "dedup_embedding" -> (dedupEmbedding(_, _)),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh(_, _)),
     "dedup_survivors" -> (dedupSurvivors(_, _)))
 
   def oracles: Map[String, String] = Map(

@@ -194,7 +194,7 @@ object Similarity {
 
   /** Per-table bucket id: sign bits of the vector against NPlanes
     * hyperplanes. */
-  private def bucketCol(t: Int, dim: Int): Column =
+  private[operators] def bucketCol(t: Int, dim: Int): Column =
     (0 until NPlanes).map { p =>
       when(dot(col("v"), typedlit(plane(t, p, dim))) > 0, lit(1 << p))
         .otherwise(lit(0))

@@ -22,6 +22,9 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.warehouse.dir",
         Files.createTempDirectory("graft_warehouse").toString)
       .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      // AQE off: AdaptiveSparkPlanExec would hide the operators from
+      // collect() and make the zero-shuffle assertion vacuously true
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

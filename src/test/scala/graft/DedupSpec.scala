@@ -214,6 +214,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(r => r.getDouble(2) >= Dedup.CosineTau && r.getDouble(2) <= 1.0))
   }
 
+  test("dedup_embedding_lsh: precision exact, recall vs exact baseline") {
+    val exact = Dedup.dedupEmbedding(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.dedupEmbeddingLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision: every LSH pair is a true pair with the identical cosine
+    lsh.foreach { case (k, c) =>
+      assert(exact.contains(k), s"LSH produced a non-pair $k")
+      assert(exact(k) == c)
+    }
+    // recall on confident pairs (cosine ≥ 0.5): bucket-collision odds
+    // rise with cosine, so the high-similarity pairs must mostly appear
+    val confident = exact.filter(_._2 >= 0.5)
+    val hit = confident.keys.count(lsh.contains)
+    assert(confident.isEmpty || hit.toDouble / confident.size >= 0.8,
+      s"recall ${hit.toDouble / confident.size} on ${confident.size} confident pairs")
+  }
+
   test("WordNgramHashes == sorted-distinct dual PolyHash of WordNgrams") {
     import spark.implicits._
     val docs = Tables(spark, sf, "documents").limit(200)

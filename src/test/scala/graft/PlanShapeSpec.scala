@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Locks the SURVEY §8 plan-shape claims as executable assertions, the
+  * way BucketingSpec locks the zero-shuffle join: if a refactor breaks
+  * filter pushdown, column pruning, or re-introduces document text into
+  * a dedup exchange key, these fail before any benchmark notices. */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val sf = "/root/testdata/sf0.001"
+  // dedicated session with AQE off: AdaptiveSparkPlanExec hides the
+  // physical operators from collect() before execution, and the static
+  // plan is exactly what these assertions are about
+  private lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  test("q1_agg: filter pushed to the lineitem scan, schema pruned") {
+    val plan = SparkEntry.queries("q1_agg")(spark, sf).queryExecution.executedPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1)
+    val scan = scans.head
+    assert(scan.metadata("PushedFilters").contains("l_shipdate"),
+      s"shipdate filter must reach the parquet scan: ${scan.metadata("PushedFilters")}")
+    val cols = scan.schema.fieldNames.toSet
+    assert(cols.size <= 6 && cols.contains("l_returnflag"),
+      s"scan must read only the 6 touched columns, got $cols")
+  }
+
+  test("dedup_exact: no exchange carries the text column") {
+    val plan = SparkEntry.queries("dedup_exact")(spark, sf).queryExecution.executedPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val keyed = e.outputPartitioning.toString
+      assert(!keyed.contains("text#"),
+        s"dedup shuffle key must be the hash composite, not text: $keyed")
+      val rowCols = e.child.schema.fieldNames.toSet
+      assert(!rowCols.contains("text"),
+        s"dedup exchange rows must not carry text, got $rowCols")
+    }
+  }
+
+  test("asof_join: exactly one data shuffle, keyed on the natural key") {
+    // union-sort as-of = ONE hash exchange on the join key; everything
+    // after the windowed carry is the small per-event-type aggregation
+    val plan = SparkEntry.queries("asof_join")(spark, sf).queryExecution.executedPlan
+    // exchanges keyed on k ALONE (the right-side (k, t) dedupe agg and
+    // the final event_type agg are separate, intentionally small ones)
+    val hashKeys = plan.collect { case e: ShuffleExchangeExec => e }
+      .map(_.outputPartitioning.toString)
+      .filter(_.contains("hashpartitioning"))
+    assert(hashKeys.count(p => p.contains("(k#") && p.count(_ == '#') == 1) == 1,
+      s"expected one as-of exchange keyed on k alone, got $hashKeys")
+  }
+
+  test("ann_lsh: the candidate-dedup exchange carries ids only") {
+    val plan = SparkEntry.queries("ann_lsh")(spark, sf).queryExecution.executedPlan
+    val candExchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      .filter { e =>
+        val p = e.outputPartitioning.toString
+        p.contains("q_id#") && p.contains("vec_id#")
+      }
+    assert(candExchanges.nonEmpty, "expected the (q_id, vec_id) distinct exchange")
+    candExchanges.foreach { e =>
+      val width = e.child.schema.fields.map(_.dataType.defaultSize).sum
+      assert(width <= 16,
+        s"candidate exchange rows must be two ids (≤16 bytes), got $width bytes: ${e.child.schema}")
+    }
+  }
+}

@@ -239,6 +239,58 @@ object TextAnalysis {
       |  FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- tfidf
+
+  val TfidfTopK = 10
+
+  /** Per-source top-[[TfidfTopK]] terms by summed TF-IDF (smoothed idf
+    * = ln((N+1)/(df+1)), corpus-wide df). Plan: one explode scan → tf
+    * per (source, doc, word) with map-side partial agg → corpus df per
+    * word → score agg per (source, word) → per-source window top-k.
+    * Every shuffle is keyed by words (high cardinality, skew-free);
+    * ranking uses the ROUNDED score (word tie-break) so cross-engine
+    * float noise below the 4-decimal contract cannot reorder the
+    * result. */
+  def tfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val n = docs.count() // one scalar; the reference pattern for corpus constants
+    val tf = docs.select($"source", $"doc_id", explode(toks(lower($"text"))).as("w"))
+      .groupBy($"source", $"doc_id", $"w")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "w")
+      .withColumn("idf", log((lit(n) + 1.0) / ($"df" + lit(1.0))))
+      .groupBy($"source", $"w")
+      .agg(round(sum($"tf" * $"idf"), 4).as("score"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"score".desc, $"w")
+    scored.withColumn("rk", row_number().over(byScore))
+      .filter($"rk" <= TfidfTopK)
+      .select($"source", $"w", $"score", $"rk")
+      .orderBy($"source", $"rk")
+  }
+
+  val tfidfTopKSql: String =
+    s"""WITH tf AS (
+       |  SELECT source, doc_id, w, count(*) AS tf FROM (
+       |    SELECT source, doc_id, unnest($duckToks) AS w FROM documents)
+       |  GROUP BY source, doc_id, w),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |scored AS (
+       |  SELECT source, w, round(sum(tf * ln((n.n + 1.0) / (df.df + 1.0))), 4) AS score
+       |  FROM tf JOIN df USING (w) CROSS JOIN n
+       |  GROUP BY source, w),
+       |ranked AS (
+       |  SELECT source, w, score,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY score DESC, w) AS INT) AS rk
+       |  FROM scored)
+       |SELECT source, w, score, rk FROM ranked
+       |WHERE rk <= $TfidfTopK
+       |ORDER BY source, rk""".stripMargin
+
   // ---------------------------------------------------------- cardinality
 
   val KmvK = 64
@@ -296,9 +348,11 @@ object TextAnalysis {
     "lang_id" -> (langId(_, _)),
     "quality_score" -> (qualityScore(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)),
-    "vocab_topk" -> (vocabTopK(_, _)))
+    "vocab_topk" -> (vocabTopK(_, _)),
+    "tfidf_topk" -> (tfidfTopK(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "tfidf_topk" -> tfidfTopKSql,
     "distinct_sketch" -> distinctSketchSql,
     "text_normalize" -> textNormalizeSql,
     "text_stats" -> textStatsSql,

@@ -41,4 +41,27 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan.contains("PartitionFilters") &&
       scan.contains("lang"), "expected partition filter in scan")
   }
+
+  test("JSONL: gzip'd shard export, schema-on-read round-trip, garbage dropped") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    Sinks.writeJsonl(docs, out, numFiles = 2)
+    val shards = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(shards.length == 2, "coalesced to the requested shard count")
+    val back = Sinks.readJsonl(spark, out, docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.select($"doc_id", $"text").except(
+      docs.select($"doc_id", $"text")).isEmpty)
+    // malformed lines are skipped, valid lines survive
+    val mixed = Files.createTempDirectory("graft_jsonl2").resolve("m.json")
+    Files.write(mixed, java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""",
+      """not json at all""",
+      """{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}"""))
+    val read = Sinks.readJsonl(spark, mixed.toString, docs.schema)
+    assert(read.count() == 2)
+  }
 }

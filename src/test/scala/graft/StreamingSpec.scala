@@ -130,4 +130,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 2L, 5L),
       s"each content emitted once, duplicates suppressed; got $kept")
   }
+
+  test("streamingDedup: state survives a checkpointed restart") {
+    // the streaming fault-tolerance story: stop the query, start a new
+    // one from the same checkpoint, and the dedup state store must
+    // still know what it has seen (the reference's retry-forever loop,
+    // master.py:61-89, re-expressed as Structured Streaming recovery)
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val (out, ckpt) = (dir.resolve("out").toString, dir.resolve("ckpt").toString)
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    def startQuery() = StreamOps.streamingDedup(
+        mem.toDF().toDF("ts", "doc_id", "text"), watermark = "1 hour")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = startQuery()
+    mem.addData(
+      (ts("2026-01-01 00:00:00"), 1L, "alpha beta"),
+      (ts("2026-01-01 00:01:00"), 2L, "gamma delta"))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = startQuery() // restart from checkpoint
+    mem.addData(
+      (ts("2026-01-01 00:05:00"), 3L, "alpha beta"),   // dup across restart
+      (ts("2026-01-01 00:06:00"), 4L, "epsilon zeta"))
+    q2.processAllAvailable()
+    q2.stop()
+    val kept = spark.read.parquet(out).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L),
+      s"recovered state must suppress the cross-restart duplicate; got $kept")
+  }
 }

@@ -24,10 +24,6 @@ object TextAnalysis {
 
   private val duckToks = graft.functions.TextFeatures.duckToks
 
-  /** Count of tokens equal to any of `words`. */
-  private def tokCount(ts: Column, words: Seq[String]): Column =
-    size(filter(ts, t => words.map(w => t === lit(w)).reduce(_ || _)))
-
   private def duckTokCount(words: Seq[String]): String =
     s"len(list_filter($duckToks, t -> ${words.map(w => s"t = '$w'").mkString(" OR ")}))"
 
@@ -80,9 +76,14 @@ object TextAnalysis {
 
   def langId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ts = toks(lower($"text"))
-    val scored = langMarkers.foldLeft(Tables(s, dir, "documents")) {
-      case (df, (lang, ws)) => df.withColumn(s"s_$lang", tokCount(ts, ws))
+    // ONE tokenization scores every language: marker_counts returns
+    // [total, c_en, c_es, ...] in a single pass where the composed
+    // per-language tokCount columns re-ran split 5× per row (measured
+    // in the sf0.1 plan; see MarkerCounts scaladoc)
+    val scored = langMarkers.zipWithIndex.foldLeft(
+        Tables(s, dir, "documents").withColumn("mc",
+          graft.functions.MarkerCounts($"text", langMarkers.map(_._2)))) {
+      case (df, ((lang, _), i)) => df.withColumn(s"s_$lang", $"mc"(i + 1))
     }
     // argmax with declaration-order priority tie-break
     val pred = langMarkers.map(_._1).zipWithIndex.foldRight(lit("unk")) {
@@ -120,13 +121,16 @@ object TextAnalysis {
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
+      // word total + stopword count from ONE tokenization pass
+      .withColumn("mc", graft.functions.MarkerCounts($"text",
+        Seq(Seq("the", "a", "of"))))
       .withColumn("chars", greatest(length($"text"), lit(1)))
-      .withColumn("words", greatest(size(toks(lower($"text"))), lit(1)))
+      .withColumn("words", greatest($"mc"(0), lit(1L)))
       .withColumn("punct",
         length(regexp_replace($"text", "[A-Za-z0-9\\s]", "")) / $"chars")
       .withColumn("digit",
         length(regexp_replace($"text", "[^0-9]", "")) / $"chars")
-      .withColumn("stop", tokCount(toks(lower($"text")), Seq("the", "a", "of")) / $"words")
+      .withColumn("stop", $"mc"(1) / $"words")
       .withColumn("lenscore", least($"words" / lit(100.0), lit(1.0)))
       .withColumn("score",
         lit(0.25) * $"lenscore" + lit(0.25) * (lit(1.0) - $"punct") +

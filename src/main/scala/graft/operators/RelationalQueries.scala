@@ -217,6 +217,45 @@ object RelationalQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  val HistBins = 10
+
+  /** Equi-width histogram of l_extendedprice (the ANALYZE companion of
+    * [[profileTable]]): bounds from one aggregation, broadcast onto the
+    * binning scan (no driver collect — the plan stays declarative), one
+    * group-by on ≤ [[HistBins]] integer keys with map-side partials.
+    * Binning arithmetic is identical IEEE double ops on both engines,
+    * so the integer bin of every row — and therefore the oracle hash —
+    * is bit-deterministic. */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = Tables(s, dir, "lineitem").select($"l_extendedprice".as("x"))
+    val bounds = x.agg(min($"x").as("lo"), max($"x").as("hi"))
+    x.crossJoin(broadcast(bounds))
+      .withColumn("w", ($"hi" - $"lo") / HistBins)
+      .withColumn("bin",
+        least(floor(($"x" - $"lo") / $"w"), lit(HistBins - 1L)).cast("int"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), min($"lo").as("lo"), min($"w").as("w"))
+      .select($"bin",
+        round($"lo" + $"bin" * $"w", 4).as("bin_lo"),
+        round($"lo" + ($"bin" + 1) * $"w", 4).as("bin_hi"),
+        $"n")
+      .orderBy($"bin")
+  }
+
+  val histogramSql: String =
+    s"""WITH b AS (
+       |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+       |  FROM lineitem),
+       |binned AS (
+       |  SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / $HistBins)),
+       |    ${HistBins - 1}) AS INT) AS bin,
+       |    lo, (hi - lo) / $HistBins AS w
+       |  FROM lineitem CROSS JOIN b)
+       |SELECT bin, round(lo + bin * w, 4) AS bin_lo,
+       |  round(lo + (bin + 1) * w, 4) AS bin_hi, count(*) AS n
+       |FROM binned GROUP BY bin, lo, w ORDER BY bin""".stripMargin
+
   /** Exact interpolated quantiles per group — Spark's `percentile` and
     * DuckDB's `quantile_cont` share the (n-1)·p linear-interpolation
     * definition, so the values are oracle-checkable to 4 decimals. (The
@@ -268,6 +307,7 @@ object RelationalQueries {
     "quantiles" -> (quantiles(_, _)),
     "quantiles_approx" -> (quantilesApprox(_, _)),
     "profile_table" -> (profileTable(_, _)),
+    "histogram" -> (histogram(_, _)),
     "q3_join" -> (q3(_, _)),
     "q5_multijoin" -> (q5(_, _)),
     "topk_window" -> (topkWindow(_, _)),
@@ -277,6 +317,7 @@ object RelationalQueries {
   def oracles: Map[String, String] = Map(
     "quantiles" -> quantilesSql,
     "profile_table" -> profileTableSql,
+    "histogram" -> histogramSql,
     "q3_join" -> q3Sql,
     "q5_multijoin" -> q5Sql,
     "topk_window" -> topkWindowSql,

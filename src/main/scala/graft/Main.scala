@@ -40,6 +40,10 @@ object Main {
       case "--seed" :: v :: t       => loop(t, acc.copy(seed = Some(v.toLong)))
       case "--partitions" :: v :: t => loop(t, acc.copy(partitions = Some(v.toInt)))
       case "--log" :: v :: t        => loop(t, acc.copy(log = v))
+      case f :: _ if f.startsWith("--") =>
+        throw new IllegalArgumentException(
+          s"unknown option '$f'; usage: graft.Main [--k K] [--max-iter N] " +
+            "[--scenario 1|2] [--seed S] [--partitions P] [--log FILE] <csv>...")
       case p :: t                   => loop(t, acc.copy(paths = acc.paths :+ p))
       case Nil                      => acc
     }

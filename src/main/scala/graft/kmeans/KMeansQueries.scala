@@ -9,10 +9,18 @@ import org.apache.spark.sql.functions._
 object KMeansQueries {
   val K = 8
 
+  /** Round half-AWAY-FROM-ZERO to 4 decimals — DuckDB `round()`
+    * semantics. Scala's `math.round` rounds half toward +∞ and would
+    * diverge from the oracle on a negative half-tie (latent with the
+    * current non-negative planes, fatal if a plane ever goes negative,
+    * because [[iterated]] feeds rounded centroids into the next
+    * assignment). */
+  private def r4(v: Double): Double =
+    math.signum(v) * (math.round(math.abs(v) * 10000) / 10000.0)
+
   private def rounded(cs: Seq[Centroid], spark: SparkSession): DataFrame = {
     import spark.implicits._
-    cs.map(c => (c.id, math.round(c.x * 10000) / 10000.0,
-        math.round(c.y * 10000) / 10000.0))
+    cs.map(c => (c.id, r4(c.x), r4(c.y)))
       .toDF("cid", "x", "y").orderBy("cid")
   }
 
@@ -60,8 +68,7 @@ object KMeansQueries {
     try {
       var cs = KMeans.init(pts, K)
       for (_ <- 1 to iters)
-        cs = KMeans.step(pts, cs)._1.map(c => Centroid(c.id,
-          math.round(c.x * 10000) / 10000.0, math.round(c.y * 10000) / 10000.0))
+        cs = KMeans.step(pts, cs)._1.map(c => Centroid(c.id, r4(c.x), r4(c.y)))
       rounded(cs, s)
     } finally pts.unpersist(blocking = false)
   }
@@ -77,8 +84,7 @@ object KMeansQueries {
   def fit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = KMeans.fit(Points.lineitem(s, dir), K)
-    m.centroids.map(c => (c.id, math.round(c.x * 10000) / 10000.0,
-        math.round(c.y * 10000) / 10000.0,
+    m.centroids.map(c => (c.id, r4(c.x), r4(c.y),
         m.sizes.getOrElse(c.id, 0L), m.iterations, m.converged))
       .toDF("cid", "x", "y", "size", "n_iter", "converged").orderBy("cid")
   }

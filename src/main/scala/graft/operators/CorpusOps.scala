@@ -40,9 +40,14 @@ object CorpusOps {
   /** Per-source contamination report: documents of each non-benchmark
     * source that share at least one [[DecontamN]]-gram with the
     * benchmark source. */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables(s, dir, "documents")
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminateOn(Tables(s, dir, "documents"))
+
+  /** Operator core over any (doc_id, source, text) frame — the entry
+    * specs inject corpora through (CorpusOpsSpec plants a verbatim
+    * benchmark copy and asserts it is flagged). */
+  def decontaminateOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val hashed = docs
       .withColumn("hs", WordNgramHashes($"text", DecontamN))
       .select($"doc_id", $"source", explode($"hs").as("gh"))
@@ -134,12 +139,16 @@ object CorpusOps {
   /** Token budget per packed training sequence. */
   val PackBudget = 512
 
-  /** Deterministic sequence packing summary: documents are packed into
-    * fixed-[[PackBudget]]-token training sequences per source, in
-    * doc_id order, each document belonging to the sequence that holds
-    * its first token (contiguous greedy fill — the order-preserving
-    * packing a pretraining shard build uses). Per-source output: docs,
-    * sequences, tokens, and mean fill ratio.
+  /** Deterministic sequence packing summary: documents fill fixed-
+    * [[PackBudget]]-token training sequences per source in doc_id order
+    * with CONTIGUOUS fill — a document starts in the sequence holding
+    * its first token and long documents spill into the following
+    * sequences (the order-preserving dense packing a pretraining shard
+    * build uses; no padding). Per-source output: docs, sequences
+    * actually consumed (`⌈total/budget⌉` — counting only sequences
+    * where a doc STARTS would under-count and report fill > 1 whenever
+    * a doc exceeds the budget), total tokens, the densest sequence by
+    * doc starts, and the fill ratio of the used sequences.
     *
     * Shape: one narrow scan computing token counts, one hash exchange
     * on source, per-source sort by doc_id feeding a running-sum window
@@ -152,17 +161,23 @@ object CorpusOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables(s, dir, "documents")
+    val placed = Tables(s, dir, "documents")
       .withColumn("tokens",
         size(graft.functions.TextFeatures.toks(lower($"text"))))
       .withColumn("start", coalesce(sum($"tokens").over(w), lit(0L)))
       .withColumn("seq_id", ($"start" / PackBudget).cast("long"))
+    val perSeq = placed.groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("docs_in_seq"))
       .groupBy($"source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        count_distinct($"seq_id").as("n_seqs"),
-        sum($"tokens").as("total_tokens"),
-        round(sum($"tokens") / (count_distinct($"seq_id") * lit(PackBudget.toDouble)), 4)
+      .agg(max($"docs_in_seq").as("max_docs_per_seq"))
+    placed.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("total_tokens"))
+      .join(perSeq, "source")
+      .withColumn("n_seqs", greatest(
+        expr(s"(total_tokens + ${PackBudget - 1}) DIV $PackBudget"), lit(1L)))
+      .select($"source", $"n_docs", $"n_seqs", $"total_tokens",
+        $"max_docs_per_seq",
+        round($"total_tokens" / ($"n_seqs" * lit(PackBudget.toDouble)), 4)
           .as("avg_fill"))
       .orderBy($"source")
   }
@@ -176,13 +191,23 @@ object CorpusOps {
        |    coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |      // $PackBudget AS seq_id
-       |  FROM t)
-       |SELECT source, count(*) AS n_docs,
-       |  count(DISTINCT seq_id) AS n_seqs,
-       |  CAST(sum(tokens) AS BIGINT) AS total_tokens,
-       |  round(sum(tokens) / (count(DISTINCT seq_id) * ${PackBudget}.0), 4)
-       |    AS avg_fill
-       |FROM placed GROUP BY source ORDER BY source""".stripMargin
+       |  FROM t),
+       |per_seq AS (
+       |  SELECT source, max(docs_in_seq) AS max_docs_per_seq FROM (
+       |    SELECT source, seq_id, count(*) AS docs_in_seq
+       |    FROM placed GROUP BY source, seq_id)
+       |  GROUP BY source),
+       |per_src AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(tokens) AS BIGINT) AS total_tokens
+       |  FROM placed GROUP BY source)
+       |SELECT p.source, p.n_docs,
+       |  greatest((p.total_tokens + ${PackBudget - 1}) // $PackBudget, 1) AS n_seqs,
+       |  p.total_tokens, q.max_docs_per_seq,
+       |  round(p.total_tokens / (greatest((p.total_tokens + ${PackBudget - 1})
+       |    // $PackBudget, 1) * ${PackBudget}.0), 4) AS avg_fill
+       |FROM per_src p JOIN per_seq q USING (source)
+       |ORDER BY source""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

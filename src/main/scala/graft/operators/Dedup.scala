@@ -167,7 +167,12 @@ object Dedup {
     ngramCandidates(docs, dfCap)
       .join(sets.select($"doc_id".as("a_id"), $"hs".as("ha"), $"n".as("na")), "a_id")
       .join(sets.select($"doc_id".as("b_id"), $"hs".as("hb"), $"n".as("nb")), "b_id")
-      .filter(least($"na", $"nb") >= lit(JaccardTau) * greatest($"na", $"nb"))
+      // jaccard ≤ min/max, so size-skewed pairs can't reach τ — with
+      // half-ulp slack (τ − 0.00005) because the FINAL filter compares
+      // the ROUNDED jaccard: a pair at true J ∈ [τ−0.00005, τ) rounds
+      // up to τ and must not be prefiltered away
+      .filter(least($"na", $"nb") >=
+        lit(JaccardTau - 0.00005) * greatest($"na", $"nb"))
       .withColumn("shared", size(array_intersect($"ha", $"hb")))
       .withColumn("jaccard",
         round($"shared".cast("double") / ($"na" + $"nb" - $"shared"), 4))
@@ -442,10 +447,8 @@ object Dedup {
     import s.implicits._
     val e = Similarity.embedded(s, dir)
     val dim = e.select(size($"v")).head().getInt(0)
-    val tableCols = (0 until Similarity.Tables_).map(t =>
-      struct(lit(t).as("t"), Similarity.bucketCol(t, dim).as("bucket")))
-    val buckets = e.withColumn("tb", explode(array(tableCols: _*)))
-      .select($"vec_id", $"label", $"tb.t".as("t"), $"tb.bucket".as("bucket"))
+    val buckets = Similarity.withBuckets(e, dim)
+      .select($"vec_id", $"label", $"t", $"bucket")
     val cand = buckets.as("a").join(buckets.as("b"),
         $"a.label" === $"b.label" && $"a.t" === $"b.t" &&
         $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")

@@ -200,6 +200,16 @@ object Similarity {
         .otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Explode `df` into one row per (LSH table, bucket) membership —
+    * shared by [[annLsh]] and [[Dedup.dedupEmbeddingLsh]]. */
+  private[operators] def withBuckets(df: DataFrame, dim: Int): DataFrame = {
+    val tableCols = (0 until Tables_).map(t =>
+      struct(lit(t).as("t"), bucketCol(t, dim).as("bucket")))
+    df.withColumn("tb", explode(array(tableCols: _*)))
+      .select(df.columns.map(col) :+
+        col("tb.t").as("t") :+ col("tb.bucket").as("bucket"): _*)
+  }
+
   /** LSH ANN: candidates share a bucket in any of the L tables; exact
     * cosine rank within candidates. rows-only; recall asserted in
     * SimilaritySpec.
@@ -215,13 +225,8 @@ object Similarity {
     import s.implicits._
     val e = embedded(s, dir)
     val dim = e.select(size($"v")).head().getInt(0)
-    val tableCols = (0 until Tables_).map(t =>
-      struct(lit(t).as("t"), bucketCol(t, dim).as("bucket")))
-    def withBuckets(df: DataFrame): DataFrame =
-      df.withColumn("tb", explode(array(tableCols: _*)))
-        .select(df.columns.map(col) :+ $"tb.t".as("t") :+ $"tb.bucket".as("bucket"): _*)
-    val corpusBuckets = withBuckets(e).select($"vec_id", $"t", $"bucket")
-    val qBuckets = withBuckets(e.filter($"vec_id" < NumQueries))
+    val corpusBuckets = withBuckets(e, dim).select($"vec_id", $"t", $"bucket")
+    val qBuckets = withBuckets(e.filter($"vec_id" < NumQueries), dim)
       .select($"vec_id".as("q_id"), $"t", $"bucket")
     val candIds = corpusBuckets.join(broadcast(qBuckets), Seq("t", "bucket"))
       .filter($"vec_id" =!= $"q_id")

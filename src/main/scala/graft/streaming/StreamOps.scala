@@ -79,11 +79,13 @@ object StreamOps {
     * unbounded `dropDuplicates` would not give. Input needs (ts, text)
     * columns; all input columns pass through. */
   def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    // key columns use reserved names so a caller's own n_chars/h31/...
+    // columns pass through untouched (the documented contract)
     docs
-      .withColumn("h31", graft.functions.PolyHash(col("text")))
-      .withColumn("h131", graft.functions.PolyHash(col("text"), 131))
-      .withColumn("n_chars", length(col("text")))
+      .withColumn("__dedup_h31", graft.functions.PolyHash(col("text")))
+      .withColumn("__dedup_h131", graft.functions.PolyHash(col("text"), 131))
+      .withColumn("__dedup_len", length(col("text")))
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("n_chars", "h31", "h131")
-      .drop("h31", "h131", "n_chars")
+      .dropDuplicatesWithinWatermark("__dedup_len", "__dedup_h31", "__dedup_h131")
+      .drop("__dedup_h31", "__dedup_h131", "__dedup_len")
 }

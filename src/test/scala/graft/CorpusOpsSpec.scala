@@ -33,21 +33,32 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("decontaminate: a planted copy of a benchmark doc is flagged") {
     import spark.implicits._
     // corpus = testdata plus one document that verbatim-copies a
-    // benchmark (src0) text into another source — it MUST be flagged
+    // benchmark (src0) text into another source — the REAL operator
+    // must flag it (decontaminateOn runs the production pipeline)
     val docs = Tables(spark, sf, "documents")
     val benchText = docs.filter($"source" === CorpusOps.BenchmarkSource)
       .orderBy(length($"text").desc).select($"text").head().getString(0)
     val planted = Seq((999999L, benchText, "en", "srcX", benchText.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val hashed = docs.unionByName(planted)
-      .withColumn("hs", graft.functions.WordNgramHashes($"text", CorpusOps.DecontamN))
-      .select($"doc_id", $"source", explode($"hs").as("gh"))
-    val bench = hashed.filter($"source" === CorpusOps.BenchmarkSource)
-      .select($"gh").distinct()
-    val flagged = hashed.filter($"source" === "srcX")
-      .join(broadcast(bench), Seq("gh"), "left_semi")
-      .select($"doc_id").distinct().collect()
-    assert(flagged.map(_.getLong(0)).contains(999999L))
+    val out = CorpusOps.decontaminateOn(docs.unionByName(planted)).collect()
+    val srcX = out.find(_.getString(0) == "srcX")
+    assert(srcX.isDefined, "planted source must appear in the report")
+    assert(srcX.get.getLong(1) == 1L && srcX.get.getLong(2) == 1L,
+      s"the verbatim copy must be contaminated: ${srcX.get}")
+    assert(srcX.get.getDouble(3) == 1.0)
+  }
+
+  test("pack_sequences: fill ratio bounded, sequences cover the tokens") {
+    val out = CorpusOps.packSequences(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nSeqs, total, fill) = (r.getLong(2), r.getLong(3), r.getDouble(5))
+      assert(nSeqs >= 1L)
+      assert(fill > 0.0 && fill <= 1.0, s"fill must be a true ratio: $r")
+      // n_seqs is exactly the budget-quanta the tokens consume
+      assert(nSeqs == math.max((total + CorpusOps.PackBudget - 1) / CorpusOps.PackBudget, 1L))
+      assert(r.getLong(4) >= 1L) // max_docs_per_seq
+    }
   }
 
   test("sample_split: deterministic, covers every doc, all splits present") {

@@ -69,12 +69,18 @@ class JoinPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q3/q5 stay value-correct without the fact broadcasts") {
-    // results ordered deterministically; compare against a re-run with
-    // default planner settings to prove the hint removal changed only
-    // the physical plan, not the answer
-    val q3 = RelationalQueries.q3(spark, sf).collect()
-    assert(q3.length == 10)
-    val q5 = RelationalQueries.q5(spark, sf).collect()
-    assert(q5.nonEmpty)
+    // same queries under the size-blind planner (shuffle joins) and the
+    // default planner (broadcasts where small) must return identical
+    // rows — the hint removal changed only the physical plan
+    val q3 = RelationalQueries.q3(spark, sf).collect().map(_.toSeq).toSeq
+    val q5 = RelationalQueries.q5(spark, sf).collect().map(_.toSeq).toSeq
+    assert(q3.length == 10 && q5.nonEmpty)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    try {
+      val q3b = RelationalQueries.q3(spark, sf).collect().map(_.toSeq).toSeq
+      val q5b = RelationalQueries.q5(spark, sf).collect().map(_.toSeq).toSeq
+      assert(q3 == q3b, "q3 rows must not depend on the join strategy")
+      assert(q5 == q5b, "q5 rows must not depend on the join strategy")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
   }
 }

@@ -14,32 +14,39 @@ import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame):
+    """Returns (string_frame, raw_frame) both sorted by the string form.
+    The string form (stable %.10g) provides deterministic row ORDER and
+    the schema comparison; VALUES are compared from the raw frame so no
+    formatting can mask a real difference."""
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes: everything to string via repr-ish canonical form
     def cell(v):
         if pd.isna(v):
             return "NULL"
         if isinstance(v, float):
             return f"{v:.10g}" if v == v else "NULL"
         return str(v)
-    out = df.applymap(cell) if hasattr(df, "applymap") else df.map(cell)
-    out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
-    return out
+    strf = df.applymap(cell) if hasattr(df, "applymap") else df.map(cell)
+    order = strf.sort_values(by=list(strf.columns)).index
+    return (strf.loc[order].reset_index(drop=True),
+            df.loc[order].reset_index(drop=True))
 
-def cells_equal(x: str, y: str) -> bool:
-    """String-equal, or numerically equal within tolerance.  Both sides
-    already round doubles to 4 decimals (the SURVEY §5 contract), so the
-    tolerance only has to absorb representation noise from the round()
-    itself — rel 1e-12 — plus an absolute floor at half the contract's
-    last decimal; a genuine 4th-decimal mismatch still fails."""
-    if x == y:
-        return True
-    try:
-        fx, fy = float(x), float(y)
-    except ValueError:
-        return False
-    return math.isclose(fx, fy, rel_tol=1e-12, abs_tol=5e-5)
+def cells_equal(x, y) -> bool:
+    """Raw-value compare: floats numerically within tolerance, the rest
+    by string form.  Both sides round doubles to 4 decimals (the SURVEY
+    §5 contract), so the tolerance only absorbs representation noise of
+    round() itself (rel 1e-12) plus an absolute floor at half the
+    contract's last decimal — a genuine 4th-decimal mismatch fails at
+    any magnitude."""
+    xna, yna = pd.isna(x), pd.isna(y)
+    if xna or yna:
+        return bool(xna) and bool(yna)
+    if isinstance(x, float) or isinstance(y, float):
+        try:
+            return math.isclose(float(x), float(y), rel_tol=1e-12, abs_tol=5e-5)
+        except (TypeError, ValueError):
+            return False
+    return str(x) == str(y)
 
 def main(sfdir, outdir):
     con = duckdb.connect()
@@ -69,24 +76,21 @@ def main(sfdir, outdir):
         except Exception as e:
             results[name] = f"ORACLE SQL ERROR: {e}"
             continue
-        a, b = canon(spark_df), canon(duck_df)
-        if list(a.columns) != list(b.columns):
-            results[name] = f"SCHEMA MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
-        elif len(a) != len(b):
-            results[name] = f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
-        elif not a.equals(b):
-            neq = pd.Series([
-                not all(cells_equal(a.iat[i, j], b.iat[i, j])
-                        for j in range(a.shape[1]))
-                for i in range(len(a))], index=a.index)
-            if not neq.any():
-                results[name] = f"OK ({len(a)} rows, within float tolerance)"
-                continue
-            idx = neq[neq].index[:3]
-            diffs = [f"row{j}: spark={a.loc[j].to_dict()} duck={b.loc[j].to_dict()}" for j in idx]
-            results[name] = "VALUE MISMATCH " + " | ".join(diffs)
+        (a_str, a_raw), (b_str, b_raw) = canon(spark_df), canon(duck_df)
+        if list(a_str.columns) != list(b_str.columns):
+            results[name] = f"SCHEMA MISMATCH spark={list(a_str.columns)} duck={list(b_str.columns)}"
+        elif len(a_str) != len(b_str):
+            results[name] = f"ROWCOUNT MISMATCH spark={len(a_str)} duck={len(b_str)}"
         else:
-            results[name] = f"OK ({len(a)} rows)"
+            bad_rows = [i for i in range(len(a_raw))
+                        if not all(cells_equal(a_raw.iat[i, j], b_raw.iat[i, j])
+                                   for j in range(a_raw.shape[1]))]
+            if bad_rows:
+                diffs = [f"row{j}: spark={a_str.loc[j].to_dict()} duck={b_str.loc[j].to_dict()}"
+                         for j in bad_rows[:3]]
+                results[name] = "VALUE MISMATCH " + " | ".join(diffs)
+            else:
+                results[name] = f"OK ({len(a_str)} rows)"
     bad = 0
     for k, v in sorted(results.items()):
         flag = "PASS" if v.startswith(("OK", "rows-only")) else "FAIL"

@@ -63,6 +63,14 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.exists(java.nio.file.Paths.get(log)))
   }
 
+  test("CLI rejects unknown flags with a usage error") {
+    val e = intercept[IllegalArgumentException] {
+      Main.parse(Array("--max_iter", "20", "points.csv")) // typo: underscore
+    }
+    assert(e.getMessage.contains("--max_iter") && e.getMessage.contains("usage"))
+    intercept[IllegalArgumentException](Main.parse(Array("--k", "3"))) // no path
+  }
+
   test("seeded sample init: deterministic under a seed, varies across seeds") {
     val dir = Files.createTempDirectory("graft_seed")
     val csv = blobCsv(dir, "points.txt", 0.0)

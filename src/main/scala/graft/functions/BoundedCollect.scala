@@ -29,11 +29,16 @@ case class BoundedCollect(
     limit: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]] {
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
   require(limit > 0, "BoundedCollect needs a positive limit")
 
   override def children: Seq[Expression] = Seq(child)
+  // update() reads the child as a Long — declaring the input type turns a
+  // non-BIGINT argument into a clean analysis error instead of a mid-job
+  // ClassCastException
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "bounded_collect"

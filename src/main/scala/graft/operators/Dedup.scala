@@ -11,16 +11,29 @@ import graft.functions.{PolyHash, SimHash64, WordNgrams, WordNgramHashes, TextFe
   * pipeline operators.
   *
   * Scale shapes (each holds at 1000 executors):
-  *   - exact: one shuffle keyed by (n_chars, poly_hash(31), poly_hash(131))
-  *     — a 124-bit-entropy composite key, so the exchange carries three
-  *     longs per group instead of every document's full text; collision
-  *     odds across two independent-base 31-bit hashes plus the length are
-  *     ~2^-62 per pair — below any realistic corpus error floor.
-  *   - ngram: inverted-index self-join keyed by (block, gram), blocked by
-  *     (lang × length-bucket) and pruned by a document-frequency cap
-  *     ([[NgramDfCap]]) so boilerplate grams can't square a posting list;
-  *     candidates are then verified with EXACT Jaccard over full gram
-  *     sets — the standard candidate/verify set-similarity split.
+  *   - exact: one shuffle keyed by (n_chars, poly_hash(31/131/257/65599))
+  *     — FOUR independent-base 31-bit polynomial hashes plus the length,
+  *     a 124-bit composite key, so the exchange carries five longs per
+  *     group instead of every document's full text. Per-pair collision
+  *     odds ~2^-124; the birthday AGGREGATE over a 10^10-document corpus
+  *     is (10^10)²/2 / 2^124 ≈ 2·10^-18 expected collisions — negligible
+  *     (two bases alone would expect ~10 silent merges at that scale,
+  *     which is why the key is four-wide). ADVERSARIAL CAVEAT: these are
+  *     polynomial mod-p hashes with public parameters — crafted distinct
+  *     documents CAN be made to collide on all four simultaneously
+  *     (solve the difference polynomial), so against adversarial input
+  *     this is not "exact"; they are chosen because the identical fold
+  *     is expressible in DuckDB SQL (the oracle contract, SURVEY §5).
+  *     For hostile corpora swap the key for a keyed 128-bit
+  *     non-polynomial fingerprint (e.g. HMAC-truncated) — the operator
+  *     shape (hash-key groupBy, min-id survivor) is unchanged.
+  *   - ngram: inverted-index posting lists keyed by (block, gram),
+  *     blocked by (lang × length-bucket); a document-frequency cap
+  *     ([[NgramDfCap]]) keeps boilerplate grams from squaring a posting
+  *     list, with over-cap grams falling back to a linear representative
+  *     STAR so heavy near-dup clusters still surface; candidates are
+  *     then verified with EXACT Jaccard over full gram sets — the
+  *     standard candidate/verify set-similarity split.
   *   - minhash: signatures via 16 parallel min-aggregations over one
   *     gram-hash scan (map-side partial agg; NO 16× row fanout), then an
   *     LSH band-bucket equi-join whose output is only the candidate set;
@@ -39,16 +52,32 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
 
+  /** The exact-dedup key bases: four independent-base polynomial hashes
+    * plus the length = 124 bits of key entropy (see the birthday math
+    * and the adversarial caveat in the object scaladoc). Shared by
+    * [[dedupExact]], [[dedupSurvivors]] and
+    * [[graft.streaming.StreamOps.streamingDedup]] so the batch and
+    * streaming dedup stages agree on what "identical" means. */
+  val ExactKeyBases: Seq[Long] = Seq(31L, 131L, 257L, 65599L)
+
+  /** The Spark-side exact-dedup hash key columns over `text`. */
+  def exactKeyCols(s: SparkSession): Seq[org.apache.spark.sql.Column] = {
+    import s.implicits._
+    ExactKeyBases.map(b => PolyHash($"text", b).as(s"h$b"))
+  }
+
+  /** The DuckDB-side identical key expressions (for oracles). */
+  def exactKeySql: Seq[String] = ExactKeyBases.map(b => PolyHash.duckSql("text", b))
+
   /** Exact dedup: survivor = min doc_id per identical text; survivor
-    * counts per source. Grouping key is (n_chars, h31, h131) — two
-    * independent-base polynomial hashes plus the length — NOT the text
-    * itself, so the groupBy exchange moves 24 bytes of key per document
-    * instead of the whole corpus (see the scale notes above). */
+    * counts per source. Grouping key is (n_chars, [[ExactKeyBases]]
+    * hashes) — NOT the text itself, so the groupBy exchange moves 40
+    * bytes of key per document instead of the whole corpus (see the
+    * scale notes above). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
-      .groupBy($"n_chars", PolyHash($"text").as("h31"),
-        PolyHash($"text", 131).as("h131"))
+      .groupBy(col("n_chars") +: exactKeyCols(s): _*)
       .agg(min_by($"source", $"doc_id").as("source"),
         count(lit(1)).as("n_copies"))
       .groupBy($"source")
@@ -65,8 +94,7 @@ object Dedup {
        |FROM (
        |  SELECT min_by(source, doc_id) AS source, count(*) AS n_copies
        |  FROM documents
-       |  GROUP BY n_chars, ${PolyHash.duckSql("text")},
-       |    ${PolyHash.duckSql("text", 131)})
+       |  GROUP BY n_chars, ${exactKeySql.mkString(",\n    ")})
        |GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- ngram
@@ -75,16 +103,29 @@ object Dedup {
   val JaccardTau = 0.5
 
   /** Document-frequency cap for n-gram CANDIDATE GENERATION: a gram
-    * present in more than this many documents of one block is corpus
-    * boilerplate (template headers, licence lines) and is excluded from
-    * the inverted-index self-join — one such gram in a block otherwise
-    * contributes df² candidate pairs, the posting-list quadratic blow-up
-    * that kills the join at 100 TB. Verification is still EXACT over the
-    * full gram sets, so the only recall loss is a pair whose every
-    * shared gram exceeds the cap — at τ = 0.5 such a pair shares ≥ ⅓ of
-    * its grams, all boilerplate, i.e. a template match rather than a
-    * content near-duplicate. DedupSpec demonstrates the candidate
-    * reduction on a boilerplate corpus with unchanged τ-pairs. */
+    * present in more than this many documents of one block is excluded
+    * from the all-pairs posting-list expansion — one such gram in a
+    * block otherwise contributes df² candidate pairs, the posting-list
+    * quadratic blow-up that kills the join at 100 TB.
+    *
+    * Over-cap grams are NOT silently dropped: they fall back to a STAR
+    * expansion — each member pairs with the gram's minimum doc_id (df
+    * pairs, linear) — so a near-dup cluster with more members than the
+    * cap (mirrored SEO spam, mass-copied articles: exactly the heavy
+    * clusters a 100-TB dedup exists for) still gets candidates, where a
+    * drop-only cap would emit zero pairs for it once every shared gram's
+    * df exceeded the cap. Verification stays EXACT over full gram sets,
+    * so precision is unaffected.
+    *
+    * Remaining documented recall caveat: within an over-cap cluster the
+    * reported PAIR LIST is the representative star, not all τ-pairs — a
+    * member whose Jaccard to the representative is < τ (but ≥ τ to some
+    * other member) is only found if they also share an under-cap gram.
+    * For the downstream [[dedupSurvivors]] drop (keep lowest id of each
+    * pair) the star is the useful shape anyway: every verified member
+    * collapses onto the representative. DedupSpec covers both the
+    * candidate reduction on boilerplate AND the >cap near-identical
+    * cluster (the round-2 advisor's blind spot). */
   val NgramDfCap = 64L
 
   /** Distinct word-3-grams per doc, exploded, each row carrying the
@@ -130,26 +171,36 @@ object Dedup {
     * reduction the cap buys on a boilerplate corpus. */
   def ngramCandidates(docs: DataFrame, dfCap: Long): DataFrame = {
     import docs.sparkSession.implicits._
-    // Posting-list formulation: ONE gram scan, ONE shuffle. Each (block,
-    // gram) group gathers its doc ids via the bounded
-    // [[graft.functions.BoundedCollect]] aggregate (buffer ≤ cap+1 longs
-    // per group under any skew — a corpus-boilerplate gram can't OOM a
-    // reducer), over-cap grams are dropped, and the candidate pairs are
-    // generated directly from each surviving list (≤ cap²/2 per gram).
-    // An inverted-index SELF-JOIN would instead re-evaluate the gram
-    // explode per join leg (measured 3× slower at sf0.1) and a window-df
-    // formulation buffers whole blocks in the sort (measured 10× slower).
+    // Posting-list formulation: ONE gram scan, ONE shuffle for the
+    // under-cap path. Each (block, gram) group gathers its doc ids via
+    // the bounded [[graft.functions.BoundedCollect]] aggregate (buffer
+    // ≤ cap+1 longs per group under any skew — a corpus-boilerplate
+    // gram can't OOM a reducer) plus an O(1) exact df count and group
+    // min. Under-cap grams expand to all pairs (≤ cap²/2 per gram);
+    // over-cap grams expand to the linear STAR against the group min by
+    // re-joining the gram scan on the (typically tiny — AQE broadcasts
+    // it when measured small) over-cap key set. An inverted-index
+    // SELF-JOIN would instead re-evaluate the gram explode per join leg
+    // (measured 3× slower at sf0.1) and a window-df formulation buffers
+    // whole blocks in the sort (measured 10× slower).
     val lim = if (dfCap >= Int.MaxValue) Int.MaxValue
       else (dfCap + 1).toInt
-    hashedGramsOf(docs)
+    val g = hashedGramsOf(docs)
+    val agg = g
       .groupBy($"lang", $"lb", $"gh")
-      .agg(graft.functions.BoundedCollect($"doc_id", lim).as("ids"))
-      .filter(size($"ids") < lim)
+      .agg(graft.functions.BoundedCollect($"doc_id", lim).as("ids"),
+        count(lit(1)).as("df"), min($"doc_id").as("mn"))
+    val allPairs = agg.filter($"df" <= dfCap)
       .select(explode(expr(
         "filter(flatten(transform(ids, a -> transform(ids, b -> " +
           "struct(a AS a_id, b AS b_id)))), p -> p.a_id < p.b_id)")).as("p"))
       .select($"p.a_id", $"p.b_id")
-      .distinct()
+    val starPairs = agg.filter($"df" > dfCap)
+      .select($"lang", $"lb", $"gh", $"mn")
+      .join(g, Seq("lang", "lb", "gh"))
+      .filter($"doc_id" =!= $"mn")
+      .select($"mn".as("a_id"), $"doc_id".as("b_id"))
+    allPairs.union(starPairs).distinct()
   }
 
   /** N-gram Jaccard near-dup pairs within blocks: DF-capped posting-list
@@ -195,17 +246,20 @@ object Dedup {
        |  FROM grams),
        |sizes AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
        |gdf AS (
-       |  SELECT lang, lb, gh FROM (
-       |    SELECT lang, lb, gh, count(*) AS df
-       |    FROM gh GROUP BY lang, lb, gh)
-       |  WHERE df <= $NgramDfCap),
+       |  SELECT lang, lb, gh, count(*) AS df, min(doc_id) AS mn
+       |  FROM gh GROUP BY lang, lb, gh),
        |rare AS (
-       |  SELECT g.* FROM gh g JOIN gdf USING (lang, lb, gh)),
+       |  SELECT g.* FROM gh g JOIN gdf d USING (lang, lb, gh)
+       |  WHERE d.df <= $NgramDfCap),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM rare a JOIN rare b
        |    ON a.lang = b.lang AND a.lb = b.lb AND a.gh = b.gh
-       |    AND a.doc_id < b.doc_id),
+       |    AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT DISTINCT d.mn AS a_id, g.doc_id AS b_id
+       |  FROM gh g JOIN gdf d USING (lang, lb, gh)
+       |  WHERE d.df > $NgramDfCap AND g.doc_id != d.mn),
        |shared AS (
        |  SELECT a_id, b_id, count(*) AS sh
        |  FROM cand
@@ -479,13 +533,13 @@ object Dedup {
     * join is a plain shuffle join: AQE will still pick a broadcast anti
     * join at runtime when the measured drop list is genuinely small —
     * size-based, not assumed. The exact-drop grouping uses the same
-    * dual-hash key as [[dedupExact]], so no shuffle here carries text. */
+    * [[ExactKeyBases]] hash key as [[dedupExact]], so no shuffle here
+    * carries text. */
   def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     val exactDrops = docs
-      .groupBy($"n_chars", PolyHash($"text").as("h31"),
-        PolyHash($"text", 131).as("h131"))
+      .groupBy(col("n_chars") +: exactKeyCols(s): _*)
       .agg(min($"doc_id").as("keep_id"), collect_list($"doc_id").as("ids"))
       .select(explode($"ids").as("doc_id"), $"keep_id")
       .filter($"doc_id" =!= $"keep_id")
@@ -501,13 +555,14 @@ object Dedup {
   val dedupSurvivorsSql: String =
     s"""WITH hashed AS (
        |  SELECT doc_id, n_chars,
-       |    ${PolyHash.duckSql("text")} AS h31,
-       |    ${PolyHash.duckSql("text", 131)} AS h131
+       |    ${ExactKeyBases.map(b => s"${PolyHash.duckSql("text", b)} AS h$b")
+            .mkString(",\n    ")}
        |  FROM documents),
        |exact_drops AS (
        |  SELECT doc_id FROM (
        |    SELECT doc_id,
-       |      min(doc_id) OVER (PARTITION BY n_chars, h31, h131) AS keep_id
+       |      min(doc_id) OVER (PARTITION BY n_chars,
+       |        ${ExactKeyBases.map(b => s"h$b").mkString(", ")}) AS keep_id
        |    FROM hashed)
        |  WHERE doc_id != keep_id),
        |near AS (${dedupNgramSql.replace("ORDER BY a_id, b_id", "")}),

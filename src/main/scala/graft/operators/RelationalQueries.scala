@@ -225,7 +225,10 @@ object RelationalQueries {
     * group-by on ≤ [[HistBins]] integer keys with map-side partials.
     * Binning arithmetic is identical IEEE double ops on both engines,
     * so the integer bin of every row — and therefore the oracle hash —
-    * is bit-deterministic. */
+    * is bit-deterministic. A constant column (hi = lo) would make the
+    * bin width 0 and the bin expression 0.0/0.0 = NaN, where the two
+    * engines' floor/cast NaN semantics diverge — both sides guard it
+    * to bin 0 explicitly with the same CASE. */
   def histogram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val x = Tables(s, dir, "lineitem").select($"l_extendedprice".as("x"))
@@ -233,7 +236,9 @@ object RelationalQueries {
     x.crossJoin(broadcast(bounds))
       .withColumn("w", ($"hi" - $"lo") / HistBins)
       .withColumn("bin",
-        least(floor(($"x" - $"lo") / $"w"), lit(HistBins - 1L)).cast("int"))
+        when($"hi" === $"lo", lit(0L))
+          .otherwise(least(floor(($"x" - $"lo") / $"w"), lit(HistBins - 1L)))
+          .cast("int"))
       .groupBy($"bin")
       .agg(count(lit(1)).as("n"), min($"lo").as("lo"), min($"w").as("w"))
       .select($"bin",
@@ -248,8 +253,9 @@ object RelationalQueries {
        |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
        |  FROM lineitem),
        |binned AS (
-       |  SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / $HistBins)),
-       |    ${HistBins - 1}) AS INT) AS bin,
+       |  SELECT CAST(CASE WHEN hi = lo THEN 0
+       |    ELSE least(floor((l_extendedprice - lo) / ((hi - lo) / $HistBins)),
+       |      ${HistBins - 1}) END AS INT) AS bin,
        |    lo, (hi - lo) / $HistBins AS w
        |  FROM lineitem CROSS JOIN b)
        |SELECT bin, round(lo + bin * w, 4) AS bin_lo,

@@ -71,21 +71,26 @@ object StreamOps {
   /** Streaming exact dedup — the at-ingest dedup stage of a streaming
     * corpus pipeline: each document content is emitted once; late
     * re-arrivals within the watermark horizon are dropped. The dedup
-    * key is the same (n_chars, h31, h131) dual-base PolyHash composite
-    * the batch [[graft.operators.Dedup.dedupExact]] shuffles on, so the
-    * state store holds 24 bytes per distinct document instead of its
-    * text, and `dropDuplicatesWithinWatermark` expires state once the
+    * key is the same (length, [[graft.operators.Dedup.ExactKeyBases]]
+    * four-base PolyHash composite) the batch
+    * [[graft.operators.Dedup.dedupExact]] shuffles on (birthday-safe at
+    * 10^10 docs; adversarial caveat in Dedup's scaladoc), so the state
+    * store holds 40 bytes per distinct document instead of its text,
+    * and `dropDuplicatesWithinWatermark` expires state once the
     * watermark passes — bounded state at any stream volume, which an
     * unbounded `dropDuplicates` would not give. Input needs (ts, text)
     * columns; all input columns pass through. */
-  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
     // key columns use reserved names so a caller's own n_chars/h31/...
     // columns pass through untouched (the documented contract)
-    docs
-      .withColumn("__dedup_h31", graft.functions.PolyHash(col("text")))
-      .withColumn("__dedup_h131", graft.functions.PolyHash(col("text"), 131))
+    val keyNames = graft.operators.Dedup.ExactKeyBases.map(b => s"__dedup_h$b")
+    val hashed = graft.operators.Dedup.ExactKeyBases.foldLeft(docs) { (d, b) =>
+      d.withColumn(s"__dedup_h$b", graft.functions.PolyHash(col("text"), b))
+    }
+    hashed
       .withColumn("__dedup_len", length(col("text")))
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("__dedup_len", "__dedup_h31", "__dedup_h131")
-      .drop("__dedup_h31", "__dedup_h131", "__dedup_len")
+      .dropDuplicatesWithinWatermark("__dedup_len" +: keyNames)
+      .drop("__dedup_len" +: keyNames: _*)
+  }
 }

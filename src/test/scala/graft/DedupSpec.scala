@@ -275,4 +275,26 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairsCapped == pairsUncapped)
     assert(pairsCapped.exists { case (a, b, _) => a == 100L && b == 101L })
   }
+
+  test("over-cap near-dup cluster still surfaces via the star fallback") {
+    import spark.implicits._
+    // 30 near-identical docs (one trailing word differs) in one block:
+    // EVERY shared gram has df = 30 > cap = 10, so a drop-only cap
+    // would emit zero candidates for the whole cluster (the round-2
+    // advisor's blind spot). The star fallback pairs each member with
+    // the representative (min doc_id), and the exact verify passes:
+    // 10 shared of 11 grams each → J = 10/12 ≈ 0.8333 ≥ τ.
+    val common = (1 to 12).map(j => s"w$j").mkString(" ")
+    val docs = (0 until 30).map(i => (i.toLong, "en", s"$common tail$i"))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.lit(50))
+    val pairs = Dedup.dedupNgramOn(docs, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 29, s"got ${pairs.length} pairs")
+    assert(pairs.forall(_._1 == 0L), "every pair anchors on the representative")
+    assert(pairs.forall(_._3 == 0.8333))
+    // candidate generation stayed linear in the cluster size, not df²
+    val cand = Dedup.ngramCandidates(docs, 10L).count()
+    assert(cand == 29L, s"star candidates should be linear, got $cand")
+  }
 }

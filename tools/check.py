@@ -34,16 +34,16 @@ def canon(df: pd.DataFrame):
 def cells_equal(x, y) -> bool:
     """Raw-value compare: floats numerically within tolerance, the rest
     by string form.  Both sides round doubles to 4 decimals (the SURVEY
-    §5 contract), so the tolerance only absorbs representation noise of
-    round() itself (rel 1e-12) plus an absolute floor at half the
-    contract's last decimal — a genuine 4th-decimal mismatch fails at
-    any magnitude."""
+    §5 contract), so the only allowed float difference is half the
+    contract's last decimal, REGARDLESS of magnitude (rel_tol=0 — a
+    relative term would let genuine 4th-decimal mismatches pass once
+    |value| is large)."""
     xna, yna = pd.isna(x), pd.isna(y)
     if xna or yna:
         return bool(xna) and bool(yna)
     if isinstance(x, float) or isinstance(y, float):
         try:
-            return math.isclose(float(x), float(y), rel_tol=1e-12, abs_tol=5e-5)
+            return math.isclose(float(x), float(y), rel_tol=0.0, abs_tol=5e-5)
         except (TypeError, ValueError):
             return False
     return str(x) == str(y)

@@ -136,6 +136,49 @@ object CorpusOps {
        |GROUP BY source, split
        |ORDER BY source, split""".stripMargin
 
+  /** Documents sampled per source by [[groupSample]]. */
+  val SampleK = 5
+
+  /** Deterministic per-group k-sample: for each source, the [[SampleK]]
+    * documents with the smallest `poly_hash(doc_id)` (doc_id
+    * tie-break). Hash-rank sampling gives every document equal
+    * selection odds (the hash is uniform over ids) while staying
+    * reproducible across runs, engines, and partitionings — the
+    * "inspect 5 random docs per shard" debugging loop a corpus pipeline
+    * runs constantly, made stable enough to diff between pipeline
+    * versions.
+    *
+    * Scale shape: `row_number ≤ k` over a window is NOT a full
+    * per-group sort at execution time — Spark inserts a
+    * WindowGroupLimit (per-partition top-k heap BEFORE the exchange,
+    * asserted in CorpusOpsSpec), so the shuffle carries ≤ k rows per
+    * source per input partition. Same pattern as the reference loader's
+    * seeded `random.sample` init (master.py:27-34) made
+    * partition-independent — [[graft.kmeans.KMeans.initSample]] uses
+    * the identical hash-rank trick. */
+  def groupSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy($"h", $"doc_id")
+    Tables(s, dir, "documents")
+      .withColumn("h", PolyHash($"doc_id".cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= SampleK)
+      .select($"source", $"rk", $"doc_id", $"lang", $"n_chars")
+      .orderBy($"source", $"rk")
+  }
+
+  val groupSampleSql: String =
+    s"""SELECT source, rk, doc_id, lang, n_chars FROM (
+       |  SELECT source, doc_id, lang, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ${PolyHash.duckSql("CAST(doc_id AS VARCHAR)")}, doc_id)
+       |      AS rk
+       |  FROM documents)
+       |WHERE rk <= $SampleK
+       |ORDER BY source, rk""".stripMargin
+
   /** Token budget per packed training sequence. */
   val PackBudget = 512
 
@@ -213,10 +256,12 @@ object CorpusOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> (decontaminate(_, _)),
     "sample_split" -> (sampleSplit(_, _)),
+    "group_sample" -> (groupSample(_, _)),
     "pack_sequences" -> (packSequences(_, _)))
 
   def oracles: Map[String, String] = Map(
     "decontaminate" -> decontaminateSql,
     "sample_split" -> sampleSplitSql,
+    "group_sample" -> groupSampleSql,
     "pack_sequences" -> packSequencesSql)
 }

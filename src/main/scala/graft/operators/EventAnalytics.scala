@@ -179,11 +179,91 @@ object EventAnalytics {
       |  FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Weekly cohort retention: cohort = a user's first active ISO week;
+    * for each (cohort, weeks-since-cohort) cell, how many of the
+    * cohort's users were active. The standard growth-analytics query,
+    * shaped for scale: one distinct on (user_id, week) — the only
+    * exchange that sees event volume, and it is keyed by the natural
+    * high-cardinality user_id — then a user-keyed cohort join that
+    * co-partitions with it, then aggregation on the tiny (cohort, k)
+    * grid. Week arithmetic stays in exact integer days DIV 7 (both
+    * engines truncate weeks to Monday), so every cell is
+    * bit-deterministic. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wk = Tables(s, dir, "events")
+      .select($"user_id", to_date(date_trunc("week", $"ts")).as("week"))
+      .distinct()
+    val cohort = wk.groupBy($"user_id").agg(min($"week").as("cohort"))
+    val sizes = cohort.groupBy($"cohort").agg(count(lit(1)).as("cohort_users"))
+    wk.join(cohort, "user_id")
+      .withColumn("week_k", expr("datediff(week, cohort) DIV 7"))
+      .groupBy($"cohort", $"week_k")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort")
+      .select($"cohort", $"week_k", $"n_active", $"cohort_users",
+        round($"n_active" / $"cohort_users".cast("double"), 4).as("retention"))
+      .orderBy($"cohort", $"week_k")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH wk AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(week) AS cohort FROM wk GROUP BY user_id),
+      |sizes AS (SELECT cohort, count(*) AS cohort_users FROM cohorts GROUP BY cohort),
+      |act AS (
+      |  SELECT c.cohort, date_diff('day', c.cohort, w.week) // 7 AS week_k,
+      |    count(*) AS n_active
+      |  FROM wk w JOIN cohorts c USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT a.cohort, a.week_k, a.n_active, s.cohort_users,
+      |  round(a.n_active / CAST(s.cohort_users AS DOUBLE), 4) AS retention
+      |FROM act a JOIN sizes s USING (cohort)
+      |ORDER BY cohort, week_k""".stripMargin
+
+  /** Salt fanout for [[skewJoinSalted]]. */
+  val JoinSalts = 8
+
+  /** Per-segment event revenue through a SALTED shuffle join
+    * ([[Skew.saltedEquiJoin]]) — the manual skew-mitigation path
+    * exercised as a query with an oracle. The scenario it exists for at
+    * 100 TB: a fact table whose key distribution has pathological hot
+    * keys (one user/tenant = >10% of events) joined against a dimension
+    * too large to broadcast — AQE's skew split handles hot PARTITIONS,
+    * salting additionally splits a single hot KEY across [[JoinSalts]]
+    * reducers at the cost of replicating the dimension `salts`×. The
+    * result is provably identical to the plain join (SkewSpec), which
+    * is exactly what the oracle checks — DuckDB runs the UNSALTED
+    * join. */
+  def skewJoinSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"value")
+    val cust = Tables(s, dir, "customer")
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    Skew.saltedEquiJoin(ev, cust, "user_id", "event_id", JoinSalts)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"),
+        count_distinct($"user_id").as("n_users"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val skewJoinSaltedSql: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_extract" -> (jsonExtract(_, _)),
     "funnel" -> (funnel(_, _)),
     "range_join_bucketed" -> (clickErrorRange(_, _)),
     "rollup_agg" -> (rollupAgg(_, _)),
+    "retention_cohorts" -> (retentionCohorts(_, _)),
+    "skew_join_salted" -> (skewJoinSalted(_, _)),
     "pivot_events" -> (pivotEvents(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -191,5 +271,7 @@ object EventAnalytics {
     "funnel" -> funnelSql,
     "range_join_bucketed" -> clickErrorRangeSql,
     "rollup_agg" -> rollupAggSql,
+    "retention_cohorts" -> retentionCohortsSql,
+    "skew_join_salted" -> skewJoinSaltedSql,
     "pivot_events" -> pivotEventsSql)
 }

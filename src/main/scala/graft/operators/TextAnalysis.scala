@@ -207,6 +207,64 @@ object TextAnalysis {
        |FROM (SELECT doc_id, unnest($duckToks) AS w FROM documents)
        |GROUP BY w ORDER BY n DESC, w LIMIT 50""".stripMargin
 
+  // ----------------------------------------------------- heavy hitters
+
+  /** Heavy-hitter threshold denominator: report words with frequency
+    * strictly above total/[[HhDenom]]. */
+  val HhDenom = 200L
+
+  /** Misra-Gries summary capacity. The MG guarantee retains every item
+    * with frequency > N/(capacity+1); with capacity ≫ [[HhDenom]] the
+    * candidate set provably contains every true heavy hitter, so the
+    * exact re-count below returns the EXACT answer at any partitioning
+    * — the sketch only bounds memory, never the result. */
+  val HhCapacity = 1000
+
+  /** Exact corpus heavy hitters with bounded memory — the sketch-then-
+    * verify shape of the dedup suite applied to frequency counting:
+    *
+    *   1. candidate pass: one scan aggregated by the Misra-Gries
+    *      [[graft.functions.FrequentWords]] summary (≤ [[HhCapacity]]
+    *      counters per partition, merged on ONE reducer as
+    *      capacity-bounded partials) — provably a superset of every
+    *      word with frequency > N/[[HhDenom]];
+    *   2. verify pass: exact counts of CANDIDATE words only, via a
+    *      broadcast semi-join that filters the corpus map-side, so the
+    *      word shuffle carries ≤ capacity distinct keys.
+    *
+    * Compare the naive exact plan ([[vocabTopK]]'s full word-keyed
+    * shuffle): at 100 TB that exchange carries every word occurrence;
+    * this one carries the total count (1 row) + candidate occurrences.
+    * Output is deterministic and exact — hence oracle-checkable against
+    * a plain GROUP BY / HAVING — because the threshold compare uses
+    * exact integer arithmetic (cnt · denom > total). */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables(s, dir, "documents")
+      .select(explode(toks(lower($"text"))).as("w"))
+    val cands = words.agg(
+      graft.functions.FrequentWords($"w", HhCapacity).as("cands"),
+      count(lit(1)).as("total"))
+    val candWords = cands.select(explode($"cands").as("w"), $"total")
+    words.join(broadcast(candWords), "w")
+      .groupBy($"w", $"total")
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * HhDenom > $"total")
+      .select($"w", $"cnt",
+        round($"cnt" / $"total".cast("double"), 4).as("share"))
+      .orderBy($"w")
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH w AS (SELECT unnest($duckToks) AS w FROM documents),
+       |t AS (SELECT count(*) AS total FROM w)
+       |SELECT w, count(*) AS cnt,
+       |  round(count(*) / CAST(total AS DOUBLE), 4) AS share
+       |FROM w CROSS JOIN t
+       |GROUP BY w, total
+       |HAVING count(*) * $HhDenom > total
+       |ORDER BY w""".stripMargin
+
   // --------------------------------------------------------- normalize
 
   /** Normalization map stage: lowercase, strip non-alphanumerics (keep
@@ -353,6 +411,7 @@ object TextAnalysis {
     "quality_score" -> (qualityScore(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)),
     "vocab_topk" -> (vocabTopK(_, _)),
+    "heavy_hitters" -> (heavyHitters(_, _)),
     "tfidf_topk" -> (tfidfTopK(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -363,5 +422,6 @@ object TextAnalysis {
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
     "doc_fingerprint" -> docFingerprintSql,
-    "vocab_topk" -> vocabTopKSql)
+    "vocab_topk" -> vocabTopKSql,
+    "heavy_hitters" -> heavyHittersSql)
 }

@@ -74,4 +74,31 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bySplit = a.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
     assert(bySplit("train") > bySplit("val") + bySplit("test"))
   }
+
+  test("group_sample: k per source, partition-independent, group-limited plan") {
+    val out = CorpusOps.groupSample(spark, sf)
+    val rows = out.collect()
+    val perSource = rows.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perSource.values.forall(_ == CorpusOps.SampleK))
+    // the sample is a property of the DATA, not the partitioning: a
+    // repartitioned input yields the identical sample
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents").repartition(13, col("lang"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val again = docs
+      .withColumn("h", graft.functions.PolyHash(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CorpusOps.SampleK)
+      .select(col("source"), col("rk"), col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("source"), col("rk"))
+      .collect()
+    assert(rows.toSeq == again.toSeq)
+    // scale shape: the rank filter must push a WindowGroupLimit below
+    // the exchange so the shuffle carries ≤ k rows/source/partition
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a WindowGroupLimit in:\n$plan")
+  }
 }

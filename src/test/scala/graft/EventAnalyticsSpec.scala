@@ -44,4 +44,34 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(sum("rowsum")).head().getLong(0)
     assert(pivTotal == Tables(spark, sf, "events").count())
   }
+
+  test("retention cohorts: week-0 cell is the full cohort, rates in (0,1]") {
+    val rows = EventAnalytics.retentionCohorts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, active, size, rate) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(k >= 0L)
+      assert(active <= size)
+      assert(rate > 0.0 && rate <= 1.0)
+      // by construction every cohort member is active in their week 0
+      if (k == 0) assert(active == size)
+    }
+  }
+
+  test("salted skew join equals the plain join") {
+    import org.apache.spark.sql.functions._
+    val salted = EventAnalytics.skewJoinSalted(spark, sf).collect()
+    val ev = Tables(spark, sf, "events").select(col("user_id"), col("value"))
+    val cust = Tables(spark, sf, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = ev.join(cust, "user_id")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("c_mktsegment"))
+      .collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
 }

@@ -575,7 +575,86 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------ components
+
+  /** Connected components over the near-dup pair graph — the step that
+    * turns PAIRS into CLUSTERS: pairs (1,2) and (2,3) are one
+    * three-document cluster even though (1,3) was never emitted (e.g.
+    * chained paraphrases, or the over-cap star's representative edges).
+    * Per-pair min-id dropping already dedups correctly, but cluster
+    * identity is what corpus forensics needs: how many near-dup
+    * families, how big, which representative.
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint —
+    * label(x) ← min(label(x), min label of x's neighbors) — the
+    * standard Spark CC shape. Each iteration is ONE shuffle join keyed
+    * by node id plus a K-row-per-node aggregation; the driver loop
+    * checks convergence via `sum(label)` (labels only decrease, so the
+    * sum is strictly monotone until the fixpoint — an O(1)-row
+    * aggregate per round, no data collect). Iterations = graph
+    * diameter: near-dup clusters are dense (star edges give diameter
+    * ≤ 2 through the representative), so the loop is short; for
+    * adversarially long path graphs the large-star/small-star variant
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) halves diameter per round — same per-iteration plan
+    * shape, not needed for this graph family.
+    *
+    * Oracle: DuckDB computes the same fixpoint declaratively with a
+    * recursive CTE (min reachable id per node). Output is per-cluster:
+    * representative (= min doc_id), member count. */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    componentsOf(dedupNgram(s, dir))
+
+  /** CC core over any (a_id, b_id) pair frame — public so DedupSpec can
+    * drive synthetic graphs (chains, stars, forests) through it. */
+  def componentsOf(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val fwd = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+    val edges = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .persist()
+    val nodes = edges.select($"src".as("id")).distinct()
+    // self-loop makes one join compute min(own, neighbors) in one pass
+    val adj = edges.union(nodes.select($"id".as("src"), $"id".as("dst")))
+    var labels = nodes.withColumn("lab", $"id").persist()
+    var prevSum = labels.agg(sum($"lab")).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 30) {
+      val next = adj.join(labels, adj("src") === labels("id"))
+        .groupBy($"dst".as("id"))
+        .agg(min($"lab").as("lab"))
+        .persist()
+      val nextSum = next.agg(sum($"lab")).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    edges.unpersist()
+    labels.groupBy($"lab".as("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy($"component")
+  }
+
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a_id, b_id FROM (${dedupNgramSql.replace("ORDER BY a_id, b_id", "")})),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |walk(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
+       |comp AS (SELECT id, min(lab) AS component FROM walk GROUP BY id)
+       |SELECT component, count(*) AS n_members
+       |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components" -> (dedupComponents(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram" -> (dedupNgram(_, _)),
     "dedup_minhash" -> (dedupMinHash(_, _)),
@@ -585,6 +664,7 @@ object Dedup {
     "dedup_survivors" -> (dedupSurvivors(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "dedup_components" -> dedupComponentsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_minhash" -> dedupMinHashSql,

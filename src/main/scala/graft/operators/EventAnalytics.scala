@@ -257,7 +257,42 @@ object EventAnalytics {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Changelog compaction (the CDC "latest snapshot" materialization):
+    * per key, the most recent record wins — how a 100-TB pipeline turns
+    * an append-only event/change log into current state. Latest-wins
+    * rule: max (event time, event_id) per user. The `row_number = 1`
+    * filter compiles to a WindowGroupLimit (per-partition top-1 heap
+    * BEFORE the exchange), so the shuffle carries one candidate row per
+    * key per input partition — the log's volume never crosses the wire.
+    *
+    * Cross-engine determinism: ordering uses SECOND-truncated time plus
+    * the event_id tie-break on BOTH engines, so a sub-second pair can't
+    * be ordered by timestamp bits one engine keeps and the other
+    * truncates. */
+  def cdcLatest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy(date_trunc("second", $"ts").desc, $"event_id".desc)
+    Tables(s, dir, "events")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"event_type".as("last_type"), round($"value", 4).as("last_value"))
+      .orderBy($"user_id")
+  }
+
+  val cdcLatestSql: String =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  round(value, 4) AS last_value
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rk
+      |  FROM events)
+      |WHERE rk = 1 ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_latest" -> (cdcLatest(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
     "funnel" -> (funnel(_, _)),
     "range_join_bucketed" -> (clickErrorRange(_, _)),
@@ -267,6 +302,7 @@ object EventAnalytics {
     "pivot_events" -> (pivotEvents(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "cdc_latest" -> cdcLatestSql,
     "json_extract" -> jsonExtractSql,
     "funnel" -> funnelSql,
     "range_join_bucketed" -> clickErrorRangeSql,

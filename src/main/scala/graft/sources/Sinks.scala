@@ -46,4 +46,28 @@ object Sinks {
   def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
+
+  /** Range-clustered parquet layout: `repartitionByRange` routes each
+    * sort-key range to one output file and `sortWithinPartitions`
+    * orders rows inside it, so every file's parquet footer carries a
+    * TIGHT, pairwise-disjoint min/max for the key — a range predicate
+    * then prunes whole files/row-groups at scan time instead of
+    * reading and filtering them. This is the data-layout half of
+    * partition pruning: `partitionBy` handles low-cardinality
+    * categorical keys (directory pruning), range clustering handles
+    * high-cardinality ordered keys (dates, ids) where one directory
+    * per value would be the small-file explosion.
+    *
+    * The range boundaries come from Spark's reservoir sample of the
+    * key column (one extra pass over the input — the price of balanced
+    * output files regardless of key skew). SinksSpec asserts the
+    * resulting file-level min/max intervals are disjoint, which is the
+    * property row-group skipping needs. */
+  def writeRangePartitioned(df: DataFrame, path: String, numFiles: Int,
+      sortCols: Seq[String]): Unit =
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
 }

@@ -297,4 +297,23 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cand = Dedup.ngramCandidates(docs, 10L).count()
     assert(cand == 29L, s"star candidates should be linear, got $cand")
   }
+
+  test("componentsOf: chains, stars, forests resolve to min-id clusters") {
+    import spark.implicits._
+    // chain 1-2-3-4 (pairs never list 1-4), star 10<-{11,12,13}, and an
+    // isolated pair 20-21: 3 components keyed by their min ids
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.componentsOf(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 4L), (10L, 4L), (20L, 2L)))
+    // a long chain exercises the fixpoint loop depth (diameter 12)
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val one = Dedup.componentsOf(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(one == Seq((0L, 13L)))
+  }
 }

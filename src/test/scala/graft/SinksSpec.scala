@@ -64,4 +64,32 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     val read = Sinks.readJsonl(spark, mixed.toString, docs.schema)
     assert(read.count() == 2)
   }
+
+  test("range-clustered layout: disjoint per-file key ranges, round-trip") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft_range").toString
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_shipdate")
+    Sinks.writeRangePartitioned(li, out, 8, Seq("l_shipdate"))
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length >= 2, "range write should produce multiple files")
+    // each file's key interval must not overlap any other — the footer
+    // min/max property that lets a range predicate skip whole files
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min($"l_shipdate").cast("string"),
+          org.apache.spark.sql.functions.max($"l_shipdate").cast("string"))
+        .head()
+      (r.getString(0), r.getString(1)) // ISO form orders lexicographically
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aHi), (bLo, _)) =>
+        assert(aHi <= bLo, s"file ranges overlap: $aHi > $bLo")
+      case _ =>
+    }
+    // round-trip
+    assert(spark.read.parquet(out).count() == li.count())
+  }
 }

@@ -73,6 +73,29 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected one as-of exchange keyed on k alone, got $hashKeys")
   }
 
+  test("heavy_hitters: candidates broadcast, word shuffle only for candidates") {
+    val plan = SparkEntry.queries("heavy_hitters")(spark, sf).queryExecution.executedPlan
+    // the candidate set joins the corpus via a broadcast (map-side
+    // filter), never a word-keyed shuffle of the whole corpus
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
+      s"candidate join must be broadcast:\n$s")
+    // the only hash exchanges are (a) the post-filter candidate
+    // re-count keyed by (w, total) and (b) nothing keyed by bare w
+    // upstream of the join
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      .map(_.outputPartitioning.toString)
+      .filter(_.contains("hashpartitioning"))
+    assert(exchanges.forall(_.contains("total#")),
+      s"only the candidate re-count may hash-shuffle, got $exchanges")
+  }
+
+  test("cdc_latest: rank filter compiles to a WindowGroupLimit") {
+    val plan = SparkEntry.queries("cdc_latest")(spark, sf).queryExecution.executedPlan
+    assert(plan.toString.contains("WindowGroupLimit"),
+      s"latest-wins must group-limit before the exchange:\n$plan")
+  }
+
   test("ann_lsh: the candidate-dedup exchange carries ids only") {
     val plan = SparkEntry.queries("ann_lsh")(spark, sf).queryExecution.executedPlan
     val candExchanges = plan.collect { case e: ShuffleExchangeExec => e }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{BoundedCollect, DotProduct, PolyHash, SimHash64, WordNgramHashes, WordNgrams}
+import graft.functions.{BoundedCollect, DotProduct, FrequentWords, PolyHash, SimHash64, WordNgramHashes, WordNgrams}
 
 /** SQL surface for the engine's native expressions. Register with
   *
@@ -74,6 +74,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("bounded_collect", args, 2)
         BoundedCollect(args.head, intArg(args(1), "bounded_collect limit"))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((FunctionIdentifier("frequent_words"),
+      info("frequent_words",
+        "frequent_words(col, capacity) - aggregate: Misra-Gries frequent-item candidates, ≤ capacity counters per group"),
+      (args: Seq[Expression]) => {
+        arity("frequent_words", args, 2)
+        FrequentWords(args.head, intArg(args(1), "frequent_words capacity"))
           .toAggregateExpression()
       }))
   }

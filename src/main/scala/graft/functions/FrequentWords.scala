@@ -60,12 +60,7 @@ case class FrequentWords(
     if (v != null) {
       // copy out of the reused UTF8String backing buffer before keying
       val s = v.asInstanceOf[UTF8String].toString
-      buf.get(s) match {
-        case Some(c) => buf.update(s, c + 1)
-        case None =>
-          if (buf.size < capacity) buf.update(s, 1L)
-          else decrementAll(buf, 1L) // MG: new item cancels one unit everywhere
-      }
+      FrequentWords.mgUpdate(buf, s, capacity)
     }
     buf
   }
@@ -81,18 +76,9 @@ case class FrequentWords(
       val counts = buf.values.toArray
       java.util.Arrays.sort(counts)
       val cut = counts(counts.length - capacity - 1)
-      decrementAll(buf, cut)
+      FrequentWords.decrementAll(buf, cut)
     }
     buf
-  }
-
-  private def decrementAll(buf: scala.collection.mutable.HashMap[String, Long],
-      by: Long): Unit = {
-    val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-    buf.foreach { case (k, c) =>
-      if (c <= by) dead += k else buf.update(k, c - by)
-    }
-    dead.foreach(buf.remove)
   }
 
   override def eval(buf: scala.collection.mutable.HashMap[String, Long]): Any = {
@@ -148,4 +134,26 @@ object FrequentWords {
   def apply(c: Column, capacity: Int): Column =
     GraftShims.column(
       FrequentWords(GraftShims.expression(c), capacity).toAggregateExpression())
+
+  /** The sequential Misra-Gries step — shared by the batch aggregate's
+    * `update` and the streaming state op
+    * ([[graft.streaming.StreamOps.streamingHeavyHitters]]), so batch
+    * and streaming agree on the summary semantics. */
+  def mgUpdate(buf: scala.collection.mutable.HashMap[String, Long],
+      s: String, capacity: Int): Unit =
+    buf.get(s) match {
+      case Some(c) => buf.update(s, c + 1)
+      case None =>
+        if (buf.size < capacity) buf.update(s, 1L)
+        else decrementAll(buf, 1L) // MG: new item cancels one unit everywhere
+    }
+
+  private[functions] def decrementAll(
+      buf: scala.collection.mutable.HashMap[String, Long], by: Long): Unit = {
+    val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+    buf.foreach { case (k, c) =>
+      if (c <= by) dead += k else buf.update(k, c - by)
+    }
+    dead.foreach(buf.remove)
+  }
 }

@@ -68,6 +68,44 @@ object StreamOps {
   /** OutputMode for the streaming K-Means sink. */
   val KMeansOutputMode: OutputMode = OutputMode.Update()
 
+  /** A streaming heavy-hitter candidate: the word and its Misra-Gries
+    * lower-bound count (true count ∈ [lower_bound, lower_bound +
+    * N_bucket/(capacity+1)]). */
+  final case class HhUpdate(bucket: Int, word: String, lower_bound: Long)
+
+  /** Streaming heavy hitters — the at-ingest twin of the batch
+    * `heavy_hitters` candidate pass: a running Misra-Gries summary over
+    * an unbounded word stream, emitting each bucket's current candidate
+    * set per trigger.
+    *
+    * State stays bounded two ways: words shard across `buckets` state
+    * keys by a hash of the WORD (every occurrence of a word lands in
+    * exactly one bucket, so each bucket runs sequential MG over its own
+    * sub-stream — the per-bucket error N_bucket/(capacity+1) is ≤ the
+    * global N/(capacity+1) bound, i.e. sharding only ever tightens the
+    * guarantee), and each bucket's map holds ≤ `capacity` counters
+    * under any skew. Total state = buckets × capacity entries, forever,
+    * at any stream volume — the property an unbounded exact count
+    * cannot give. Bucket count = shuffle parallelism of the state
+    * update; capacity = per-bucket memory. Same trade as the batch
+    * [[graft.functions.FrequentWords]], whose `mgUpdate` step this
+    * shares. */
+  def streamingHeavyHitters(words: Dataset[String], buckets: Int = 16,
+      capacity: Int = 64): Dataset[HhUpdate] = {
+    import words.sparkSession.implicits._
+    words.groupByKey(w => math.floorMod(w.hashCode, buckets))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (bucket: Int, ws: Iterator[String],
+            state: GroupState[Map[String, Long]]) => {
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(m ++= _)
+          ws.foreach(w =>
+            graft.functions.FrequentWords.mgUpdate(m, w, capacity))
+          state.update(m.toMap)
+          m.iterator.map { case (w, c) => HhUpdate(bucket, w, c) }
+        })
+  }
+
   /** Streaming exact dedup — the at-ingest dedup stage of a streaming
     * corpus pipeline: each document content is emitted once; late
     * re-arrivals within the watermark horizon are dropped. The dedup

@@ -55,6 +55,15 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getSeq[Long](1).length == 3, "bounded_collect caps at limit")
   }
 
+  test("frequent_words from SQL") {
+    val cands = spark.sql(
+      """SELECT frequent_words(w, 2) FROM VALUES
+        |  ('a'), ('a'), ('a'), ('b'), ('b'), ('c'), ('d') t(w)""".stripMargin)
+      .head().getSeq[String](0)
+    assert(cands.length <= 2)
+    assert(cands.contains("a"), s"majority item must survive: $cands")
+  }
+
   test("optimizer rule rewrites HOF dot product to native DotProduct") {
     val s = spark
     import s.implicits._

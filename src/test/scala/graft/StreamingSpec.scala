@@ -164,4 +164,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 2L, 4L),
       s"recovered state must suppress the cross-restart duplicate; got $kept")
   }
+
+  test("streamingHeavyHitters: counts accumulate across batches, state bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamOps.streamingHeavyHitters(mem.toDS(), buckets = 4, capacity = 3)
+      .writeStream.format("memory").queryName("shh")
+      .outputMode("update").start()
+    mem.addData(List.fill(50)("hot") ++ (0 until 20).map(i => s"n$i"): _*)
+    q.processAllAvailable()
+    mem.addData(List.fill(30)("hot") ++ (0 until 20).map(i => s"m$i"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("shh")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // the hot word's running lower bound reflects BOTH batches: after
+    // batch 2 it must exceed anything one batch alone could give it
+    val hotAfter = rows.filter(_._2 == "hot").map(_._3).max
+    assert(hotAfter > 50L, s"state must carry batch-1 counts forward: $hotAfter")
+    // ≤ capacity candidates per bucket in any single emission — noise
+    // words can never accumulate unbounded state
+    rows.groupBy(_._1).foreach { case (b, rs) =>
+      assert(rs.map(_._2).distinct.size <= 3 * 2, // 2 emissions per bucket max
+        s"bucket $b emitted too many distinct words")
+    }
+  }
 }

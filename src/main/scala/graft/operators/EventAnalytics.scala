@@ -257,6 +257,54 @@ object EventAnalytics {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Time-series resample with gap fill: hourly event counts per
+    * event_type over the CLOSED hour range of the data, zero-filled
+    * where an (hour, type) cell has no events — the densification step
+    * a downstream forecasting/alerting consumer needs (a missing row
+    * and a zero row mean different things). The dense hour × type grid
+    * is GENERATED (sequence + explode of the two tiny dimensions: the
+    * grid is bounds-sized, not data-sized) and the real counts hang off
+    * it by a left join — at 100 TB the event aggregation is the only
+    * data-sized stage, one (hour, type) keyed shuffle with map-side
+    * partials; the grid side stays broadcastable forever. */
+  def resampleHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select(date_trunc("hour", $"ts").as("hour"), $"event_type", $"value")
+    val counts = ev.groupBy($"hour", $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+    val bounds = ev.agg(min($"hour").as("lo"), max($"hour").as("hi"))
+    val grid = bounds
+      .select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("hour"))
+      .crossJoin(EventTypes.toDF("event_type"))
+    grid.join(counts, Seq("hour", "event_type"), "left")
+      .select($"hour", $"event_type",
+        coalesce($"n", lit(0L)).as("n"),
+        coalesce($"sum_value", lit(0.0)).as("sum_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  val resampleHourlySql: String = {
+    val types = EventTypes.map(t => s"('$t')").mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT date_trunc('hour', ts) AS hour, event_type, value FROM events),
+       |counts AS (
+       |  SELECT hour, event_type, count(*) AS n,
+       |    round(sum(value), 4) AS sum_value
+       |  FROM ev GROUP BY hour, event_type),
+       |bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ev),
+       |grid AS (
+       |  SELECT g.hour, t.event_type
+       |  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+       |        FROM bounds) g
+       |  CROSS JOIN (VALUES $types) t(event_type))
+       |SELECT g.hour, g.event_type,
+       |  CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       |  coalesce(c.sum_value, 0.0) AS sum_value
+       |FROM grid g LEFT JOIN counts c USING (hour, event_type)
+       |ORDER BY hour, event_type""".stripMargin
+  }
+
   /** Changelog compaction (the CDC "latest snapshot" materialization):
     * per key, the most recent record wins — how a 100-TB pipeline turns
     * an append-only event/change log into current state. Latest-wins
@@ -292,6 +340,7 @@ object EventAnalytics {
       |WHERE rk = 1 ORDER BY user_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "resample_hourly" -> (resampleHourly(_, _)),
     "cdc_latest" -> (cdcLatest(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
     "funnel" -> (funnel(_, _)),
@@ -302,6 +351,7 @@ object EventAnalytics {
     "pivot_events" -> (pivotEvents(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "resample_hourly" -> resampleHourlySql,
     "cdc_latest" -> cdcLatestSql,
     "json_extract" -> jsonExtractSql,
     "funnel" -> funnelSql,

@@ -240,9 +240,133 @@ object Similarity {
     topk(cands)
   }
 
+  // ------------------------------------------------------------------- PQ
+
+  val PqBlocks = 8      // M sub-spaces
+  val PqCodes = 16      // codewords per sub-space (4-bit codes)
+  val PqIters = 3       // Lloyd refinement rounds per codebook
+  val PqRerank = 8 * TopK // exact re-rank depth
+
+  /** Product-quantization ANN (the FAISS-style compressed-domain scan):
+    *
+    *   1. TRAIN: the vector space is split into [[PqBlocks]] disjoint
+    *      coordinate blocks; each block gets a [[PqCodes]]-codeword
+    *      codebook (deterministic evenly-spaced init + [[PqIters]]
+    *      Lloyd rounds). ALL blocks train in the same pass: one scan
+    *      per round, assignments for every block computed in one
+    *      projection, then a posexplode → (block, code)-keyed mean
+    *      aggregation whose output is M×K rows to the driver — the
+    *      same K-row-loop discipline as [[graft.kmeans.KMeans]].
+    *   2. ENCODE: map-only projection replacing each 64×8-byte vector
+    *      with M 4-bit codes + one reconstructed norm (blocks are
+    *      disjoint coordinates, so ‖v̂‖² = Σ_b ‖c_b‖² exactly) — the
+    *      ~50× compression that lets a 100-TB vector corpus live in
+    *      executor memory.
+    *   3. QUERY (ADC): per query, the q·codeword partial dots form an
+    *      M×K literal lookup table baked into the plan (queries are
+    *      few and collected driver-side like centroids); approximate
+    *      cosine = table lookups summed / (‖q‖·‖v̂‖) — a map-only
+    *      codegen scan over the CODES, never the vectors.
+    *   4. RE-RANK: the top [[PqRerank]] per query re-attach their true
+    *      vectors (id equi-join; candidate set ≪ corpus) and re-score
+    *      exactly — reported cosines are exact, recall is the only
+    *      approximation (measured vs brute force in SimilaritySpec).
+    * rows-only. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cached = embedded(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = cached.select(size($"v")).head().getInt(0)
+      require(dim % PqBlocks == 0, s"dim $dim not divisible into $PqBlocks blocks")
+      val subdim = dim / PqBlocks
+      def subv(b: Int): Column = slice($"v", b * subdim + 1, subdim)
+
+      // ---- train: deterministic init, then fused per-round refinement
+      val n = cached.count()
+      val initIds = (0 until PqCodes).map(k => k * n / PqCodes)
+      var cb: Array[Array[Seq[Double]]] = {
+        val rows = cached.filter($"vec_id".isin(initIds: _*)).orderBy($"vec_id")
+          .select($"v").collect().map(_.getSeq[Double](0))
+        Array.tabulate(PqBlocks)(b =>
+          rows.map(v => v.slice(b * subdim, (b + 1) * subdim)).toArray
+            .map(_.toSeq))
+      }
+      // argmin_k ‖sub − c‖² = argmin_k (c·c − 2·sub·c); first-min
+      // tie-break via array_position of the min (the annIvf pattern)
+      def withCodes(df: DataFrame): DataFrame = {
+        val staged = (0 until PqBlocks).foldLeft(df) { (d, b) =>
+          d.withColumn(s"__ds$b", array(cb(b).map { c =>
+              lit(c.map(x => x * x).sum) - lit(2.0) * dot(subv(b), typedlit(c))
+            }: _*))
+            .withColumn(s"__code$b",
+              expr(s"CAST(array_position(__ds$b, array_min(__ds$b)) - 1 AS INT)"))
+        }
+        staged
+          .withColumn("codes",
+            array((0 until PqBlocks).map(b => col(s"__code$b")): _*))
+          .drop((0 until PqBlocks).flatMap(b => Seq(s"__ds$b", s"__code$b")): _*)
+      }
+      for (_ <- 1 to PqIters) {
+        val meanAggs = (0 until subdim).map(i => avg($"sv"(i)).as(s"m$i"))
+        val means = withCodes(cached)
+          .select($"v", posexplode($"codes").as(Seq("block", "code")))
+          .withColumn("sv", slice($"v", $"block" * subdim + 1, lit(subdim)))
+          .groupBy($"block", $"code")
+          .agg(meanAggs.head, meanAggs.tail: _*)
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1),
+            (0 until subdim).map(i => r.getDouble(i + 2))))
+        val next = cb.map(_.clone())
+        means.foreach { case (b, k, v) => next(b)(k) = v }
+        cb = next
+      }
+
+      // ---- encode: codes + exact reconstructed norm (disjoint blocks)
+      val normSqTables = cb.map(_.map(c => c.map(x => x * x).sum))
+      val reconNorm = sqrt((0 until PqBlocks).map(b =>
+        element_at(typedlit(normSqTables(b).toSeq), col("codes")(b) + 1))
+        .reduce(_ + _))
+      val codes = withCodes(cached).select($"vec_id", $"codes")
+        .withColumn("vn", reconNorm)
+
+      // ---- query: per-query ADC lookup tables as plan literals
+      val qs = cached.filter($"vec_id" < NumQueries)
+        .orderBy($"vec_id").select($"vec_id", $"v", $"nrm").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      val scored = qs.map { case (qId, qv, qn) =>
+        val tables = Array.tabulate(PqBlocks) { b =>
+          cb(b).map(c => c.zip(qv.slice(b * subdim, (b + 1) * subdim))
+            .map { case (x, y) => x * y }.sum).toSeq
+        }
+        val approxDot = (0 until PqBlocks).map(b =>
+          element_at(typedlit(tables(b)), col("codes")(b) + 1)).reduce(_ + _)
+        struct(lit(qId).as("q_id"), (approxDot / (lit(qn) * col("vn"))).as("approx"))
+      }
+      val approx = codes
+        .select($"vec_id", explode(array(scored: _*)).as("qa"))
+        .select($"vec_id", $"qa.q_id".as("q_id"), $"qa.approx".as("approx"))
+        .filter($"vec_id" =!= $"q_id")
+      val w = Window.partitionBy($"q_id").orderBy($"approx".desc, $"vec_id")
+      val candIds = approx.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= PqRerank)
+        .select($"q_id", $"vec_id")
+
+      // ---- exact re-rank of the shortlist
+      val qVecs = cached.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+      val cands = candIds
+        .join(embedded(s, dir).select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
+        .join(broadcast(qVecs), Seq("q_id"))
+        .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"nrm"))
+      topk(cands)
+    } finally cached.unpersist(blocking = false)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteForce(_, _)),
     "ann_ivf" -> (annIvf(_, _)),
+    "ann_pq" -> (annPq(_, _)),
     "ann_lsh" -> (annLsh(_, _)))
 
   def oracles: Map[String, String] = Map(

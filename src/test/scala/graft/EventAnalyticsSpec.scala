@@ -59,6 +59,21 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("resample: dense hour grid, zero-filled gaps, counts conserved") {
+    import org.apache.spark.sql.functions._
+    val rows = EventAnalytics.resampleHourly(spark, sf)
+    val n = rows.count()
+    // dense grid: every (hour in closed range) × every type is present
+    assert(n % EventAnalytics.EventTypes.size == 0)
+    val hours = rows.select(countDistinct(col("hour"))).head().getLong(0)
+    assert(n == hours * EventAnalytics.EventTypes.size)
+    // densification adds rows, never loses events
+    val total = rows.agg(sum(col("n"))).head().getLong(0)
+    assert(total == Tables(spark, sf, "events").count())
+    // sf0.001 is sparse enough that some cells must be zero-filled
+    assert(rows.filter(col("n") === 0).count() > 0)
+  }
+
   test("salted skew join equals the plain join") {
     import org.apache.spark.sql.functions._
     val salted = EventAnalytics.skewJoinSalted(spark, sf).collect()

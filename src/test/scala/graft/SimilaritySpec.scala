@@ -46,6 +46,26 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9)
   }
 
+  test("PQ recall@10 vs brute force, reported cosines exact") {
+    val pq = Similarity.annPq(spark, sf)
+    val approx = neighborSets(pq)
+    val recall = exact.map { case (q, ns) =>
+      ns.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / ns.size
+    }.sum / exact.size
+    info(f"PQ recall@10 = $recall%.3f (M=${Similarity.PqBlocks}, K=${Similarity.PqCodes}, rerank=${Similarity.PqRerank})")
+    assert(recall >= 0.7)
+    // re-rank means every REPORTED cosine is the exact one: any
+    // (q, n) pair the brute force also returns must carry an
+    // identical rounded cosine
+    val exactCos = Similarity.annBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    pq.collect().foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(r.getDouble(3) == c, s"cosine must be exact for ${(r.getLong(0), r.getLong(1))}")
+      }
+    }
+  }
+
   test("LSH recall@10 vs brute force above floor") {
     val approx = neighborSets(Similarity.annLsh(spark, sf))
     val recall = exact.map { case (q, ns) =>

@@ -195,11 +195,77 @@ object Multimodal {
        |FROM dec GROUP BY fmt ORDER BY fmt""".stripMargin
   }
 
+  /** Audio feature-framing window: 25 ms. */
+  val AudioWinDiv = 40   // win = sample_rate / 40
+  /** Hop: 10 ms. */
+  val AudioHopDiv = 100  // hop = sample_rate / 100
+
+  /** Audio feature-extraction framing — the ASR/audio-embedding
+    * front-end's windowing math (25 ms windows, 10 ms hop) over the
+    * audio-format payloads. Sample rate and PCM length are STUB
+    * arithmetic on the metadata (same contract as [[decodeStub]]: a
+    * real probe replaces only those two lines), but the pipeline shape
+    * is the point — this is a METADATA-ONLY plan: the payload column is
+    * never deserialized, the scan prunes to (doc_id, n_bytes), and the
+    * per-format window totals a feature-extraction scheduler needs come
+    * from integer arithmetic inside whole-stage codegen. */
+  def mmAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPayload(s, dir)
+      .filter($"fmt".isin("wav", "mp4"))
+      .select($"doc_id", $"fmt", $"meta.n_bytes".as("n_bytes"))
+      // STUB probe: a real decoder reads these from the container header
+      .withColumn("sample_rate",
+        (lit(8000L) + ($"n_bytes" % 3) * 4000L).cast("long"))
+      .withColumn("n_samples", $"n_bytes" * 4)
+      .withColumn("win", expr(s"sample_rate DIV $AudioWinDiv"))
+      .withColumn("hop", expr(s"sample_rate DIV $AudioHopDiv"))
+      .withColumn("n_windows",
+        when($"n_samples" >= $"win",
+          expr("(n_samples - win) DIV hop") + 1).otherwise(lit(0L)))
+      .groupBy($"fmt")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_windows").as("sum_windows"),
+        round(avg($"n_windows"), 4).as("avg_windows"),
+        round(avg($"sample_rate"), 4).as("avg_sample_rate"))
+      .orderBy($"fmt")
+  }
+
+  val mmAudioSql: String = {
+    val fmtCase = Formats.zipWithIndex
+      .map { case (f, i) => s"WHEN $i THEN '$f'" }.mkString(" ")
+    s"""WITH rec AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % ${Formats.size} AS INT) $fmtCase END AS fmt,
+       |    octet_length(encode(text)) AS n_bytes
+       |  FROM documents),
+       |audio AS (
+       |  SELECT fmt, n_bytes,
+       |    8000 + (n_bytes % 3) * 4000 AS sample_rate,
+       |    n_bytes * 4 AS n_samples
+       |  FROM rec WHERE fmt IN ('wav', 'mp4')),
+       |w AS (
+       |  SELECT fmt, sample_rate,
+       |    CASE WHEN n_samples >= sample_rate // $AudioWinDiv
+       |      THEN (n_samples - sample_rate // $AudioWinDiv)
+       |        // (sample_rate // $AudioHopDiv) + 1
+       |      ELSE 0 END AS n_windows
+       |  FROM audio)
+       |SELECT fmt, count(*) AS n_docs,
+       |  CAST(sum(n_windows) AS BIGINT) AS sum_windows,
+       |  round(avg(n_windows), 4) AS avg_windows,
+       |  round(avg(sample_rate), 4) AS avg_sample_rate
+       |FROM w GROUP BY fmt ORDER BY fmt""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta(_, _)),
+    "mm_audio" -> (mmAudio(_, _)),
     "mm_frames" -> (mmFrames(_, _)))
 
   def oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
+    "mm_audio" -> mmAudioSql,
     "mm_frames" -> mmFramesSql)
 }

@@ -64,4 +64,19 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getString(0)).sorted.sameElements(Multimodal.Formats.sorted))
     assert(out.map(_.getLong(1)).sum == docs)
   }
+
+  test("mm_audio: audio formats only, metadata-only scan, sane windowing") {
+    val out = Multimodal.mmAudio(spark, sf)
+    val rows = out.collect()
+    assert(rows.map(_.getString(0)).sorted.sameElements(Seq("mp4", "wav")))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)            // n_docs
+      assert(r.getLong(2) >= r.getLong(1)) // ≥ 1 window per doc here
+      assert(r.getDouble(4) >= 8000.0 && r.getDouble(4) <= 16000.0)
+    }
+    // the payload bytes must never reach the plan — metadata-only path
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"),
+      s"audio windowing must not deserialize payloads:\n$plan")
+  }
 }

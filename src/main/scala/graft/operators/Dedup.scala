@@ -617,7 +617,11 @@ object Dedup {
     // self-loop makes one join compute min(own, neighbors) in one pass
     val adj = edges.union(nodes.select($"id".as("src"), $"id".as("dst")))
     var labels = nodes.withColumn("lab", $"id").persist()
-    var prevSum = labels.agg(sum($"lab")).head().getLong(0)
+    // coalesce: an empty pair set (nothing near-duplicated) must yield
+    // an empty result, not an NPE on sum(NULL)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum($"lab"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 30) {
@@ -625,7 +629,7 @@ object Dedup {
         .groupBy($"dst".as("id"))
         .agg(min($"lab").as("lab"))
         .persist()
-      val nextSum = next.agg(sum($"lab")).head().getLong(0)
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
       converged = nextSum == prevSum

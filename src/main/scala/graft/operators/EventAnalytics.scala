@@ -222,6 +222,52 @@ object EventAnalytics {
       |FROM act a JOIN sizes s USING (cohort)
       |ORDER BY cohort, week_k""".stripMargin
 
+  /** Hot keys reported by [[skewReport]]. */
+  val SkewTopK = 5
+
+  /** Key-skew diagnosis — the measurement that DECIDES between a plain
+    * shuffle join, AQE skew splitting, and [[skewJoinSalted]]: per-key
+    * row counts of the fact table, reduced to the [[SkewTopK]] hottest
+    * keys with their share of total volume. One key-keyed count
+    * aggregation (map-side partials) + a TakeOrdered of the tiny count
+    * table — the profile is re-runnable per pipeline stage at 100 TB
+    * because it never materializes more than one row per distinct key.
+    * A top key with share ≫ 1/parallelism is the salting trigger.
+    *
+    * The top-k is `orderBy.limit` — `TakeOrderedAndProject`, a
+    * per-partition heap — NOT a global rank window, which would drag
+    * every distinct key through one partition; ranks attach to the
+    * k survivors only. */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables(s, dir, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+    val total = counts.agg(sum($"n_events").as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_events".desc, $"user_id")
+    counts
+      .orderBy($"n_events".desc, $"user_id").limit(SkewTopK)
+      .withColumn("rank", row_number().over(w)) // k-row frame only
+      .crossJoin(broadcast(total))
+      .select($"rank", $"user_id", $"n_events",
+        round($"n_events" / $"total".cast("double"), 4).as("share"))
+      .orderBy($"rank")
+  }
+
+  val skewReportSql: String =
+    s"""WITH counts AS (
+       |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+       |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM counts)
+       |SELECT rank, user_id, n_events,
+       |  round(n_events / CAST(total AS DOUBLE), 4) AS share
+       |FROM (
+       |  SELECT user_id, n_events,
+       |    CAST(row_number() OVER (ORDER BY n_events DESC, user_id) AS INT)
+       |      AS rank
+       |  FROM counts) CROSS JOIN t
+       |WHERE rank <= $SkewTopK
+       |ORDER BY rank""".stripMargin
+
   /** Salt fanout for [[skewJoinSalted]]. */
   val JoinSalts = 8
 
@@ -347,6 +393,7 @@ object EventAnalytics {
     "range_join_bucketed" -> (clickErrorRange(_, _)),
     "rollup_agg" -> (rollupAgg(_, _)),
     "retention_cohorts" -> (retentionCohorts(_, _)),
+    "skew_report" -> (skewReport(_, _)),
     "skew_join_salted" -> (skewJoinSalted(_, _)),
     "pivot_events" -> (pivotEvents(_, _)))
 
@@ -358,6 +405,7 @@ object EventAnalytics {
     "range_join_bucketed" -> clickErrorRangeSql,
     "rollup_agg" -> rollupAggSql,
     "retention_cohorts" -> retentionCohortsSql,
+    "skew_report" -> skewReportSql,
     "skew_join_salted" -> skewJoinSaltedSql,
     "pivot_events" -> pivotEventsSql)
 }

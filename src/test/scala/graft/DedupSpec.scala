@@ -315,5 +315,9 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val one = Dedup.componentsOf(chain).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(one == Seq((0L, 13L)))
+    // a clean corpus (no near-dup pairs) yields an empty cluster list
+    val none = Dedup.componentsOf(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id")).collect()
+    assert(none.isEmpty)
   }
 }

@@ -74,6 +74,24 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.filter(col("n") === 0).count() > 0)
   }
 
+  test("skew report: ranked hot keys, shares sane, heap-based top-k plan") {
+    import org.apache.spark.sql.functions._
+    val rep = EventAnalytics.skewReport(spark, sf)
+    val rows = rep.collect()
+    assert(rows.length == EventAnalytics.SkewTopK)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to EventAnalytics.SkewTopK))
+    val shares = rows.map(_.getDouble(3))
+    assert(shares.forall(s => s > 0.0 && s < 1.0))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b })
+    // the hottest key really is the corpus max
+    val trueMax = Tables(spark, sf, "events")
+      .groupBy(col("user_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(rows.head.getLong(2) == trueMax)
+    // top-k must be a per-partition heap, not a global rank window
+    assert(rep.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("salted skew join equals the plain join") {
     import org.apache.spark.sql.functions._
     val salted = EventAnalytics.skewJoinSalted(spark, sf).collect()

@@ -585,19 +585,20 @@ object Dedup {
     * identity is what corpus forensics needs: how many near-dup
     * families, how big, which representative.
     *
-    * Algorithm: iterative min-label propagation to a fixpoint —
-    * label(x) ← min(label(x), min label of x's neighbors) — the
-    * standard Spark CC shape. Each iteration is ONE shuffle join keyed
-    * by node id plus a K-row-per-node aggregation; the driver loop
-    * checks convergence via `sum(label)` (labels only decrease, so the
-    * sum is strictly monotone until the fixpoint — an O(1)-row
-    * aggregate per round, no data collect). Iterations = graph
-    * diameter: near-dup clusters are dense (star edges give diameter
-    * ≤ 2 through the representative), so the loop is short; for
-    * adversarially long path graphs the large-star/small-star variant
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC 2014) halves diameter per round — same per-iteration plan
-    * shape, not needed for this graph family.
+    * Algorithm: min-label propagation WITH PATH HALVING to a fixpoint —
+    * each round first takes label(x) ← min over x's neighborhood
+    * (incl. self), then compresses label(x) ← label(label(x)) (the
+    * pointer-jumping step of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014). Compression makes the label
+    * distance-to-root HALVE per round, so rounds = O(log diameter) —
+    * a 30-round cap covers any graph a 2^30-hop chain could produce,
+    * and the loop THROWS if it somehow exits unconverged rather than
+    * silently returning a wrong partition (plain one-hop propagation
+    * under a fixed cap would do exactly that on a long chain). Each
+    * round is two shuffle joins keyed by node id plus a
+    * K-row-per-node aggregation; the driver checks convergence via
+    * `sum(label)` (labels only decrease, so the sum is strictly
+    * monotone until the fixpoint — an O(1)-row aggregate per round).
     *
     * Oracle: DuckDB computes the same fixpoint declaratively with a
     * recursive CTE (min reachable id per node). Output is per-cluster:
@@ -606,7 +607,11 @@ object Dedup {
     componentsOf(dedupNgram(s, dir))
 
   /** CC core over any (a_id, b_id) pair frame — public so DedupSpec can
-    * drive synthetic graphs (chains, stars, forests) through it. */
+    * drive synthetic graphs (chains, stars, forests) through it. The
+    * returned frame aggregates the final (checkpointed) label set, so
+    * executing it does not replay the iteration; checkpoint storage is
+    * reclaimed by Spark's context cleaner once the frames are
+    * unreachable. */
   def componentsOf(pairs: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
     val fwd = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
@@ -616,7 +621,16 @@ object Dedup {
     val nodes = edges.select($"src".as("id")).distinct()
     // self-loop makes one join compute min(own, neighbors) in one pass
     val adj = edges.union(nodes.select($"id".as("src"), $"id".as("dst")))
-    var labels = nodes.withColumn("lab", $"id").persist()
+    // Each round's frame is localCheckpoint'ed (eager): the compression
+    // step reads the hop result TWICE, so carrying plain lineage would
+    // DOUBLE the logical plan per round — exponential analysis cost by
+    // round ~10 even though the data is cached. Checkpointing truncates
+    // lineage to the materialized partitions (the standard Spark
+    // iterative-graph pattern; a production run on a fault-prone
+    // cluster would use reliable `checkpoint` over a checkpoint dir —
+    // same shape, durable storage). Checkpointed partitions are
+    // reclaimed by the context cleaner when the frames go out of scope.
+    var labels = nodes.withColumn("lab", $"id").localCheckpoint()
     // coalesce: an empty pair set (nothing near-duplicated) must yield
     // an empty result, not an NPE on sum(NULL)
     def labelSum(df: DataFrame): Long =
@@ -624,19 +638,33 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < 30) {
-      val next = adj.join(labels, adj("src") === labels("id"))
+    val maxIter = 30
+    while (!converged && iter < maxIter) {
+      // hop: neighborhood min (self-loop included in adj)
+      val hop = adj.join(labels, adj("src") === labels("id"))
         .groupBy($"dst".as("id"))
         .agg(min($"lab").as("lab"))
-        .persist()
+        .localCheckpoint()
+      // compress: label(x) ← label(label(x)) — every label value is a
+      // node id (labels start as ids and only min-combine), so the
+      // lookup join always hits; distance-to-root halves per round
+      val next = hop.as("h")
+        .join(hop.select($"id".as("lid"), $"lab".as("plab")).as("l"),
+          col("h.lab") === col("l.lid"), "left")
+        .select(col("h.id").as("id"),
+          least(col("h.lab"), coalesce(col("plab"), col("h.lab"))).as("lab"))
+        .localCheckpoint()
       val nextSum = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       iter += 1
     }
-    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentsOf did not converge in $maxIter rounds — " +
+          "wrong components must fail loudly, not ship silently")
+    edges.unpersist(blocking = false)
     labels.groupBy($"lab".as("component"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy($"component")

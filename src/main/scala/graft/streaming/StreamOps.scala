@@ -117,7 +117,15 @@ object StreamOps {
     * and `dropDuplicatesWithinWatermark` expires state once the
     * watermark passes — bounded state at any stream volume, which an
     * unbounded `dropDuplicates` would not give. Input needs (ts, text)
-    * columns; all input columns pass through. */
+    * columns; all input columns pass through.
+    *
+    * CHECKPOINT COMPATIBILITY: widening the key from the earlier
+    * two-base form changed the state schema — a query restarted from a
+    * checkpoint written by the old key fails Spark's state-schema
+    * validation and must start a fresh checkpoint (re-admitting
+    * duplicates only within the watermark horizon). Deployments that
+    * can't accept that window should drain past the watermark before
+    * upgrading. */
   def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
     // key columns use reserved names so a caller's own n_chars/h31/...
     // columns pass through untouched (the documented contract)

@@ -310,11 +310,13 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Dedup.componentsOf(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 4L), (10L, 4L), (20L, 2L)))
-    // a long chain exercises the fixpoint loop depth (diameter 12)
-    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // a LONG chain (diameter 80): one-hop propagation under the round
+    // cap would silently fragment this — path halving must converge it
+    // to a single component well inside the cap
+    val chain = (0L until 80L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val one = Dedup.componentsOf(chain).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(one == Seq((0L, 13L)))
+    assert(one == Seq((0L, 81L)))
     // a clean corpus (no near-dup pairs) yields an empty cluster list
     val none = Dedup.componentsOf(
       Seq.empty[(Long, Long)].toDF("a_id", "b_id")).collect()

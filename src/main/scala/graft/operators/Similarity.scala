@@ -280,7 +280,6 @@ object Similarity {
       val dim = cached.select(size($"v")).head().getInt(0)
       require(dim % PqBlocks == 0, s"dim $dim not divisible into $PqBlocks blocks")
       val subdim = dim / PqBlocks
-      def subv(b: Int): Column = slice($"v", b * subdim + 1, subdim)
 
       // ---- train: deterministic init, then fused per-round refinement
       val n = cached.count()
@@ -292,21 +291,14 @@ object Similarity {
           rows.map(v => v.slice(b * subdim, (b + 1) * subdim)).toArray
             .map(_.toSeq))
       }
-      // argmin_k ‖sub − c‖² = argmin_k (c·c − 2·sub·c); first-min
-      // tie-break via array_position of the min (the annIvf pattern)
-      def withCodes(df: DataFrame): DataFrame = {
-        val staged = (0 until PqBlocks).foldLeft(df) { (d, b) =>
-          d.withColumn(s"__ds$b", array(cb(b).map { c =>
-              lit(c.map(x => x * x).sum) - lit(2.0) * dot(subv(b), typedlit(c))
-            }: _*))
-            .withColumn(s"__code$b",
-              expr(s"CAST(array_position(__ds$b, array_min(__ds$b)) - 1 AS INT)"))
-        }
-        staged
-          .withColumn("codes",
-            array((0 until PqBlocks).map(b => col(s"__code$b")): _*))
-          .drop((0 until PqBlocks).flatMap(b => Seq(s"__ds$b", s"__code$b")): _*)
-      }
+      // per-block argmin via the native [[graft.functions.PqCode]]
+      // expression: ONE codegen call per block with the codeword loop
+      // in compiled bytecode — the composed K-distance-expressions form
+      // made janino compilation the dominant cost of this query (see
+      // PqCode's scaladoc for the measurement)
+      def withCodes(df: DataFrame): DataFrame =
+        df.withColumn("codes", array((0 until PqBlocks).map(b =>
+          graft.functions.PqCode(col("v"), b * subdim, subdim, cb(b))): _*))
       for (_ <- 1 to PqIters) {
         val meanAggs = (0 until subdim).map(i => avg($"sv"(i)).as(s"m$i"))
         val means = withCodes(cached)

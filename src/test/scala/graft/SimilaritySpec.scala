@@ -46,6 +46,33 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9)
   }
 
+  test("PqCode == plain-Scala argmin over real vectors and ties") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val subdim = 4
+    val cbRows: Array[Seq[Double]] = Array(
+      Seq(0.0, 0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0, 1.0),
+      Seq(0.0, 0.0, 0.0, 0.0), // duplicate: tie must pick the FIRST
+      Seq(-1.0, 2.0, 0.5, 0.25))
+    val e = Tables(spark, sf, "embeddings").limit(200)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val got = e.select($"vec_id",
+        graft.functions.PqCode($"v", 8, subdim, cbRows).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = e.select($"vec_id", $"v").collect().map { r =>
+      val v = r.getSeq[Double](1)
+      val ds = cbRows.map(c =>
+        (0 until subdim).map(j => { val d = v(8 + j) - c(j); d * d }).sum)
+      r.getLong(0) -> ds.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+    }.toMap
+    assert(got == want)
+    // tie-break: a vector exactly on codeword 0 (== codeword 2) → 0
+    val z = Seq((0L, Seq.fill(12)(0.0))).toDF("vec_id", "v")
+    assert(z.select(graft.functions.PqCode($"v", 8, subdim, cbRows))
+      .head().getInt(0) == 0)
+  }
+
   test("PQ recall@10 vs brute force, reported cosines exact") {
     val pq = Similarity.annPq(spark, sf)
     val approx = neighborSets(pq)

@@ -309,7 +309,67 @@ object RelationalQueries {
       |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Data-quality validation (the Deequ-style rules engine every
+    * ingest gate runs): a fixed rule suite over lineitem — null rate,
+    * value range, accepted values, non-negativity, composite-key
+    * uniqueness — evaluated in ONE aggregation pass (every rule is a
+    * conditional count; the unpivot of the 1-row result is
+    * shuffle-free). Uniqueness is the one metric whose exact form
+    * shuffles every key (`count_distinct` on the composite); at 100 TB
+    * the drop-in sketch is `approx_count_distinct` — same plan,
+    * bounded-error dup estimate — with the exact form kept here as the
+    * oracle baseline (the quantiles/quantiles_approx split, applied to
+    * DQ). Rules report violations, not exceptions: a failing rule is a
+    * row with pass=false, so one report covers the whole suite — and
+    * the synthetic data's non-unique (l_orderkey, l_linenumber) shows
+    * up honestly as a failed uniqueness rule. */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    val one = li.agg(
+      sum(when($"l_quantity".isNull, 1L).otherwise(0L)).as("null_qty"),
+      sum(when($"l_discount" < 0.0 || $"l_discount" > 0.1, 1L)
+        .otherwise(0L)).as("bad_discount"),
+      sum(when(not($"l_returnflag".isin("A", "N", "R")), 1L)
+        .otherwise(0L)).as("bad_flag"),
+      sum(when($"l_extendedprice" < 0.0, 1L).otherwise(0L)).as("neg_price"),
+      (count(lit(1)) - count_distinct($"l_orderkey", $"l_linenumber"))
+        .as("dup_keys"))
+    one.select(expr(
+        """stack(5,
+          |  'accepted_values(l_returnflag)', bad_flag,
+          |  'not_null(l_quantity)', null_qty,
+          |  'range(l_discount,0,0.1)', bad_discount,
+          |  'non_negative(l_extendedprice)', neg_price,
+          |  'unique(l_orderkey,l_linenumber)', dup_keys
+          |) AS (rule, violations)""".stripMargin))
+      .withColumn("pass", $"violations" === 0L)
+      .orderBy($"rule")
+  }
+
+  val dqChecksSql: String =
+    """WITH m AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS null_qty,
+      |    CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+      |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag,
+      |    CAST(sum(CASE WHEN l_extendedprice < 0.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS neg_price,
+      |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_keys
+      |  FROM lineitem)
+      |SELECT rule, violations, violations = 0 AS pass FROM (
+      |  SELECT 'accepted_values(l_returnflag)' AS rule, bad_flag AS violations FROM m
+      |  UNION ALL SELECT 'not_null(l_quantity)', null_qty FROM m
+      |  UNION ALL SELECT 'range(l_discount,0,0.1)', bad_discount FROM m
+      |  UNION ALL SELECT 'non_negative(l_extendedprice)', neg_price FROM m
+      |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', dup_keys FROM m)
+      |ORDER BY rule""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_checks" -> (dqChecks(_, _)),
     "quantiles" -> (quantiles(_, _)),
     "quantiles_approx" -> (quantilesApprox(_, _)),
     "profile_table" -> (profileTable(_, _)),
@@ -321,6 +381,7 @@ object RelationalQueries {
     "stream_window_agg" -> (windowAgg(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "dq_checks" -> dqChecksSql,
     "quantiles" -> quantilesSql,
     "profile_table" -> profileTableSql,
     "histogram" -> histogramSql,

@@ -46,4 +46,26 @@ class QuantilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ap = RelationalQueries.quantilesApprox(spark, sf)
     assert(ex.schema.fieldNames.sameElements(ap.schema.fieldNames))
   }
+
+  test("dq_checks: full rule suite in one pass, honest pass/fail mix") {
+    val df = RelationalQueries.dqChecks(spark, sf)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == 5)
+    rows.foreach { case (_, violations, pass) =>
+      assert(pass == (violations == 0L))
+    }
+    // the synthetic lineitem has duplicate (orderkey, linenumber) pairs
+    // — the uniqueness rule must REPORT that, not mask it
+    val unique = rows.find(_._1.startsWith("unique")).get
+    assert(!unique._3 && unique._2 > 0L)
+    assert(rows.count(_._3) >= 3, "the well-formed columns should pass")
+    // one aggregation pass: a single scan feeds every rule (string
+    // match — AQE wraps the physical nodes in this session, and its
+    // toString repeats the initial plan, so trim to the final one)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"rule suite must share one scan, got $scans:\n$plan")
+  }
 }

@@ -43,6 +43,33 @@ class FrequentWordsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("MG superset guarantee holds for arbitrary streams (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    // sequential plain-Scala MG over the same mgUpdate step the
+    // aggregate and the streaming op share — the property is the
+    // textbook guarantee: every item with freq > N/(cap+1) survives
+    val gen = for {
+      cap <- Gen.choose(2, 12)
+      words <- Gen.listOf(Gen.oneOf(
+        Gen.const("heavy"), Gen.const("semi"),
+        Gen.choose(0, 500).map(i => s"w$i")))
+    } yield (cap, words)
+    val prop = forAll(gen) { case (cap, words) =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach(w => graft.functions.FrequentWords.mgUpdate(m, w, cap))
+      assert(m.size <= cap)
+      val n = words.size
+      val freq = words.groupBy(identity).view.mapValues(_.size.toLong)
+      freq.forall { case (w, f) =>
+        f * (cap + 1) <= n || m.contains(w)
+      }
+    }
+    assert(org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300),
+      prop).passed)
+  }
+
   test("heavy_hitters == naive exact GROUP BY result") {
     val s = spark
     import s.implicits._

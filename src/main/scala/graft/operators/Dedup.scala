@@ -606,13 +606,14 @@ object Dedup {
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
     componentsOf(dedupNgram(s, dir))
 
-  /** CC core over any (a_id, b_id) pair frame — public so DedupSpec can
-    * drive synthetic graphs (chains, stars, forests) through it. The
-    * returned frame aggregates the final (checkpointed) label set, so
-    * executing it does not replay the iteration; checkpoint storage is
-    * reclaimed by Spark's context cleaner once the frames are
-    * unreachable. */
-  def componentsOf(pairs: DataFrame): DataFrame = {
+  /** Per-node final labels (node id → component representative, i.e.
+    * the min reachable id) for any (a_id, b_id) pair frame — the
+    * fixpoint the public operators aggregate; exposed so policy
+    * operators ([[dedupCanonical]]) can consume the membership
+    * mapping. The returned frame is checkpointed, so executing it does
+    * not replay the iteration; checkpoint storage is reclaimed by
+    * Spark's context cleaner once the frames are unreachable. */
+  def labelsOf(pairs: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
     val fwd = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
     val edges = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
@@ -665,7 +666,16 @@ object Dedup {
         s"componentsOf did not converge in $maxIter rounds — " +
           "wrong components must fail loudly, not ship silently")
     edges.unpersist(blocking = false)
-    labels.groupBy($"lab".as("component"))
+    labels
+  }
+
+  /** CC aggregation over any (a_id, b_id) pair frame — public so
+    * DedupSpec can drive synthetic graphs (chains, stars, forests)
+    * through it. One row per cluster: representative + size. */
+  def componentsOf(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    labelsOf(pairs)
+      .groupBy($"lab".as("component"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy($"component")
   }
@@ -685,7 +695,76 @@ object Dedup {
        |SELECT component, count(*) AS n_members
        |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
+  /** Component-canonical dedup — the TRANSITIVE drop policy, as
+    * opposed to [[dedupSurvivors]]'s conservative pairwise one: of
+    * each near-dup CONNECTED COMPONENT only the representative (min
+    * doc_id) survives, even for members never directly paired with it
+    * (A≈B≈C drops C although (A,C) was never emitted). Pairwise
+    * dropping keeps a doc that only ever appears as the smaller id of
+    * its pairs; canonical collapses the whole cluster — the policy a
+    * pretraining corpus usually wants, where chained paraphrases are
+    * one document family. Exact duplicates drop by the same
+    * [[ExactKeyBases]] grouping as [[dedupSurvivors]]; near-dup
+    * membership comes from [[labelsOf]], so the whole operator is the
+    * composition of two already-verified pieces, and its oracle reuses
+    * the recursive-CTE fixpoint. */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val exactDrops = docs
+      .groupBy(col("n_chars") +: exactKeyCols(s): _*)
+      .agg(min($"doc_id").as("keep_id"), collect_list($"doc_id").as("ids"))
+      .select(explode($"ids").as("doc_id"), $"keep_id")
+      .filter($"doc_id" =!= $"keep_id")
+      .select($"doc_id")
+    val canonicalDrops = labelsOf(dedupNgram(s, dir))
+      .filter($"id" =!= $"lab")
+      .select($"id".as("doc_id"))
+    docs.join(exactDrops.union(canonicalDrops).distinct(),
+        Seq("doc_id"), "left_anti")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("kept_chars"))
+      .orderBy($"source")
+  }
+
+  val dedupCanonicalSql: String =
+    s"""WITH RECURSIVE hashed AS (
+       |  SELECT doc_id, n_chars,
+       |    ${ExactKeyBases.map(b => s"${PolyHash.duckSql("text", b)} AS h$b")
+            .mkString(",\n    ")}
+       |  FROM documents),
+       |exact_drops AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      min(doc_id) OVER (PARTITION BY n_chars,
+       |        ${ExactKeyBases.map(b => s"h$b").mkString(", ")}) AS keep_id
+       |    FROM hashed)
+       |  WHERE doc_id != keep_id),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM (${dedupNgramSql.replace("ORDER BY a_id, b_id", "")})),
+       |cedges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |cnodes AS (SELECT DISTINCT src AS id FROM cedges),
+       |walk(id, lab) AS (
+       |  SELECT id, id FROM cnodes
+       |  UNION
+       |  SELECT e.dst, w.lab FROM walk w JOIN cedges e ON e.src = w.id),
+       |canon_drops AS (
+       |  SELECT id AS doc_id FROM (
+       |    SELECT id, min(lab) AS component FROM walk GROUP BY id)
+       |  WHERE id != component),
+       |drops AS (
+       |  SELECT doc_id FROM exact_drops
+       |  UNION SELECT doc_id FROM canon_drops)
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_canonical" -> (dedupCanonical(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram" -> (dedupNgram(_, _)),
@@ -696,6 +775,7 @@ object Dedup {
     "dedup_survivors" -> (dedupSurvivors(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "dedup_canonical" -> dedupCanonicalSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,

@@ -298,6 +298,18 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cand == 29L, s"star candidates should be linear, got $cand")
   }
 
+  test("canonical policy keeps at most as much as pairwise survivors") {
+    // pairwise drops only ids that appear as the LARGER side of a
+    // pair; canonical collapses whole components — on the real corpus
+    // its kept count per source can never exceed pairwise's
+    val surv = operators.Dedup.dedupSurvivors(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val canon = operators.Dedup.dedupCanonical(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(canon.keySet == surv.keySet)
+    canon.foreach { case (src, n) => assert(n <= surv(src), src) }
+  }
+
   test("componentsOf: chains, stars, forests resolve to min-id clusters") {
     import spark.implicits._
     // chain 1-2-3-4 (pairs never list 1-4), star 10<-{11,12,13}, and an

@@ -303,6 +303,53 @@ object EventAnalytics {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Path length for [[eventPaths]]. */
+  val PathN = 3
+  /** Paths reported. */
+  val PathTopK = 10
+
+  /** Event path analysis: the [[PathTopK]] most common [[PathN]]-step
+    * event-type sequences across users — "what do users do in what
+    * order", the product-analytics companion of [[funnel]] (which
+    * checks ONE fixed order). Each user's stream becomes an ordered
+    * type array (one user-keyed shuffle; per-user state is the user's
+    * own events, the natural bound a sessionized variant would tighten
+    * further), then the shared word-n-gram machinery shingles it —
+    * the same [[graft.functions.TextFeatures.wordNgrams]] column and
+    * DuckDB fold the text operators use, applied to behavior instead
+    * of words. Ordering is (second-truncated ts, event_id) on both
+    * engines — sub-second bits one engine keeps and the other
+    * truncates can't reorder a path (the [[cdcLatest]] rule). */
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seqs = Tables(s, dir, "events")
+      .select($"user_id",
+        struct(date_trunc("second", $"ts").as("ts"),
+          $"event_id", $"event_type").as("e"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list($"e")).as("es"))
+      .select(expr("transform(es, x -> x.event_type)").as("toks"))
+    seqs
+      .select(explode(
+        graft.functions.TextFeatures.wordNgrams($"toks", PathN)).as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(PathTopK)
+  }
+
+  val eventPathsSql: String = {
+    val ngrams = graft.functions.TextFeatures.duckNgrams("toks", PathN)
+    s"""WITH seqs AS (
+       |  SELECT user_id,
+       |    list(event_type ORDER BY date_trunc('second', ts), event_id)
+       |      AS toks
+       |  FROM events GROUP BY user_id)
+       |SELECT path, count(*) AS n
+       |FROM (SELECT unnest($ngrams) AS path FROM seqs)
+       |GROUP BY path ORDER BY n DESC, path LIMIT $PathTopK""".stripMargin
+  }
+
   /** Time-series resample with gap fill: hourly event counts per
     * event_type over the CLOSED hour range of the data, zero-filled
     * where an (hour, type) cell has no events — the densification step
@@ -386,6 +433,7 @@ object EventAnalytics {
       |WHERE rk = 1 ORDER BY user_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_paths" -> (eventPaths(_, _)),
     "resample_hourly" -> (resampleHourly(_, _)),
     "cdc_latest" -> (cdcLatest(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
@@ -398,6 +446,7 @@ object EventAnalytics {
     "pivot_events" -> (pivotEvents(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "event_paths" -> eventPathsSql,
     "resample_hourly" -> resampleHourlySql,
     "cdc_latest" -> cdcLatestSql,
     "json_extract" -> jsonExtractSql,

@@ -59,6 +59,29 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("event paths: 3-step shingle counts conserve the stream length") {
+    import org.apache.spark.sql.functions._
+    val top = EventAnalytics.eventPaths(spark, sf).collect()
+    assert(top.length == EventAnalytics.PathTopK)
+    val counts = top.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    top.foreach(r => assert(r.getString(0).split(" ").length == 3))
+    // every user with k ≥ 3 events contributes exactly k-2 paths —
+    // check the UNLIMITED path total against that identity
+    val perUser = Tables(spark, sf, "events")
+      .groupBy(col("user_id")).count().collect().map(_.getLong(1))
+    val wantPaths = perUser.map(k => math.max(0L, k - 2)).sum
+    val allPaths = Tables(spark, sf, "events")
+      .select(col("user_id"), struct(date_trunc("second", col("ts")).as("ts"),
+        col("event_id"), col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(explode(graft.functions.TextFeatures.wordNgrams(
+        expr("transform(es, x -> x.event_type)"), 3)).as("p"))
+      .count()
+    assert(allPaths == wantPaths)
+  }
+
   test("resample: dense hour grid, zero-filled gaps, counts conserved") {
     import org.apache.spark.sql.functions._
     val rows = EventAnalytics.resampleHourly(spark, sf)

@@ -49,6 +49,33 @@ object AsOfJoin {
       .drop("__side", "__rt")
   }
 
+  /** Forward as-of: each left row gains `asof_t` = the SMALLEST right
+    * `t` ≥ the left `t` within the key ("what happens next"), the
+    * mirror of [[asOf]] with the identical union-sort cost model: at
+    * equal instants the right row sorts AFTER the left (forward means
+    * `left.t <= right.t`, so a same-instant right row is eligible and
+    * must sit inside the left row's following frame), and a
+    * `first(right_time, ignoreNulls)` over [current, ∞) carries the
+    * next right timestamp back. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String,
+      time: String): DataFrame = {
+    val l = left.withColumn("__side", lit(0))
+      .withColumn("__rt", lit(null).cast(left.schema(time).dataType))
+    val extra = left.columns.filterNot(c => c == key || c == time)
+    val r = extra.foldLeft(
+        right.select(col(key), col(time), col(time).as("__rt"))
+          .withColumn("__side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__side"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("asof_t", first(col("__rt"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .drop("__side", "__rt")
+  }
+
   /** Driver query: each event joined as-of to the latest prior order of
     * its customer (user_id ≡ customer key in the testdata schema) —
     * per-event-type match rate and mean lag. The join key is the NATURAL
@@ -90,9 +117,49 @@ object AsOfJoin {
       |FROM ev ASOF LEFT JOIN ord ON ev.k = ord.k AND ev.t >= ord.rt
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Forward twin of [[eventsAsOfOrders]]: each event attaches the
+    * NEXT order of its customer (at/after the event) — the
+    * time-to-conversion measurement. Oracle is a plain inequality
+    * left join + min in DuckDB (independent formulation; exact). */
+  def eventsBeforeOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select(
+      $"user_id".as("k"),
+      date_trunc("second", $"ts").as("t"),
+      $"event_id", $"event_type")
+    val ord = Tables(s, dir, "orders")
+      .select($"o_custkey".as("k"), $"o_orderdate".as("t"))
+      .groupBy($"k", $"t").agg(count(lit(1)).as("__drop")).drop("__drop")
+    asOfForward(ev, ord, "k", "t")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count($"asof_t").as("n_matched"),
+        round(avg(unix_timestamp($"asof_t") - unix_timestamp($"t")), 4)
+          .as("avg_lead_sec"))
+      .orderBy($"event_type")
+  }
+
+  val eventsBeforeOrdersSql: String =
+    """WITH ev AS (
+      |  SELECT user_id AS k, date_trunc('second', ts) AS t,
+      |    event_id, event_type
+      |  FROM events),
+      |ord AS (
+      |  SELECT DISTINCT o_custkey AS k, o_orderdate AS rt FROM orders),
+      |m AS (
+      |  SELECT ev.event_id, ev.event_type, ev.t, min(o.rt) AS fwd
+      |  FROM ev LEFT JOIN ord o ON o.k = ev.k AND o.rt >= ev.t
+      |  GROUP BY ev.event_id, ev.event_type, ev.t)
+      |SELECT event_type, count(*) AS n_events, count(fwd) AS n_matched,
+      |  round(avg(date_diff('second', t, fwd)), 4) AS avg_lead_sec
+      |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "asof_join" -> (eventsAsOfOrders(_, _)))
+    "asof_join" -> (eventsAsOfOrders(_, _)),
+    "asof_join_fwd" -> (eventsBeforeOrders(_, _)))
 
   def oracles: Map[String, String] = Map(
-    "asof_join" -> eventsAsOfOrdersSql)
+    "asof_join" -> eventsAsOfOrdersSql,
+    "asof_join_fwd" -> eventsBeforeOrdersSql)
 }

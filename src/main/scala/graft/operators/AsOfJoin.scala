@@ -25,12 +25,20 @@ import graft.Tables
   */
 object AsOfJoin {
 
-  /** Left rows (`key`, `t`, rest...) each gain `asof_t`: the max right
-    * `t` ≤ left `t` for the key, or null. `right` must be unique per
-    * (key, t) — pre-aggregate if not (ties at the same instant are
-    * ambiguous in any as-of semantics). */
-  def asOf(left: DataFrame, right: DataFrame, key: String, time: String)
-      : DataFrame = {
+  /** Shared union-sort core. Both directions are the SAME running
+    * [unboundedPreceding, current] frame — a single O(n)-per-key
+    * streaming pass — with only the sort direction flipped: backward
+    * sorts time ascending (the running `last` right-time is the max
+    * right ≤ left), forward sorts time DESCENDING (rights at/after the
+    * left row precede it in sort order, so the running `last` is the
+    * MIN right ≥ left). An unbounded-FOLLOWING frame would express
+    * forward too, but Spark executes that frame by re-scanning the
+    * rest of the partition per row — O(n²) on a hot key — so both
+    * directions deliberately share the one O(n) frame shape. In either
+    * direction the right row sorts before the left at equal instants
+    * (`__side` tiebreak), because as-of includes equality. */
+  private def asOfCore(left: DataFrame, right: DataFrame, key: String,
+      time: String, forward: Boolean): DataFrame = {
     val l = left.withColumn("__side", lit(1))
       .withColumn("__rt", lit(null).cast(left.schema(time).dataType))
     val extra = left.columns.filterNot(c => c == key || c == time)
@@ -39,9 +47,9 @@ object AsOfJoin {
           .withColumn("__side", lit(0))) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(l.columns.map(col): _*)
-    // right-before-left at equal t ⇒ as-of uses left.t >= right.t
+    val timeOrder = if (forward) col(time).desc else col(time).asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("__side"))
+      .orderBy(timeOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(r)
       .withColumn("asof_t", last(col("__rt"), ignoreNulls = true).over(w))
@@ -49,32 +57,20 @@ object AsOfJoin {
       .drop("__side", "__rt")
   }
 
+  /** Left rows (`key`, `t`, rest...) each gain `asof_t`: the max right
+    * `t` ≤ left `t` for the key, or null. `right` must be unique per
+    * (key, t) — pre-aggregate if not (ties at the same instant are
+    * ambiguous in any as-of semantics). */
+  def asOf(left: DataFrame, right: DataFrame, key: String, time: String)
+      : DataFrame =
+    asOfCore(left, right, key, time, forward = false)
+
   /** Forward as-of: each left row gains `asof_t` = the SMALLEST right
-    * `t` ≥ the left `t` within the key ("what happens next"), the
-    * mirror of [[asOf]] with the identical union-sort cost model: at
-    * equal instants the right row sorts AFTER the left (forward means
-    * `left.t <= right.t`, so a same-instant right row is eligible and
-    * must sit inside the left row's following frame), and a
-    * `first(right_time, ignoreNulls)` over [current, ∞) carries the
-    * next right timestamp back. */
+    * `t` ≥ the left `t` within the key ("what happens next") — the
+    * descending-sort direction of [[asOfCore]], same cost model. */
   def asOfForward(left: DataFrame, right: DataFrame, key: String,
-      time: String): DataFrame = {
-    val l = left.withColumn("__side", lit(0))
-      .withColumn("__rt", lit(null).cast(left.schema(time).dataType))
-    val extra = left.columns.filterNot(c => c == key || c == time)
-    val r = extra.foldLeft(
-        right.select(col(key), col(time), col(time).as("__rt"))
-          .withColumn("__side", lit(1))) {
-      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(l.columns.map(col): _*)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("__side"))
-      .rowsBetween(0, Window.unboundedFollowing)
-    l.unionByName(r)
-      .withColumn("asof_t", first(col("__rt"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 0)
-      .drop("__side", "__rt")
-  }
+      time: String): DataFrame =
+    asOfCore(left, right, key, time, forward = true)
 
   /** Driver query: each event joined as-of to the latest prior order of
     * its customer (user_id ≡ customer key in the testdata schema) —

@@ -69,6 +69,37 @@ object Dedup {
   /** The DuckDB-side identical key expressions (for oracles). */
   def exactKeySql: Seq[String] = ExactKeyBases.map(b => PolyHash.duckSql("text", b))
 
+  /** Exact-duplicate drop ids — every non-min doc_id of each
+    * identical-text group. ONE definition feeds both materialization
+    * policies ([[dedupSurvivors]], [[dedupCanonical]]): a change to
+    * the drop rule (key base, tie-break) lands once, in lockstep with
+    * [[exactDropsCte]] on the oracle side. */
+  private def exactDropIds(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupBy(col("n_chars") +: exactKeyCols(docs.sparkSession): _*)
+      .agg(min($"doc_id").as("keep_id"), collect_list($"doc_id").as("ids"))
+      .select(explode($"ids").as("doc_id"), $"keep_id")
+      .filter($"doc_id" =!= $"keep_id")
+      .select($"doc_id")
+  }
+
+  /** The DuckDB twin of [[exactDropIds]] as CTE text (`hashed` +
+    * `exact_drops`), shared by the survivors/canonical oracles. */
+  private def exactDropsCte: String =
+    s"""hashed AS (
+       |  SELECT doc_id, n_chars,
+       |    ${ExactKeyBases.map(b => s"${PolyHash.duckSql("text", b)} AS h$b")
+            .mkString(",\n    ")}
+       |  FROM documents),
+       |exact_drops AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      min(doc_id) OVER (PARTITION BY n_chars,
+       |        ${ExactKeyBases.map(b => s"h$b").mkString(", ")}) AS keep_id
+       |    FROM hashed)
+       |  WHERE doc_id != keep_id)""".stripMargin
+
   /** Exact dedup: survivor = min doc_id per identical text; survivor
     * counts per source. Grouping key is (n_chars, [[ExactKeyBases]]
     * hashes) — NOT the text itself, so the groupBy exchange moves 40
@@ -538,12 +569,7 @@ object Dedup {
   def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
-    val exactDrops = docs
-      .groupBy(col("n_chars") +: exactKeyCols(s): _*)
-      .agg(min($"doc_id").as("keep_id"), collect_list($"doc_id").as("ids"))
-      .select(explode($"ids").as("doc_id"), $"keep_id")
-      .filter($"doc_id" =!= $"keep_id")
-      .select($"doc_id")
+    val exactDrops = exactDropIds(docs)
     val nearDrops = dedupNgram(s, dir).select($"b_id".as("doc_id"))
     docs.join(exactDrops.union(nearDrops).distinct(),
         Seq("doc_id"), "left_anti")
@@ -553,18 +579,7 @@ object Dedup {
   }
 
   val dedupSurvivorsSql: String =
-    s"""WITH hashed AS (
-       |  SELECT doc_id, n_chars,
-       |    ${ExactKeyBases.map(b => s"${PolyHash.duckSql("text", b)} AS h$b")
-            .mkString(",\n    ")}
-       |  FROM documents),
-       |exact_drops AS (
-       |  SELECT doc_id FROM (
-       |    SELECT doc_id,
-       |      min(doc_id) OVER (PARTITION BY n_chars,
-       |        ${ExactKeyBases.map(b => s"h$b").mkString(", ")}) AS keep_id
-       |    FROM hashed)
-       |  WHERE doc_id != keep_id),
+    s"""WITH $exactDropsCte,
        |near AS (${dedupNgramSql.replace("ORDER BY a_id, b_id", "")}),
        |drops AS (
        |  SELECT doc_id FROM exact_drops
@@ -622,16 +637,18 @@ object Dedup {
     val nodes = edges.select($"src".as("id")).distinct()
     // self-loop makes one join compute min(own, neighbors) in one pass
     val adj = edges.union(nodes.select($"id".as("src"), $"id".as("dst")))
-    // Each round's frame is localCheckpoint'ed (eager): the compression
-    // step reads the hop result TWICE, so carrying plain lineage would
-    // DOUBLE the logical plan per round — exponential analysis cost by
-    // round ~10 even though the data is cached. Checkpointing truncates
-    // lineage to the materialized partitions (the standard Spark
-    // iterative-graph pattern; a production run on a fault-prone
-    // cluster would use reliable `checkpoint` over a checkpoint dir —
-    // same shape, durable storage). Checkpointed partitions are
-    // reclaimed by the context cleaner when the frames go out of scope.
-    var labels = nodes.withColumn("lab", $"id").localCheckpoint()
+    // Each round's frame is re-rooted at its materialized RDD and
+    // persisted: the compression step reads the hop result TWICE, so
+    // carrying plain lineage would DOUBLE the logical plan per round —
+    // exponential analysis cost by round ~10 even though the data is
+    // cached. The LogicalRDD re-rooting truncates the logical plan
+    // (the standard Spark iterative-graph pattern) while keeping the
+    // frames ordinary persisted datasets, so retired rounds are
+    // released EXPLICITLY below instead of waiting for a GC-driven
+    // context-cleaner sweep to notice unreachable checkpoint storage.
+    def pin(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema).persist()
+    var labels = pin(nodes.withColumn("lab", $"id"))
     // coalesce: an empty pair set (nothing near-duplicated) must yield
     // an empty result, not an NPE on sum(NULL)
     def labelSum(df: DataFrame): Long =
@@ -640,32 +657,36 @@ object Dedup {
     var converged = false
     var iter = 0
     val maxIter = 30
-    while (!converged && iter < maxIter) {
-      // hop: neighborhood min (self-loop included in adj)
-      val hop = adj.join(labels, adj("src") === labels("id"))
-        .groupBy($"dst".as("id"))
-        .agg(min($"lab").as("lab"))
-        .localCheckpoint()
-      // compress: label(x) ← label(label(x)) — every label value is a
-      // node id (labels start as ids and only min-combine), so the
-      // lookup join always hits; distance-to-root halves per round
-      val next = hop.as("h")
-        .join(hop.select($"id".as("lid"), $"lab".as("plab")).as("l"),
-          col("h.lab") === col("l.lid"), "left")
-        .select(col("h.id").as("id"),
-          least(col("h.lab"), coalesce(col("plab"), col("h.lab"))).as("lab"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      iter += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"componentsOf did not converge in $maxIter rounds — " +
-          "wrong components must fail loudly, not ship silently")
-    edges.unpersist(blocking = false)
+    try {
+      while (!converged && iter < maxIter) {
+        // hop: neighborhood min (self-loop included in adj)
+        val hop = pin(adj.join(labels, adj("src") === labels("id"))
+          .groupBy($"dst".as("id"))
+          .agg(min($"lab").as("lab")))
+        // compress: label(x) ← label(label(x)) — every label value is a
+        // node id (labels start as ids and only min-combine), so the
+        // lookup join always hits; distance-to-root halves per round
+        val next = pin(hop.as("h")
+          .join(hop.select($"id".as("lid"), $"lab".as("plab")).as("l"),
+            col("h.lab") === col("l.lid"), "left")
+          .select(col("h.id").as("id"),
+            least(col("h.lab"), coalesce(col("plab"), col("h.lab"))).as("lab")))
+        val nextSum = labelSum(next) // materializes next (and hop under it)
+        hop.unpersist(blocking = false)
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"labelsOf did not converge in $maxIter rounds — " +
+            "wrong components must fail loudly, not ship silently")
+    } finally edges.unpersist(blocking = false)
+    // the final labels frame stays persisted — it IS the returned data;
+    // callers aggregate it promptly and the context cleaner reclaims it
+    // once unreachable
     labels
   }
 
@@ -711,12 +732,7 @@ object Dedup {
   def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
-    val exactDrops = docs
-      .groupBy(col("n_chars") +: exactKeyCols(s): _*)
-      .agg(min($"doc_id").as("keep_id"), collect_list($"doc_id").as("ids"))
-      .select(explode($"ids").as("doc_id"), $"keep_id")
-      .filter($"doc_id" =!= $"keep_id")
-      .select($"doc_id")
+    val exactDrops = exactDropIds(docs)
     val canonicalDrops = labelsOf(dedupNgram(s, dir))
       .filter($"id" =!= $"lab")
       .select($"id".as("doc_id"))
@@ -728,18 +744,7 @@ object Dedup {
   }
 
   val dedupCanonicalSql: String =
-    s"""WITH RECURSIVE hashed AS (
-       |  SELECT doc_id, n_chars,
-       |    ${ExactKeyBases.map(b => s"${PolyHash.duckSql("text", b)} AS h$b")
-            .mkString(",\n    ")}
-       |  FROM documents),
-       |exact_drops AS (
-       |  SELECT doc_id FROM (
-       |    SELECT doc_id,
-       |      min(doc_id) OVER (PARTITION BY n_chars,
-       |        ${ExactKeyBases.map(b => s"h$b").mkString(", ")}) AS keep_id
-       |    FROM hashed)
-       |  WHERE doc_id != keep_id),
+    s"""WITH RECURSIVE $exactDropsCte,
        |pairs AS (
        |  SELECT a_id, b_id FROM (${dedupNgramSql.replace("ORDER BY a_id, b_id", "")})),
        |cedges AS (

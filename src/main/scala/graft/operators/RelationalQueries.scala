@@ -333,8 +333,13 @@ object RelationalQueries {
       sum(when(not($"l_returnflag".isin("A", "N", "R")), 1L)
         .otherwise(0L)).as("bad_flag"),
       sum(when($"l_extendedprice" < 0.0, 1L).otherwise(0L)).as("neg_price"),
-      (count(lit(1)) - count_distinct($"l_orderkey", $"l_linenumber"))
-        .as("dup_keys"))
+      // uniqueness is measured among rows whose key is PRESENT (both
+      // engines' distinct-counts skip null keys, but the row count
+      // must skip them too or a null-keyed row masquerades as a dup —
+      // null keys are the not_null rules' concern, not uniqueness's)
+      (sum(when($"l_orderkey".isNotNull && $"l_linenumber".isNotNull, 1L)
+        .otherwise(0L)) -
+        count_distinct($"l_orderkey", $"l_linenumber")).as("dup_keys"))
     one.select(expr(
         """stack(5,
           |  'accepted_values(l_returnflag)', bad_flag,
@@ -358,7 +363,10 @@ object RelationalQueries {
       |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag,
       |    CAST(sum(CASE WHEN l_extendedprice < 0.0 THEN 1 ELSE 0 END)
       |      AS BIGINT) AS neg_price,
-      |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_keys
+      |    count(*) FILTER (l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+      |      - count(DISTINCT (l_orderkey, l_linenumber))
+      |        FILTER (l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+      |      AS dup_keys
       |  FROM lineitem)
       |SELECT rule, violations, violations = 0 AS pass FROM (
       |  SELECT 'accepted_values(l_returnflag)' AS rule, bad_flag AS violations FROM m

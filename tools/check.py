@@ -35,19 +35,20 @@ def cells_equal(x, y) -> bool:
     """Raw-value compare: floats numerically within tolerance, the rest
     by string form.  Both sides round doubles to 4 decimals (the SURVEY
     §5 contract), so the allowed difference is half the contract's
-    last decimal regardless of magnitude, plus a 1e-14 relative floor:
-    the two engines' round() implementations (BigDecimal vs float
-    multiply/divide) can differ by 1 ulp on the SAME value, and above
-    |value| ~ 4e11 one ulp exceeds 5e-5 — without the ulp floor those
-    cells would fail on pure representation noise. 1e-14 is far below
-    any genuine 4th-decimal mismatch at magnitudes where 4 decimals
-    are even representable in a double."""
+    last decimal regardless of magnitude, plus a 1e-15 relative floor
+    (~4.5 double ulps): the two engines' round() implementations
+    (BigDecimal vs float multiply/divide) can differ by 1 ulp on the
+    SAME value, and above |value| ~ 4e11 one ulp exceeds 5e-5 — the
+    floor absorbs exactly that representation noise while staying
+    below a genuine last-decimal mismatch at every magnitude where 4
+    decimals are representable in a double (a looser 1e-14 would
+    already mask real 4th-decimal divergence around |value| ~ 1e10)."""
     xna, yna = pd.isna(x), pd.isna(y)
     if xna or yna:
         return bool(xna) and bool(yna)
     if isinstance(x, float) or isinstance(y, float):
         try:
-            return math.isclose(float(x), float(y), rel_tol=1e-14, abs_tol=5e-5)
+            return math.isclose(float(x), float(y), rel_tol=1e-15, abs_tol=5e-5)
         except (TypeError, ValueError):
             return False
     return str(x) == str(y)

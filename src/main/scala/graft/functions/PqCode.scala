@@ -17,10 +17,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * 128 codeword dots dominated `ann_pq`, 9.0 s composed → 2.8 s with
   * this expression at sf0.1). This expression is ONE codegen call
   * per block whose codeword loop lives in compiled bytecode
-  * ([[PqCode.find]]), so the plan carries M small expressions instead
+  * ([[PqCode.argmin]]), so the plan carries M small expressions instead
   * of M×K trees. Same pattern as [[NearestCentroid]]/[[SimHash64]]:
   * per-row hot loops belong in native expressions, not composed
   * columns.
+  *
+  * The helper is named `argmin`, NOT `find`: generated Java calls it as
+  * a STATIC on the companion class, and Scala only emits that static
+  * forwarder when no instance member shares the name — `TreeNode.find`
+  * shadowed the original name, janino saw no applicable static, and
+  * every use silently fell back to interpreted eval (caught round 4 via
+  * the "Expr codegen error" warning in the test logs).
   *
   * The codebook rides along as a flattened reference object (row k =
   * `cb[k*subdim .. (k+1)*subdim)`), exactly how broadcast centroid
@@ -39,12 +46,12 @@ case class PqCode(child: Expression, offset: Int, subdim: Int,
   override def prettyName: String = "pq_code"
 
   override protected def nullSafeEval(input: Any): Any =
-    PqCode.find(input.asInstanceOf[ArrayData], offset, subdim, codebook)
+    PqCode.argmin(input.asInstanceOf[ArrayData], offset, subdim, codebook)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.PqCode.find($c, $offset, $subdim, $cbRef)")
+      s"graft.functions.PqCode.argmin($c, $offset, $subdim, $cbRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -52,8 +59,10 @@ case class PqCode(child: Expression, offset: Int, subdim: Int,
 }
 
 object PqCode {
-  /** The argmin loop — shared by interpreted eval and generated code. */
-  def find(v: ArrayData, offset: Int, subdim: Int, cb: Array[Double]): Int = {
+  /** The argmin loop — shared by interpreted eval and generated code
+    * (must stay collision-free with Expression/TreeNode member names;
+    * see the class scaladoc). */
+  def argmin(v: ArrayData, offset: Int, subdim: Int, cb: Array[Double]): Int = {
     val k = cb.length / subdim
     var best = 0
     var bestD = Double.MaxValue

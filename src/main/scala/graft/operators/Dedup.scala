@@ -73,13 +73,24 @@ object Dedup {
     * identical-text group. ONE definition feeds both materialization
     * policies ([[dedupSurvivors]], [[dedupCanonical]]): a change to
     * the drop rule (key base, tie-break) lands once, in lockstep with
-    * [[exactDropsCte]] on the oracle side. */
+    * [[exactDropsCte]] on the oracle side.
+    *
+    * Shape: keep_id = min(doc_id) per key group (O(1) agg state with
+    * map-side partials), joined back onto the per-doc key rows — both
+    * legs shuffle on the SAME key, so the join co-partitions with the
+    * aggregation. No per-group id buffer anywhere: a pathologically
+    * viral duplicate (millions of copies of one text at 100 TB) costs
+    * one counter on one reducer, where a collect_list of the group's
+    * ids would concentrate an unbounded array there — the same
+    * bounded-state discipline as [[graft.functions.BoundedCollect]]. */
   private def exactDropIds(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
-      .groupBy(col("n_chars") +: exactKeyCols(docs.sparkSession): _*)
-      .agg(min($"doc_id").as("keep_id"), collect_list($"doc_id").as("ids"))
-      .select(explode($"ids").as("doc_id"), $"keep_id")
+    val keyNames = "n_chars" +: ExactKeyBases.map(b => s"h$b")
+    val keyed = docs.select(
+      ($"doc_id" +: col("n_chars") +: exactKeyCols(docs.sparkSession)): _*)
+    val keeps = keyed.groupBy(keyNames.map(col): _*)
+      .agg(min($"doc_id").as("keep_id"))
+    keyed.join(keeps, keyNames)
       .filter($"doc_id" =!= $"keep_id")
       .select($"doc_id")
   }
@@ -199,8 +210,23 @@ object Dedup {
 
   /** Candidate (a_id, b_id) pairs from the DF-capped inverted-index
     * self-join — public so DedupSpec can measure the candidate-count
-    * reduction the cap buys on a boilerplate corpus. */
-  def ngramCandidates(docs: DataFrame, dfCap: Long): DataFrame = {
+    * reduction the cap buys on a boilerplate corpus.
+    *
+    * The gram explode runs ONCE: the frame is persisted across its two
+    * consumers (the posting-list aggregation and the star-fallback
+    * re-join — without the persist the over-cap branch re-evaluates
+    * the full explode, which is exactly the per-leg re-scan the
+    * posting-list formulation exists to avoid). The persisted frame is
+    * released eagerly by [[ngramPairs]] (the production entry, which
+    * materializes the result first); direct callers lean on Spark's
+    * context cleaner to reclaim it once the frame is unreachable —
+    * the [[labelsOf]] pattern. */
+  def ngramCandidates(docs: DataFrame, dfCap: Long): DataFrame =
+    ngramCandidates(docs, dfCap, hashedGramsOf(docs).persist())
+
+  /** As above with the hashed-gram rows supplied by the caller (who
+    * owns their persistence lifecycle). */
+  def ngramCandidates(docs: DataFrame, dfCap: Long, g: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     // Posting-list formulation: ONE gram scan, ONE shuffle for the
     // under-cap path. Each (block, gram) group gathers its doc ids via
@@ -209,14 +235,14 @@ object Dedup {
     // gram can't OOM a reducer) plus an O(1) exact df count and group
     // min. Under-cap grams expand to all pairs (≤ cap²/2 per gram);
     // over-cap grams expand to the linear STAR against the group min by
-    // re-joining the gram scan on the (typically tiny — AQE broadcasts
-    // it when measured small) over-cap key set. An inverted-index
-    // SELF-JOIN would instead re-evaluate the gram explode per join leg
-    // (measured 3× slower at sf0.1) and a window-df formulation buffers
-    // whole blocks in the sort (measured 10× slower).
+    // re-joining the (persisted) gram rows on the (typically tiny —
+    // AQE broadcasts it when measured small) over-cap key set. An
+    // inverted-index SELF-JOIN would instead re-evaluate the gram
+    // explode per join leg (measured 3× slower at sf0.1) and a
+    // window-df formulation buffers whole blocks in the sort (measured
+    // 10× slower).
     val lim = if (dfCap >= Int.MaxValue) Int.MaxValue
       else (dfCap + 1).toInt
-    val g = hashedGramsOf(docs)
     val agg = g
       .groupBy($"lang", $"lb", $"gh")
       .agg(graft.functions.BoundedCollect($"doc_id", lim).as("ids"),
@@ -242,11 +268,14 @@ object Dedup {
     * with >1/τ size skew can't pass and skip the intersection), and long
     * arrays instead of gram strings (see [[WordNgramHashes]]) — together
     * they cut the sf0.1 verify from ~5 s to well under a second. */
-  def dedupNgramOn(docs: DataFrame, dfCap: Long = NgramDfCap): DataFrame = {
+  /** EXACT Jaccard verification of a candidate frame over full gram-
+    * hash sets (unordered) — the verify stage shared by the public
+    * operator and the [[ngramPairs]] materialized cache. */
+  private def verifyPairs(docs: DataFrame, cands: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val sets = docs.withColumn("hs", WordNgramHashes($"text", NgramN))
       .select($"doc_id", $"hs", size($"hs").as("n"))
-    ngramCandidates(docs, dfCap)
+    cands
       .join(sets.select($"doc_id".as("a_id"), $"hs".as("ha"), $"n".as("na")), "a_id")
       .join(sets.select($"doc_id".as("b_id"), $"hs".as("hb"), $"n".as("nb")), "b_id")
       // jaccard ≤ min/max, so size-skewed pairs can't reach τ — with
@@ -260,11 +289,46 @@ object Dedup {
         round($"shared".cast("double") / ($"na" + $"nb" - $"shared"), 4))
       .filter($"jaccard" >= JaccardTau)
       .select($"a_id", $"b_id", $"jaccard")
-      .orderBy($"a_id", $"b_id")
   }
 
-  def dedupNgram(s: SparkSession, dir: String): DataFrame =
-    dedupNgramOn(Tables(s, dir, "documents"))
+  def dedupNgramOn(docs: DataFrame, dfCap: Long = NgramDfCap): DataFrame = {
+    import docs.sparkSession.implicits._
+    verifyPairs(docs, ngramCandidates(docs, dfCap)).orderBy($"a_id", $"b_id")
+  }
+
+  /** The verified near-dup pair list, MATERIALIZED ONCE per (session,
+    * data dir) and shared by every consumer — [[dedupNgram]],
+    * [[dedupComponents]], [[dedupCanonical]], [[dedupSurvivors]] each
+    * need the same candidates+verify result, and recomputing it per
+    * consumer was ~2/3 of the dedup family's round-3 cost (the
+    * round-3 verdict's top finding; SURVEY §8c concedes a real
+    * pipeline materializes this stage). `localCheckpoint` (eager)
+    * truncates the plan to the materialized partitions, so each
+    * consumer's plan starts from the pair ROWS, not the gram scan.
+    * Entries are keyed by session so a stopped session's cache can't
+    * leak into a new one; [[clearPairCache]] drops entries (bench
+    * sweeps use it so every sweep prices the build exactly once —
+    * retired checkpoint partitions are reclaimed by the context
+    * cleaner once unreferenced). */
+  def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((s, dir), {
+      val docs = Tables(s, dir, "documents")
+      val g = hashedGramsOf(docs).persist()
+      try verifyPairs(docs, ngramCandidates(docs, NgramDfCap, g))
+        .localCheckpoint() // eager: materializes before g is released
+      finally g.unpersist(blocking = false)
+    })
+
+  private val pairCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  /** Drop all materialized pair lists (next [[ngramPairs]] rebuilds). */
+  def clearPairCache(): Unit = pairCache.clear()
+
+  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ngramPairs(s, dir).orderBy($"a_id", $"b_id")
+  }
 
   // Mirrors the hashed pipeline: grams → 62-bit packed dual-base hashes
   // (identical fold, WordNgramHashes.duckSql), DISTINCT per doc, then the
@@ -570,7 +634,7 @@ object Dedup {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     val exactDrops = exactDropIds(docs)
-    val nearDrops = dedupNgram(s, dir).select($"b_id".as("doc_id"))
+    val nearDrops = ngramPairs(s, dir).select($"b_id".as("doc_id"))
     docs.join(exactDrops.union(nearDrops).distinct(),
         Seq("doc_id"), "left_anti")
       .groupBy($"source")
@@ -619,7 +683,7 @@ object Dedup {
     * recursive CTE (min reachable id per node). Output is per-cluster:
     * representative (= min doc_id), member count. */
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
-    componentsOf(dedupNgram(s, dir))
+    componentsOf(ngramPairs(s, dir))
 
   /** Per-node final labels (node id → component representative, i.e.
     * the min reachable id) for any (a_id, b_id) pair frame — the
@@ -733,7 +797,7 @@ object Dedup {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     val exactDrops = exactDropIds(docs)
-    val canonicalDrops = labelsOf(dedupNgram(s, dir))
+    val canonicalDrops = labelsOf(ngramPairs(s, dir))
       .filter($"id" =!= $"lab")
       .select($"id".as("doc_id"))
     docs.join(exactDrops.union(canonicalDrops).distinct(),

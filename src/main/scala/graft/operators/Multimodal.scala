@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.nio.ByteBuffer
+import java.nio.ByteOrder.{BIG_ENDIAN, LITTLE_ENDIAN}
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+import java.util.zip.CRC32
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -8,9 +13,13 @@ import graft.Tables
 final case class MMRecord(doc_id: Long, fmt: String, payload: Array[Byte],
     magic: String)
 
-/** Fake "decoded" media features — see [[Multimodal.decodeStub]]. */
+/** Decoded media features, parsed from the payload BYTES — see
+  * [[Multimodal.decode]]. Stills carry (width, height) and one frame;
+  * audio carries (sample_rate, n_samples) and zero dimensions; mp4
+  * carries all of them. */
 final case class MMDecoded(doc_id: Long, fmt: String, n_bytes: Long,
-    width: Int, height: Int, n_frames: Int, magic: String)
+    width: Int, height: Int, n_frames: Int, sample_rate: Long,
+    n_samples: Long, magic: String)
 
 /** A sampled, resize-targeted frame — see [[Multimodal.frameSampleStub]]. */
 final case class MMFrame(doc_id: Long, fmt: String, frame_idx: Int,
@@ -20,9 +29,23 @@ final case class MMFrame(doc_id: Long, fmt: String, frame_idx: Int,
   * payloads as opaque `binary` columns with a typed metadata struct, and
   * a partition-parallel decode stage.
   *
-  * The payload here is synthesized deterministically from `text` (UTF-8
-  * bytes) because the container has no media libraries — what is REAL and
-  * tested is the Spark-side plumbing a 100-TB media pipeline needs:
+  * The container has no media libraries and the test corpus has no real
+  * media files, so INGEST is synthesized: [[withPayload]] builds each
+  * payload as a REAL format header (PNG signature + IHDR chunk with a
+  * correct CRC32, JPEG SOI/APP0/SOF0 marker segments, WAV RIFF/fmt/data
+  * chunks, MP4 ftyp + a custom box) followed by the document text as
+  * the body, with dimensions / sample rate / frame count derived
+  * deterministically from the body length. DECODE ([[decode]]) is then
+  * real byte parsing — signature validation, marker scanning, chunk
+  * walking, big/little-endian field extraction, CRC verification — not
+  * length arithmetic: corrupt a header byte and the parser throws.
+  * What remains a stand-in is the content itself (the body bytes are
+  * text, not pixels/samples) and the pixel math downstream
+  * ([[frameSampleStub]]); a real deployment swaps the synthesized
+  * ingest for actual files and adds pixel work to the same
+  * partition-iterator contract.
+  *
+  * Spark-side plumbing exercised (the part that matters at 100 TB):
   *   - `binary` column through scan/shuffle/agg (Tungsten treats it as
   *     opaque bytes; no row-size surprises),
   *   - typed metadata derived by codegen'd expressions (octet length,
@@ -30,83 +53,271 @@ final case class MMFrame(doc_id: Long, fmt: String, frame_idx: Int,
   *     metadata-only query never deserializes payloads,
   *   - a typed `Dataset[MMRecord].mapPartitions` decode stage — the
   *     batch-per-partition shape you would hand to an image decoder
-  *     (JNI / Arrow batch / Python worker); the decoder body itself is a
-  *     clearly-marked deterministic STUB.
+  *     (JNI / Arrow batch / Python worker).
   *
-  * The decode math is pure arithmetic on the byte length, so the whole
-  * pipeline — including the "decoded" dimensions — is DuckDB-oracle-
-  * checkable.
+  * Every embedded field round-trips bytes → parse deterministically, so
+  * the whole pipeline — including the parsed-from-bytes dimensions —
+  * is DuckDB-oracle-checkable (the oracle recomputes the values the
+  * ingest embedded; a parse bug breaks the hash match).
   */
 object Multimodal {
   val Formats = Seq("png", "jpg", "wav", "mp4")
 
-  /** Documents with payload bytes + typed metadata. */
-  def withPayload(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables(s, dir, "documents")
-      .withColumn("payload", encode($"text", "UTF-8"))
-      .withColumn("fmt", element_at(
-        typedlit(Formats), ($"doc_id" % Formats.size).cast("int") + 1))
-      .withColumn("meta", struct(
-        length($"payload").cast("long").as("n_bytes"),
-        substring(hex($"payload"), 1, 8).as("magic"),
-        $"fmt".as("format")))
+  // ------------------------------------------------- embedded parameters
+  // The deterministic "content" parameters the synthesized ingest embeds
+  // in the headers (and the DuckDB oracle recomputes); n = body length.
+  private[graft] def widthOf(n: Long): Int = (1 + (31 * n) % 509).toInt
+  private[graft] def heightOf(n: Long): Int = (1 + (131 * n) % 509).toInt
+  private[graft] def framesOf(n: Long): Int = (1 + n % 16).toInt
+  private[graft] def sampleRateOf(n: Long): Long = 8000L + (n % 3) * 4000L
+
+  /** Synthesized header length per format. */
+  def headerLen(fmt: String): Int = fmt match {
+    case "png" | "jpg" => 33
+    case "wav" | "mp4" => 44
+    case f => throw new IllegalArgumentException(s"unknown format $f")
   }
 
-  /** STUB DECODER — the container has no image/audio libraries, so the
-    * "decode" derives dimensions deterministically from the byte length:
-    *
-    *   width    = 1 + (31·n_bytes mod 509)
-    *   height   = 1 + (131·n_bytes mod 509)
-    *   n_frames = 1 (still) or 1 + n_bytes mod 16 (wav/mp4)
-    *
-    * A real deployment replaces ONLY this body (e.g. JNI to libjpeg /
-    * ffmpeg probe); the partition-iterator shape — one decoder init per
-    * partition, streaming over records — is the production contract. */
-  def decodeStub(records: Dataset[MMRecord]): Dataset[MMDecoded] = {
+  // ------------------------------------------------------------ synthesis
+
+  /** Build a payload: a REAL format header around the UTF-8 text body.
+    * PNG: 8-byte signature + IHDR (13-byte data, correct CRC32).
+    * JPEG: SOI + APP0 "JFIF" + SOF0 carrying (height, width).
+    * WAV: RIFF/WAVE + fmt (16-bit mono PCM, embedded sample rate) +
+    * data chunk sized to the body. MP4: ftyp(isom) + a custom `grft`
+    * box carrying (width, height, n_frames, sample_rate, n_samples)
+    * as big-endian fields. */
+  private[graft] def synthesize(fmt: String, text: String): Array[Byte] = {
+    val body = text.getBytes(UTF_8)
+    val n = body.length.toLong
+    val bb = ByteBuffer.allocate(headerLen(fmt) + body.length)
+    fmt match {
+      case "png" =>
+        bb.order(BIG_ENDIAN)
+        bb.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+          .map(_.toByte))
+        bb.putInt(13) // IHDR data length
+        val ihdr = ByteBuffer.allocate(17).order(BIG_ENDIAN)
+        ihdr.put("IHDR".getBytes(US_ASCII))
+        ihdr.putInt(widthOf(n)).putInt(heightOf(n))
+        ihdr.put(8.toByte)  // bit depth
+        ihdr.put(6.toByte)  // color type RGBA
+        ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // compr/filter/interlace
+        val crc = new CRC32
+        crc.update(ihdr.array())
+        bb.put(ihdr.array())
+        bb.putInt(crc.getValue.toInt)
+      case "jpg" =>
+        bb.order(BIG_ENDIAN)
+        bb.put(0xFF.toByte).put(0xD8.toByte)              // SOI
+        bb.put(0xFF.toByte).put(0xE0.toByte).putShort(16) // APP0, len 16
+        bb.put("JFIF".getBytes(US_ASCII)).put(0.toByte)
+        bb.put(1.toByte).put(1.toByte)                    // version 1.1
+        bb.put(0.toByte)                                  // density units
+        bb.putShort(1).putShort(1)                        // x/y density
+        bb.put(0.toByte).put(0.toByte)                    // no thumbnail
+        bb.put(0xFF.toByte).put(0xC0.toByte).putShort(11) // SOF0, len 11
+        bb.put(8.toByte)                                  // precision
+        bb.putShort(heightOf(n).toShort).putShort(widthOf(n).toShort)
+        bb.put(1.toByte)                                  // 1 component
+        bb.put(1.toByte).put(0x11.toByte).put(0.toByte)   // comp spec
+      case "wav" =>
+        bb.order(LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes(US_ASCII))
+        bb.putInt(36 + body.length) // riff payload size
+        bb.put("WAVE".getBytes(US_ASCII))
+        bb.put("fmt ".getBytes(US_ASCII))
+        bb.putInt(16)                     // fmt chunk size
+        bb.putShort(1)                    // PCM
+        bb.putShort(1)                    // mono
+        val sr = sampleRateOf(n)
+        bb.putInt(sr.toInt)
+        bb.putInt(sr.toInt * 2)           // byte rate (16-bit mono)
+        bb.putShort(2)                    // block align
+        bb.putShort(16)                   // bits per sample
+        bb.put("data".getBytes(US_ASCII))
+        bb.putInt(body.length)            // data chunk size
+      case "mp4" =>
+        bb.order(BIG_ENDIAN)
+        bb.putInt(16).put("ftyp".getBytes(US_ASCII))
+        bb.put("isom".getBytes(US_ASCII)).putInt(0)
+        bb.putInt(28).put("grft".getBytes(US_ASCII))
+        bb.putInt(widthOf(n)).putInt(heightOf(n)).putInt(framesOf(n))
+        bb.putInt(sampleRateOf(n).toInt).putInt((n * 2).toInt)
+    }
+    bb.put(body)
+    bb.array()
+  }
+
+  /** Documents with payload bytes + typed metadata. Payload synthesis
+    * runs in a typed map (it stands in for reading real media files at
+    * ingest); the metadata struct is derived by codegen'd expressions
+    * over the binary column, so metadata-only consumers stay
+    * expression-only. */
+  def withPayload(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = Tables(s, dir, "documents")
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val fmt = Formats((id % Formats.size).toInt)
+        (id, fmt, synthesize(fmt, text))
+      })
+      .toDF("doc_id", "fmt", "payload")
+    enc.withColumn("meta", struct(
+      length($"payload").cast("long").as("n_bytes"),
+      substring(hex($"payload"), 1, 8).as("magic"),
+      $"fmt".as("format")))
+  }
+
+  // -------------------------------------------------------------- parsing
+
+  private def be16(a: Array[Byte], off: Int): Int =
+    ((a(off) & 0xFF) << 8) | (a(off + 1) & 0xFF)
+  private def be32(a: Array[Byte], off: Int): Int =
+    ((a(off) & 0xFF) << 24) | ((a(off + 1) & 0xFF) << 16) |
+      ((a(off + 2) & 0xFF) << 8) | (a(off + 3) & 0xFF)
+  private def le32(a: Array[Byte], off: Int): Int =
+    (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8) |
+      ((a(off + 2) & 0xFF) << 16) | ((a(off + 3) & 0xFF) << 24)
+  private def ascii(a: Array[Byte], off: Int, len: Int): String =
+    new String(a, off, len, US_ASCII)
+  private def fail(r: MMRecord, why: String): Nothing =
+    throw new IllegalArgumentException(
+      s"doc ${r.doc_id} (${r.fmt}): malformed payload — $why")
+
+  /** Parse ONE record's payload bytes — real signature / marker /
+    * chunk / box parsing (see the object scaladoc). Package-visible so
+    * the spec can exercise malformed-input failure directly. */
+  private[graft] def parse(r: MMRecord): MMDecoded = {
+    val a = r.payload
+    val n = a.length.toLong
+    r.fmt match {
+      case "png" =>
+        val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        if (!(0 until 8).forall(i => (a(i) & 0xFF) == sig(i)))
+          fail(r, "bad PNG signature")
+        if (ascii(a, 12, 4) != "IHDR") fail(r, "first chunk is not IHDR")
+        val crc = new CRC32
+        crc.update(a, 12, 4 + be32(a, 8)) // chunk type + data
+        if (crc.getValue.toInt != be32(a, 29)) fail(r, "IHDR CRC mismatch")
+        MMDecoded(r.doc_id, r.fmt, n, be32(a, 16), be32(a, 20), 1, 0L, 0L,
+          r.magic)
+      case "jpg" =>
+        if ((a(0) & 0xFF) != 0xFF || (a(1) & 0xFF) != 0xD8)
+          fail(r, "bad JPEG SOI")
+        // marker scan: walk segments until SOF0
+        var off = 2
+        var out: MMDecoded = null
+        while (out == null) {
+          if (off + 4 > a.length) fail(r, "no SOF0 marker found")
+          if ((a(off) & 0xFF) != 0xFF) fail(r, s"bad marker at $off")
+          val marker = a(off + 1) & 0xFF
+          val segLen = be16(a, off + 2)
+          if (marker == 0xC0)
+            out = MMDecoded(r.doc_id, r.fmt, n,
+              be16(a, off + 7), be16(a, off + 5), 1, 0L, 0L, r.magic)
+          else off += 2 + segLen
+        }
+        out
+      case "wav" =>
+        if (ascii(a, 0, 4) != "RIFF" || ascii(a, 8, 4) != "WAVE")
+          fail(r, "bad RIFF/WAVE header")
+        var off = 12
+        var sr = -1L
+        var dataSize = -1L
+        // chunk walk; the data chunk's size field covers the body, so
+        // stop before walking INTO the body bytes
+        while ((sr < 0 || dataSize < 0) && off + 8 <= a.length) {
+          val id = ascii(a, off, 4)
+          val size = le32(a, off + 4).toLong
+          if (id == "fmt ") sr = le32(a, off + 12).toLong // +8 hdr, +4 fmt/ch
+          if (id == "data") dataSize = size
+          off += 8 + (if (id == "data") 0 else size.toInt)
+        }
+        if (sr < 0 || dataSize < 0) fail(r, "missing fmt /data chunk")
+        MMDecoded(r.doc_id, r.fmt, n, 0, 0, framesOf(dataSize), sr,
+          dataSize / 2, r.magic)
+      case "mp4" =>
+        if (ascii(a, 4, 4) != "ftyp") fail(r, "first box is not ftyp")
+        var off = be32(a, 0)
+        var out: MMDecoded = null
+        while (out == null && off + 8 <= a.length) {
+          if (ascii(a, off + 4, 4) == "grft")
+            out = MMDecoded(r.doc_id, r.fmt, n,
+              be32(a, off + 8), be32(a, off + 12), be32(a, off + 16),
+              be32(a, off + 20).toLong, be32(a, off + 24).toLong, r.magic)
+          else off += be32(a, off)
+        }
+        if (out == null) fail(r, "no grft box found")
+        out
+      case f => fail(r, s"unknown format $f")
+    }
+  }
+
+  /** Partition-parallel decode: one decoder context per partition,
+    * streaming over records — the batch shape you would hand a JNI /
+    * Arrow / Python decoder. The parsing is real byte work ([[parse]]);
+    * only the content downstream of the header is synthetic. */
+  def decode(records: Dataset[MMRecord]): Dataset[MMDecoded] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       // per-partition decoder init would go here (expensive handle reuse)
-      it.map { r =>
-        val n = r.payload.length.toLong
-        val frames =
-          if (r.fmt == "wav" || r.fmt == "mp4") 1 + (n % 16).toInt else 1
-        MMDecoded(r.doc_id, r.fmt, n,
-          1 + (31 * n % 509).toInt, 1 + (131 * n % 509).toInt, frames,
-          r.magic)
-      }
+      it.map(parse)
     }
   }
 
   val ResizeBox = 224
   val FrameStep = 3
 
-  /** STUB resize + frame-sample stage downstream of [[decodeStub]]: keep
-    * every [[FrameStep]]-th frame, and compute the aspect-preserving fit
-    * of each frame into a [[ResizeBox]]² target (integer math — the
-    * numbers a real resizer would be handed). Same contract as
-    * decodeStub: the flatMap row-expansion shape is the production
-    * plumbing; only the arithmetic is a stand-in for pixel work. */
+  /** STUB resize + frame-sample stage downstream of [[decode]]: keep
+    * every [[FrameStep]]-th frame of each VISUAL record (audio has no
+    * frames to resize), and compute the aspect-preserving fit of each
+    * frame into a [[ResizeBox]]² target (integer math — the numbers a
+    * real resizer would be handed). The flatMap row-expansion shape is
+    * the production plumbing; the arithmetic stands in for pixel
+    * work. */
   def frameSampleStub(decoded: Dataset[MMDecoded]): Dataset[MMFrame] = {
     import decoded.sparkSession.implicits._
     decoded.flatMap { d =>
-      val (ow, oh) =
-        if (d.width >= d.height)
-          (ResizeBox, math.max(1, d.height * ResizeBox / d.width))
-        else
-          (math.max(1, d.width * ResizeBox / d.height), ResizeBox)
-      (0 until d.n_frames by FrameStep).map(fi =>
-        MMFrame(d.doc_id, d.fmt, fi, ow, oh))
+      if (d.width <= 0 || d.height <= 0) Seq.empty[MMFrame]
+      else {
+        val (ow, oh) =
+          if (d.width >= d.height)
+            (ResizeBox, math.max(1, d.height * ResizeBox / d.width))
+          else
+            (math.max(1, d.width * ResizeBox / d.height), ResizeBox)
+        (0 until d.n_frames by FrameStep).map(fi =>
+          MMFrame(d.doc_id, d.fmt, fi, ow, oh))
+      }
     }
   }
 
-  /** Per-format stats of the sampled+resized frame stream. */
-  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+  /** The typed record stream every mm query decodes from. */
+  private def records(s: SparkSession, dir: String): Dataset[MMRecord] = {
     import s.implicits._
-    val recs = withPayload(s, dir)
+    withPayload(s, dir)
       .select($"doc_id", $"fmt", $"payload", $"meta.magic".as("magic"))
       .as[MMRecord]
-    frameSampleStub(decodeStub(recs)).toDF()
+  }
+
+  // the oracle-side CASE mapping doc_id to its format tag
+  private def fmtCase: String = Formats.zipWithIndex
+    .map { case (f, i) => s"WHEN $i THEN '$f'" }.mkString(" ")
+  // the oracle-side per-format constants: header length and magic (the
+  // first 8 hex chars of each synthesized header — PNG signature, JPEG
+  // SOI+APP0, RIFF tag, ftyp box size)
+  private val headerLenSql =
+    "CASE WHEN fmt IN ('png', 'jpg') THEN 33 ELSE 44 END"
+  private val magicSql =
+    """CASE fmt WHEN 'png' THEN '89504E47' WHEN 'jpg' THEN 'FFD8FFE0'
+      |      WHEN 'wav' THEN '52494646' ELSE '00000010' END""".stripMargin
+
+  /** Per-format stats of the sampled+resized frame stream (visual
+    * formats only — audio records expand to zero frames). */
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    frameSampleStub(decode(records(s, dir))).toDF()
       .groupBy($"fmt")
       .agg(
         count(lit(1)).as("n_frames"),
@@ -117,21 +328,19 @@ object Multimodal {
       .orderBy($"fmt")
   }
 
-  val mmFramesSql: String = {
-    val fmtCase = Formats.zipWithIndex
-      .map { case (f, i) => s"WHEN $i THEN '$f'" }.mkString(" ")
+  val mmFramesSql: String =
     s"""WITH rec AS (
        |  SELECT doc_id,
        |    CASE CAST(doc_id % ${Formats.size} AS INT) $fmtCase END AS fmt,
-       |    octet_length(encode(text)) AS n_bytes
+       |    octet_length(encode(text)) AS n
        |  FROM documents),
        |dec AS (
        |  SELECT doc_id, fmt,
-       |    CAST(1 + (31 * n_bytes % 509) AS INT) AS width,
-       |    CAST(1 + (131 * n_bytes % 509) AS INT) AS height,
-       |    CASE WHEN fmt IN ('wav', 'mp4')
-       |      THEN CAST(1 + n_bytes % 16 AS INT) ELSE 1 END AS n_frames
-       |  FROM rec),
+       |    CAST(1 + (31 * n % 509) AS INT) AS width,
+       |    CAST(1 + (131 * n % 509) AS INT) AS height,
+       |    CASE WHEN fmt = 'mp4' THEN CAST(1 + n % 16 AS INT) ELSE 1 END
+       |      AS n_frames
+       |  FROM rec WHERE fmt IN ('png', 'jpg', 'mp4')),
        |res AS (
        |  SELECT doc_id, fmt, n_frames,
        |    CASE WHEN width >= height THEN $ResizeBox
@@ -149,16 +358,14 @@ object Multimodal {
        |  round(avg(out_h), 4) AS avg_out_h,
        |  max(frame_idx) AS max_frame_idx
        |FROM frames GROUP BY fmt ORDER BY fmt""".stripMargin
-  }
 
-  /** Per-format corpus stats over metadata + decoded dimensions. */
+  /** Per-format corpus stats over metadata + PARSED dimensions: every
+    * width/height/frame-count below came out of the payload bytes, and
+    * the oracle recomputes what the ingest embedded — a parse bug is a
+    * hash mismatch. */
   def mmMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // magic rides in the typed record — ONE corpus scan, no re-join
-    val recs = withPayload(s, dir)
-      .select($"doc_id", $"fmt", $"payload", $"meta.magic".as("magic"))
-      .as[MMRecord]
-    decodeStub(recs).toDF()
+    decode(records(s, dir)).toDF()
       .groupBy($"fmt")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -170,21 +377,22 @@ object Multimodal {
       .orderBy($"fmt")
   }
 
-  val mmMetaSql: String = {
-    val fmtCase = Formats.zipWithIndex
-      .map { case (f, i) => s"WHEN $i THEN '$f'" }.mkString(" ")
+  val mmMetaSql: String =
     s"""WITH rec AS (
        |  SELECT doc_id,
        |    CASE CAST(doc_id % ${Formats.size} AS INT) $fmtCase END AS fmt,
-       |    octet_length(encode(text)) AS n_bytes,
-       |    substring(hex(encode(text)), 1, 8) AS magic
+       |    octet_length(encode(text)) AS n
        |  FROM documents),
        |dec AS (
-       |  SELECT doc_id, fmt, n_bytes, magic,
-       |    CAST(1 + (31 * n_bytes % 509) AS INT) AS width,
-       |    CAST(1 + (131 * n_bytes % 509) AS INT) AS height,
+       |  SELECT doc_id, fmt,
+       |    n + $headerLenSql AS n_bytes,
+       |    CASE WHEN fmt = 'wav' THEN 0
+       |      ELSE CAST(1 + (31 * n % 509) AS INT) END AS width,
+       |    CASE WHEN fmt = 'wav' THEN 0
+       |      ELSE CAST(1 + (131 * n % 509) AS INT) END AS height,
        |    CASE WHEN fmt IN ('wav', 'mp4')
-       |      THEN CAST(1 + n_bytes % 16 AS INT) ELSE 1 END AS n_frames
+       |      THEN CAST(1 + n % 16 AS INT) ELSE 1 END AS n_frames,
+       |    $magicSql AS magic
        |  FROM rec)
        |SELECT fmt, count(*) AS n_docs,
        |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
@@ -193,7 +401,6 @@ object Multimodal {
        |  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
        |  count(DISTINCT magic) AS n_magics
        |FROM dec GROUP BY fmt ORDER BY fmt""".stripMargin
-  }
 
   /** Audio feature-framing window: 25 ms. */
   val AudioWinDiv = 40   // win = sample_rate / 40
@@ -202,22 +409,15 @@ object Multimodal {
 
   /** Audio feature-extraction framing — the ASR/audio-embedding
     * front-end's windowing math (25 ms windows, 10 ms hop) over the
-    * audio-format payloads. Sample rate and PCM length are STUB
-    * arithmetic on the metadata (same contract as [[decodeStub]]: a
-    * real probe replaces only those two lines), but the pipeline shape
-    * is the point — this is a METADATA-ONLY plan: the payload column is
-    * never deserialized, the scan prunes to (doc_id, n_bytes), and the
-    * per-format window totals a feature-extraction scheduler needs come
-    * from integer arithmetic inside whole-stage codegen. */
+    * audio-format payloads. Sample rate and sample count are PARSED
+    * from the container bytes (WAV fmt/data chunks, the mp4 box) by
+    * [[decode]]; the windowing arithmetic then runs as integer
+    * expressions. The oracle recomputes the embedded values, so a
+    * header-parse bug in either field breaks the hash match. */
   def mmAudio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    withPayload(s, dir)
+    decode(records(s, dir)).toDF()
       .filter($"fmt".isin("wav", "mp4"))
-      .select($"doc_id", $"fmt", $"meta.n_bytes".as("n_bytes"))
-      // STUB probe: a real decoder reads these from the container header
-      .withColumn("sample_rate",
-        (lit(8000L) + ($"n_bytes" % 3) * 4000L).cast("long"))
-      .withColumn("n_samples", $"n_bytes" * 4)
       .withColumn("win", expr(s"sample_rate DIV $AudioWinDiv"))
       .withColumn("hop", expr(s"sample_rate DIV $AudioHopDiv"))
       .withColumn("n_windows",
@@ -232,18 +432,16 @@ object Multimodal {
       .orderBy($"fmt")
   }
 
-  val mmAudioSql: String = {
-    val fmtCase = Formats.zipWithIndex
-      .map { case (f, i) => s"WHEN $i THEN '$f'" }.mkString(" ")
+  val mmAudioSql: String =
     s"""WITH rec AS (
        |  SELECT doc_id,
        |    CASE CAST(doc_id % ${Formats.size} AS INT) $fmtCase END AS fmt,
-       |    octet_length(encode(text)) AS n_bytes
+       |    octet_length(encode(text)) AS n
        |  FROM documents),
        |audio AS (
-       |  SELECT fmt, n_bytes,
-       |    8000 + (n_bytes % 3) * 4000 AS sample_rate,
-       |    n_bytes * 4 AS n_samples
+       |  SELECT fmt,
+       |    8000 + (n % 3) * 4000 AS sample_rate,
+       |    CASE WHEN fmt = 'wav' THEN n // 2 ELSE n * 2 END AS n_samples
        |  FROM rec WHERE fmt IN ('wav', 'mp4')),
        |w AS (
        |  SELECT fmt, sample_rate,
@@ -257,7 +455,6 @@ object Multimodal {
        |  round(avg(n_windows), 4) AS avg_windows,
        |  round(avg(sample_rate), 4) AS avg_sample_rate
        |FROM w GROUP BY fmt ORDER BY fmt""".stripMargin
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta(_, _)),

@@ -119,20 +119,53 @@ object RelationalQueries {
       |FROM ranked WHERE rk <= 3
       |ORDER BY l_suppkey, rk""".stripMargin
 
+  /** Session-gap threshold (seconds) shared by [[sessionize]] and
+    * [[EventAnalytics.eventPaths]]. */
+  val SessionGapSec = 1800L
+
+  /** Attach a per-user `sess_id` column (30-min inactivity gap rule:
+    * lag + running sum of session starts) to an event frame carrying
+    * (user_id, ts, event_id). ONE definition of "session" — the
+    * session-stats operator and the path-analysis operator must agree
+    * on where a session breaks, and the DuckDB twins reproduce the
+    * identical window fold. One shuffle on user_id; the window sort is
+    * per-user and spillable. */
+  def withSessionIds(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    ev
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > SessionGapSec,
+          1L).otherwise(0L))
+      .withColumn("sess_id", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("prev_ts", "new_sess")
+  }
+
+  /** The DuckDB twin of [[withSessionIds]]: CTE text producing `sess`
+    * (all of `ev`'s columns + sess_id) from a CTE named `ev`. */
+  def withSessionIdsSql(evCols: String): String =
+    s"""flagged AS (
+       |  SELECT $evCols,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR date_diff('second', lag(ts) OVER w, ts) > $SessionGapSec
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT $evCols,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sess_id
+       |  FROM flagged)""".stripMargin
+
   /** Sessionization: 30-min inactivity gap, per-user session stats.
     * lag + running sum of session starts — one shuffle on user_id. */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events")
       .select($"user_id", date_trunc("second", $"ts").as("ts"), $"event_id")
-    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val sessions = ev
-      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
-      .withColumn("new_sess",
-        when($"prev_ts".isNull ||
-          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L).otherwise(0L))
-      .withColumn("sess_id", sum($"new_sess").over(
-        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val sessions = withSessionIds(ev)
       .groupBy($"user_id", $"sess_id")
       .agg(count(lit(1)).as("n_events"),
         (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts"))).as("dur_sec"))
@@ -145,19 +178,9 @@ object RelationalQueries {
   }
 
   val sessionizeSql: String =
-    """WITH ev AS (
+    s"""WITH ev AS (
       |  SELECT user_id, date_trunc('second', ts) AS ts, event_id FROM events),
-      |flagged AS (
-      |  SELECT user_id, ts, event_id,
-      |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
-      |         THEN 1 ELSE 0 END AS new_sess
-      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      |sess AS (
-      |  SELECT user_id, ts, event_id,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS UNBOUNDED PRECEDING) AS sess_id
-      |  FROM flagged),
+      |${withSessionIdsSql("user_id, ts, event_id")},
       |per_sess AS (
       |  SELECT user_id, sess_id, count(*) AS n_events,
       |    date_diff('second', min(ts), max(ts)) AS dur_sec
@@ -199,6 +222,32 @@ object RelationalQueries {
       round(max(col(c)), 4).as(s"${c}_max"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
       count_distinct(col(c)).as(s"${c}_distinct")))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', ${c}_min, ${c}_max, ${c}_nulls, ${c}_distinct").mkString(", ")
+    one.select(expr(
+        s"stack(${cols.size}, $stacked) AS (col_name, min_val, max_val, n_nulls, n_distinct)"))
+      .orderBy($"col_name")
+  }
+
+  /** The 100-TB profiling path: same single-pass plan shape as
+    * [[profileTable]], with each exact `count_distinct` (which shuffles
+    * every distinct value of every profiled column) replaced by
+    * `approx_count_distinct`'s HLL++ sketch — O(sketch-size) aggregation
+    * state per column per partition, merged associatively map-side, so
+    * the profile costs one scan plus K sketch merges at any corpus
+    * size. rows-only (sketch estimates are engine-specific);
+    * ApproxDistinctSpec bounds the relative error against the exact
+    * twin. */
+  def profileTableApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val li = Tables(s, dir, "lineitem")
+    val aggs = cols.flatMap(c => Seq(
+      round(min(col(c)), 4).as(s"${c}_min"),
+      round(max(col(c)), 4).as(s"${c}_max"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      approx_count_distinct(col(c)).as(s"${c}_distinct")))
     val one = li.agg(aggs.head, aggs.tail: _*)
     val stacked = cols.map(c =>
       s"'$c', ${c}_min, ${c}_max, ${c}_nulls, ${c}_distinct").mkString(", ")
@@ -352,6 +401,51 @@ object RelationalQueries {
       .orderBy($"rule")
   }
 
+  /** The 100-TB DQ path: identical rule suite and single-pass plan as
+    * [[dqChecks]], with the one unbounded metric — composite-key
+    * uniqueness, whose exact form shuffles every present key — swapped
+    * for `approx_count_distinct` over the (non-null-guarded) key
+    * struct. The sketch can over- OR under-estimate distincts, so the
+    * dup estimate may come out slightly negative on a clean table;
+    * `pass` therefore tests `violations <= tol` with tol = the
+    * sketch's expected absolute error (rsd × present keys) — an exact
+    * rule stays a hard zero, a sketched rule gets its honest error
+    * bar. rows-only; ApproxDistinctSpec bounds the estimate against
+    * the exact twin. */
+  def dqChecksApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    val rsd = 0.05
+    val one = li.agg(
+      sum(when($"l_quantity".isNull, 1L).otherwise(0L)).as("null_qty"),
+      sum(when($"l_discount" < 0.0 || $"l_discount" > 0.1, 1L)
+        .otherwise(0L)).as("bad_discount"),
+      sum(when(not($"l_returnflag".isin("A", "N", "R")), 1L)
+        .otherwise(0L)).as("bad_flag"),
+      sum(when($"l_extendedprice" < 0.0, 1L).otherwise(0L)).as("neg_price"),
+      sum(when($"l_orderkey".isNotNull && $"l_linenumber".isNotNull, 1L)
+        .otherwise(0L)).as("present_keys"),
+      // null-guarded struct: a row with a null key component yields a
+      // null aggregate input, which the sketch skips — same population
+      // as the exact twin's count_distinct(k1, k2)
+      approx_count_distinct(
+        when($"l_orderkey".isNotNull && $"l_linenumber".isNotNull,
+          struct($"l_orderkey", $"l_linenumber")), rsd).as("approx_keys"))
+      .withColumn("dup_keys", $"present_keys" - $"approx_keys")
+      .withColumn("dup_tol", ceil($"present_keys" * rsd))
+    one.select(expr(
+        """stack(5,
+          |  'accepted_values(l_returnflag)', bad_flag, CAST(0 AS BIGINT),
+          |  'not_null(l_quantity)', null_qty, CAST(0 AS BIGINT),
+          |  'range(l_discount,0,0.1)', bad_discount, CAST(0 AS BIGINT),
+          |  'non_negative(l_extendedprice)', neg_price, CAST(0 AS BIGINT),
+          |  'unique_approx(l_orderkey,l_linenumber)', dup_keys, dup_tol
+          |) AS (rule, violations, tol)""".stripMargin))
+      .withColumn("pass", $"violations" <= $"tol")
+      .select($"rule", $"violations", $"pass")
+      .orderBy($"rule")
+  }
+
   val dqChecksSql: String =
     """WITH m AS (
       |  SELECT
@@ -378,9 +472,11 @@ object RelationalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_checks" -> (dqChecks(_, _)),
+    "dq_checks_approx" -> (dqChecksApprox(_, _)),
     "quantiles" -> (quantiles(_, _)),
     "quantiles_approx" -> (quantilesApprox(_, _)),
     "profile_table" -> (profileTable(_, _)),
+    "profile_table_approx" -> (profileTableApprox(_, _)),
     "histogram" -> (histogram(_, _)),
     "q3_join" -> (q3(_, _)),
     "q5_multijoin" -> (q5(_, _)),

@@ -146,7 +146,20 @@ object Similarity {
   /** IVF ANN: assign corpus to nearest coarse centroid (inverted lists),
     * probe the NProbe nearest lists per query. Approximate → rows-only;
     * recall vs brute force asserted in SimilaritySpec. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvfProbing(s, dir, NProbe)
+
+  /** The IVF EXACTNESS ANCHOR: at nprobe = nlist every query probes
+    * every inverted list, so the candidate set is the whole corpus and
+    * the operator IS brute force — which makes this configuration
+    * DuckDB-oracle-checkable against [[annBruteForceSql]] with zero new
+    * SQL. The approximate default ([[annIvf]]) stays rows-only with its
+    * recall spec; this entry pins the machinery (assignment, probe
+    * ranking, scoring, top-k) to the exact result it must degrade to. */
+  def annIvfExact(s: SparkSession, dir: String): DataFrame =
+    annIvfProbing(s, dir, NList)
+
+  private def annIvfProbing(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import s.implicits._
     // Persist only for the quantizer refinement (QuantizerIters+2
     // passes), then release: the returned plan is built on a fresh scan
@@ -163,7 +176,7 @@ object Similarity {
       .withColumn("ds", centroidCosines(cents))
       .withColumn("probe", expr(
         s"slice(transform(array_sort(zip_with(ds, sequence(0, ${NList - 1}), " +
-          s"(d, i) -> struct(-d AS nd, i AS i))), x -> x.i), 1, $NProbe)"))
+          s"(d, i) -> struct(-d AS nd, i AS i))), x -> x.i), 1, $nprobe)"))
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
         explode($"probe").as("list_id"))
     val cands = lists.join(broadcast(probes),
@@ -272,7 +285,21 @@ object Similarity {
     *      exactly — reported cosines are exact, recall is the only
     *      approximation (measured vs brute force in SimilaritySpec).
     * rows-only. */
-  def annPq(s: SparkSession, dir: String): DataFrame = {
+  def annPq(s: SparkSession, dir: String): DataFrame =
+    annPqReranking(s, dir, PqRerank)
+
+  /** The PQ EXACTNESS ANCHOR: at rerank ≥ corpus size the shortlist is
+    * every (query, vector) pair and the exact re-rank scores all of
+    * them — the output ranking is brute force regardless of the
+    * compressed-domain approximation, so this configuration is
+    * oracle-checked against [[annBruteForceSql]] while still
+    * exercising the full train/encode/ADC machinery. The production
+    * shortlist depth ([[annPq]]) stays rows-only with its recall
+    * spec. */
+  def annPqExact(s: SparkSession, dir: String): DataFrame =
+    annPqReranking(s, dir, Int.MaxValue)
+
+  private def annPqReranking(s: SparkSession, dir: String, rerank: Int): DataFrame = {
     import s.implicits._
     val cached = embedded(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -319,8 +346,14 @@ object Similarity {
       val reconNorm = sqrt((0 until PqBlocks).map(b =>
         element_at(typedlit(normSqTables(b).toSeq), col("codes")(b) + 1))
         .reduce(_ + _))
+      // localCheckpoint (eager): the codes frame materializes HERE,
+      // while `cached` is still persisted — the returned plan (approx
+      // scan, shortlist, re-rank) then reads the materialized codes
+      // instead of re-encoding from a re-scanned corpus on every
+      // execution after the finally-unpersist has already run
       val codes = withCodes(cached).select($"vec_id", $"codes")
         .withColumn("vn", reconNorm)
+        .localCheckpoint()
 
       // ---- query: per-query ADC lookup tables as plan literals
       val qs = cached.filter($"vec_id" < NumQueries)
@@ -341,11 +374,12 @@ object Similarity {
         .filter($"vec_id" =!= $"q_id")
       val w = Window.partitionBy($"q_id").orderBy($"approx".desc, $"vec_id")
       val candIds = approx.withColumn("rk", row_number().over(w))
-        .filter($"rk" <= PqRerank)
+        .filter($"rk" <= rerank)
         .select($"q_id", $"vec_id")
 
-      // ---- exact re-rank of the shortlist
-      val qVecs = cached.filter($"vec_id" < NumQueries)
+      // ---- exact re-rank of the shortlist (fresh pushed-filter scans:
+      // `cached` is released once this plan is returned)
+      val qVecs = embedded(s, dir).filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
       val cands = candIds
         .join(embedded(s, dir).select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
@@ -358,9 +392,15 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteForce(_, _)),
     "ann_ivf" -> (annIvf(_, _)),
+    "ann_ivf_exact" -> (annIvfExact(_, _)),
     "ann_pq" -> (annPq(_, _)),
+    "ann_pq_exact" -> (annPqExact(_, _)),
     "ann_lsh" -> (annLsh(_, _)))
 
   def oracles: Map[String, String] = Map(
-    "ann_bruteforce" -> annBruteForceSql)
+    "ann_bruteforce" -> annBruteForceSql,
+    // the exactness anchors degrade to brute force by construction
+    // (nprobe = nlist / rerank ≥ corpus) — same oracle, zero new SQL
+    "ann_ivf_exact" -> annBruteForceSql,
+    "ann_pq_exact" -> annBruteForceSql)
 }

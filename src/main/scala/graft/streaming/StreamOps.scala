@@ -122,15 +122,22 @@ object StreamOps {
     * CHECKPOINT COMPATIBILITY: widening the key from the earlier
     * two-base form changed the state schema — a query restarted from a
     * checkpoint written by the old key fails Spark's state-schema
-    * validation and must start a fresh checkpoint (re-admitting
-    * duplicates only within the watermark horizon). Deployments that
-    * can't accept that window should drain past the watermark before
-    * upgrading. */
-  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    * validation AT RESTART TIME. The key is therefore VERSION-GATED:
+    * `keyVersion = 1` keeps the legacy two-base key selectable so a
+    * deployment holding v1 checkpoints can restart unchanged, then
+    * migrate on its own schedule — drain past the watermark horizon
+    * (after which the expiring state no longer protects anything),
+    * switch to `keyVersion = 2` with a FRESH checkpoint location, and
+    * accept re-admitted duplicates only within that horizon. v2 (the
+    * default) is the birthday-safe four-base key every batch operator
+    * shares. */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour",
+      keyVersion: Int = 2): DataFrame = {
+    val bases = keyBasesFor(keyVersion)
     // key columns use reserved names so a caller's own n_chars/h31/...
     // columns pass through untouched (the documented contract)
-    val keyNames = graft.operators.Dedup.ExactKeyBases.map(b => s"__dedup_h$b")
-    val hashed = graft.operators.Dedup.ExactKeyBases.foldLeft(docs) { (d, b) =>
+    val keyNames = bases.map(b => s"__dedup_h$b")
+    val hashed = bases.foldLeft(docs) { (d, b) =>
       d.withColumn(s"__dedup_h$b", graft.functions.PolyHash(col("text"), b))
     }
     hashed
@@ -138,5 +145,16 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("__dedup_len" +: keyNames)
       .drop("__dedup_len" +: keyNames: _*)
+  }
+
+  /** Dedup-key hash bases by state-schema version — see the
+    * [[streamingDedup]] checkpoint-compatibility contract. v1 is the
+    * legacy two-base key (checkpoints written before the four-base
+    * widening); v2 is [[graft.operators.Dedup.ExactKeyBases]]. */
+  def keyBasesFor(keyVersion: Int): Seq[Long] = keyVersion match {
+    case 1 => graft.operators.Dedup.ExactKeyBases.take(2)
+    case 2 => graft.operators.Dedup.ExactKeyBases
+    case v => throw new IllegalArgumentException(
+      s"unknown streamingDedup key version $v (valid: 1, 2)")
   }
 }

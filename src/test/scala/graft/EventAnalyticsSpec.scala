@@ -59,27 +59,63 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("event paths: 3-step shingle counts conserve the stream length") {
+  test("event paths: 3-step shingle counts conserve each session's length") {
     import org.apache.spark.sql.functions._
     val top = EventAnalytics.eventPaths(spark, sf).collect()
-    assert(top.length == EventAnalytics.PathTopK)
+    // sf0.001 sessions are mostly < 3 events, so fewer than PathTopK
+    // distinct paths can exist — the top-k is capped, not padded
+    assert(top.length <= EventAnalytics.PathTopK && top.nonEmpty)
     val counts = top.map(_.getLong(1))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
     top.foreach(r => assert(r.getString(0).split(" ").length == 3))
-    // every user with k ≥ 3 events contributes exactly k-2 paths —
-    // check the UNLIMITED path total against that identity
-    val perUser = Tables(spark, sf, "events")
-      .groupBy(col("user_id")).count().collect().map(_.getLong(1))
-    val wantPaths = perUser.map(k => math.max(0L, k - 2)).sum
-    val allPaths = Tables(spark, sf, "events")
-      .select(col("user_id"), struct(date_trunc("second", col("ts")).as("ts"),
-        col("event_id"), col("event_type")).as("e"))
-      .groupBy(col("user_id"))
+    // every (user, session) with k ≥ 3 events contributes exactly k-2
+    // paths — check the UNLIMITED path total against that identity
+    val ev = Tables(spark, sf, "events")
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+        col("event_id"), col("event_type"))
+    val sess = operators.RelationalQueries.withSessionIds(ev)
+    val perSess = sess
+      .groupBy(col("user_id"), col("sess_id")).count()
+      .collect().map(_.getLong(2))
+    val wantPaths = perSess.map(k => math.max(0L, k - 2)).sum
+    val allPaths = sess
+      .select(col("user_id"), col("sess_id"),
+        struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+      .groupBy(col("user_id"), col("sess_id"))
       .agg(sort_array(collect_list(col("e"))).as("es"))
       .select(explode(graft.functions.TextFeatures.wordNgrams(
         expr("transform(es, x -> x.event_type)"), 3)).as("p"))
       .count()
     assert(allPaths == wantPaths)
+  }
+
+  test("event paths: hot-user state is bounded per session, no cross-gap shingles") {
+    import spark.implicits._
+    // A synthetic bot user: 200 sessions of 3 events each, separated by
+    // >30-min gaps. Sessionized shingling aggregates 200 groups of 3
+    // events instead of one 600-event array, and the only path that can
+    // exist is the within-session "a b c" — a cross-gap shingle
+    // ("b c a" / "c a b") appearing at all would mean a path straddled
+    // the session boundary.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val types = Array("a", "b", "c")
+    val rows = for (sess <- 0 until 200; i <- 0 until 3) yield (
+      7L,
+      new java.sql.Timestamp(base.getTime + sess * 3600_000L + i * 10_000L),
+      (sess * 3 + i).toLong,
+      types(i))
+    val ev = rows.toDF("user_id", "ts", "event_id", "event_type")
+    // the aggregation groups really are session-sized
+    val maxGroup = operators.RelationalQueries.withSessionIds(
+        ev.select($"user_id", $"ts", $"event_id"))
+      .groupBy($"user_id", $"sess_id").count()
+      .agg(org.apache.spark.sql.functions.max($"count")).head().getLong(0)
+    assert(maxGroup == 3L, s"expected 3-event sessions, got $maxGroup")
+    val out = EventAnalytics.eventPathsOn(ev).collect()
+    assert(out.length == 1, out.mkString(";"))
+    assert(out.head.getString(0) == "a b c")
+    assert(out.head.getLong(1) == 200L)
   }
 
   test("resample: dense hour grid, zero-filled gaps, counts conserved") {

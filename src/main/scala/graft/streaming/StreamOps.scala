@@ -147,6 +147,48 @@ object StreamOps {
       .drop("__dedup_len" +: keyNames: _*)
   }
 
+  /** A change-log record flowing into [[streamingCdcLatest]]. */
+  final case class CdcEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String, value: Double)
+
+  /** The maintained snapshot row per key. */
+  final case class CdcSnapshot(user_id: Long, last_event_id: Long,
+      last_type: String, last_value: Double)
+
+  private def cdcKey(e: CdcEvent): (Long, Long) =
+    (e.ts.getTime / 1000L, e.event_id) // second-truncated + id tie-break
+
+  /** Streaming changelog compaction — the at-ingest twin of the batch
+    * [[graft.operators.EventAnalytics.cdcLatest]]: `mapGroupsWithState`
+    * maintains ONE record per key (the latest by the SAME
+    * second-truncated-time + event_id rule the batch operator and its
+    * DuckDB oracle use), emitting each touched key's current snapshot
+    * per trigger (OutputMode Update). This is the incrementally-
+    * maintained "current state" materialized view a CDC consumer
+    * reads, instead of re-running the batch compaction over the full
+    * log: state is exactly one record per distinct key forever —
+    * bounded by key cardinality, not log volume — and an out-of-order
+    * or duplicate change arriving late can never regress the snapshot
+    * (max is idempotent and commutative, StreamingSpec). */
+  def streamingCdcLatest(events: Dataset[CdcEvent]): Dataset[CdcSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[CdcEvent], state: GroupState[CdcEvent]) =>
+          var best = state.getOption.orNull
+          it.foreach { e =>
+            if (best == null ||
+                Ordering[(Long, Long)].compare(cdcKey(e), cdcKey(best)) > 0)
+              best = e
+          }
+          state.update(best)
+          // same 4-decimal HALF_UP rounding as the batch twin's round()
+          CdcSnapshot(uid, best.event_id, best.event_type,
+            BigDecimal(best.value)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+  }
+
   /** Dedup-key hash bases by state-schema version — see the
     * [[streamingDedup]] checkpoint-compatibility contract. v1 is the
     * legacy two-base key (checkpoints written before the four-base

@@ -210,6 +210,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q3.stop()
   }
 
+  test("streamingCdcLatest: one snapshot per key, late updates never regress") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = StreamOps.streamingCdcLatest(
+        mem.toDS().map { case (u, t, id, ty, v) =>
+          StreamOps.CdcEvent(u, t, id, ty, v) })
+      .writeStream.format("memory").queryName("scdc")
+      .outputMode("update").start()
+    mem.addData(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "view", 1.0),
+      (1L, ts("2026-01-01 10:05:00"), 2L, "click", 2.34567),
+      (2L, ts("2026-01-01 10:01:00"), 3L, "view", 3.0))
+    q.processAllAvailable()
+    mem.addData(
+      (1L, ts("2026-01-01 10:03:00"), 4L, "error", 9.0), // OLDER than id 2
+      (2L, ts("2026-01-01 10:06:00"), 5L, "purchase", 5.0),
+      (3L, ts("2026-01-01 10:06:00"), 6L, "view", 6.0),
+      (3L, ts("2026-01-01 10:06:00"), 7L, "click", 7.0)) // same-second tie
+    q.processAllAvailable()
+    q.stop()
+    val byUser = spark.table("scdc").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toSet).toMap
+    // the late out-of-order change for user 1 must never have emitted a
+    // regressed snapshot in ANY trigger
+    assert(byUser(1L) == Set((2L, "click", 2.3457)),
+      s"late update regressed the snapshot: ${byUser(1L)}")
+    // user 2 progressed 3 → 5 across triggers
+    assert(byUser(2L).map(_._1) == Set(3L, 5L))
+    // same-second pair breaks by event_id in every emission
+    assert(byUser(3L) == Set((7L, "click", 7.0)))
+  }
+
   test("streamingHeavyHitters: counts accumulate across batches, state bounded") {
     val s = spark
     import s.implicits._

@@ -225,14 +225,11 @@ object Dedup {
     ngramCandidates(docs, dfCap, hashedGramsOf(docs).persist())
 
   /** As above with the hashed-gram rows supplied by the caller (who
-    * owns their persistence lifecycle), and a configurable BLOCKING
-    * key: Jaccard blocks on (lang, length-bucket) — similar sizes are
-    * a precondition of J ≥ τ — while containment ([[dedupContainment]])
-    * blocks on lang alone, because its whole point is pairs whose
-    * sizes differ (a short doc quoted inside a long one sits in a
-    * different length bucket by construction). */
-  def ngramCandidates(docs: DataFrame, dfCap: Long, g: DataFrame,
-      blockCols: Seq[String] = Seq("lang", "lb")): DataFrame = {
+    * owns their persistence lifecycle). Blocking is (lang, length-
+    * bucket) — similar sizes are a precondition of J ≥ τ; the operator
+    * for pairs whose sizes DIFFER is [[dedupContainmentOn]], which has
+    * its own prefix-filtered candidate stage. */
+  def ngramCandidates(docs: DataFrame, dfCap: Long, g: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     // Posting-list formulation: ONE gram scan, ONE shuffle for the
     // under-cap path. Each (block, gram) group gathers its doc ids via
@@ -249,7 +246,7 @@ object Dedup {
     // 10× slower).
     val lim = if (dfCap >= Int.MaxValue) Int.MaxValue
       else (dfCap + 1).toInt
-    val keyCols = blockCols :+ "gh"
+    val keyCols = Seq("lang", "lb", "gh")
     val agg = g
       .groupBy(keyCols.map(col): _*)
       .agg(graft.functions.BoundedCollect($"doc_id", lim).as("ids"),
@@ -380,6 +377,12 @@ object Dedup {
   // ---------------------------------------------------------- containment
 
   val ContainmentTau = 0.8
+  /** ⌈τ'·n⌉ numerator/denominator for the prefix bound, with τ' =
+    * [[ContainmentTau]] − 0.00005 (the verify filter's rounded-compare
+    * slack) as an exact rational — see the integer-ceil note in
+    * [[dedupContainmentOn]]. */
+  private val ContainNum = 79995L
+  private val ContainDen = 100000L
 
   /** N-gram CONTAINMENT near-dup pairs: C(a,b) = |A∩B| / min(|A|,|B|)
     * ≥ τ — the asymmetric complement of [[dedupNgramOn]]'s Jaccard. A
@@ -390,15 +393,81 @@ object Dedup {
     * Jaccard's lossless min/max prefilter discards is the pair class
     * this operator exists to find. Consequently the candidate stage
     * blocks on lang alone (no length bucket — inclusion pairs sit in
-    * different buckets by construction) and there is no size
-    * prefilter; verification is the same exact hash-set intersection.
-    * Same DF cap / star fallback, so candidate state stays bounded
-    * under boilerplate skew. */
+    * different buckets by construction).
+    *
+    * Candidate generation is PREFIX-FILTERED (Bayardo/Ma/Srikant,
+    * "Scaling Up All Pairs Similarity Search", WWW 2007): under a
+    * global rarest-first gram order (df asc, hash asc), if
+    * |A∩B| ≥ ⌈τ·|A|⌉ with |A| the smaller set, then among A's first
+    * |A| − ⌈τ'·|A|⌉ + 1 grams at least one is in B (pigeonhole; τ' is
+    * the half-ulp-slackened τ so the rounded verify filter can't
+    * out-accept the generator) — so only each doc's short PREFIX
+    * probes the inverted index, and each pair is generated once, from
+    * its smaller side (ties by doc_id). Because ranking is restricted
+    * to the under-cap sub-universe, the pigeonhole applies WITHIN it:
+    * any pair with ≥ ⌈τ'·min⌉ shared UNDER-CAP grams is guaranteed
+    * generated; pairs whose margin rides on over-cap boilerplate
+    * reduce to the star-representative caveat — exactly the
+    * [[NgramDfCap]] class already documented for Jaccard. Prefixes
+    * hold each doc's RAREST grams, so boilerplate grams (the df² risk)
+    * almost never probe and the equi-join runs over mostly-tiny
+    * posting lists (measured candidate reduction asserted in
+    * DedupSpec; sf0.1 operator time in SURVEY §8d). Verification is
+    * the same exact hash-set intersection, so precision is exact. The
+    * gram frame is persisted across its three consumers (df agg,
+    * probe ranking, index join) and reclaimed by the context cleaner
+    * — the [[labelsOf]] pattern. */
+  /** The prefix-filtered candidate (a_id, b_id) pairs — public so
+    * DedupSpec can measure the reduction the prefix buys over plain
+    * share-a-gram generation, and check losslessness against a
+    * brute-force verify. */
+  def containmentCandidates(docs: DataFrame, dfCap: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    // gram rows carrying the doc's distinct-gram count n
+    val g = docs.withColumn("hs", WordNgramHashes($"text", NgramN))
+      .withColumn("n", size($"hs"))
+      .select($"doc_id", $"lang", $"n", explode($"hs").as("gh"))
+      .persist()
+    // exact df + posting min per (lang, gram) — one shuffle, O(1) state
+    val gdf = g.groupBy($"lang", $"gh")
+      .agg(count(lit(1)).as("df"), min($"doc_id").as("mn"))
+    val withDf = g.join(gdf, Seq("lang", "gh"))
+    // rarest-first rank of each doc's UNDER-CAP grams; prefix = first
+    // n − t + 1 with t = ⌈τ'·n⌉ computed in EXACT integer arithmetic
+    // (a floating ceil(0.8·5) is ceil(4.0000000000000002) = 5 and
+    // silently shrinks the prefix below the lossless size) and τ' the
+    // half-ulp-slackened τ, because the verify filter compares the
+    // ROUNDED containment — a pair at true C ∈ [τ−0.00005, τ) rounds
+    // up to τ and must still be generated. Window is per-doc: state
+    // bounded by doc size.
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df", $"gh")
+    val prefixEnd =
+      $"n" - expr(s"($ContainNum * n + ${ContainDen - 1}) DIV $ContainDen") + 1
+    val probes = withDf.filter($"df" <= dfCap)
+      .withColumn("rk", row_number().over(byDoc))
+      .filter($"rk" <= prefixEnd)
+      .select($"lang", $"gh", $"doc_id".as("a_id"), $"n".as("na"))
+    // probe the under-cap inverted index from the smaller side only
+    val underCap = withDf.filter($"df" <= dfCap)
+      .select($"lang", $"gh", $"doc_id".as("b_id"), $"n".as("nb"))
+    val prefixPairs = probes.join(underCap, Seq("lang", "gh"))
+      .filter($"na" < $"nb" || ($"na" === $"nb" && $"a_id" < $"b_id"))
+      .select(least($"a_id", $"b_id").as("a_id"),
+        greatest($"a_id", $"b_id").as("b_id"))
+    // over-cap grams: linear star against the posting min (backstop)
+    val starPairs = withDf.filter($"df" > dfCap)
+      .filter($"doc_id" =!= $"mn")
+      .select(least($"mn", $"doc_id").as("a_id"),
+        greatest($"mn", $"doc_id").as("b_id"))
+    prefixPairs.union(starPairs).distinct()
+  }
+
   def dedupContainmentOn(docs: DataFrame, dfCap: Long = NgramDfCap): DataFrame = {
     import docs.sparkSession.implicits._
     val sets = docs.withColumn("hs", WordNgramHashes($"text", NgramN))
       .select($"doc_id", $"hs", size($"hs").as("n"))
-    ngramCandidates(docs, dfCap, hashedGramsOf(docs).persist(), Seq("lang"))
+    val out = containmentCandidates(docs, dfCap)
       .join(sets.select($"doc_id".as("a_id"), $"hs".as("ha"), $"n".as("na")), "a_id")
       .join(sets.select($"doc_id".as("b_id"), $"hs".as("hb"), $"n".as("nb")), "b_id")
       .withColumn("shared", size(array_intersect($"ha", $"hb")))
@@ -407,13 +476,15 @@ object Dedup {
       .filter($"containment" >= ContainmentTau)
       .select($"a_id", $"b_id", $"containment")
       .orderBy($"a_id", $"b_id")
+    out
   }
 
   def dedupContainment(s: SparkSession, dir: String): DataFrame =
     dedupContainmentOn(Tables(s, dir, "documents"))
 
-  // Same hashed pipeline as the Jaccard oracle, blocked on lang only,
-  // containment = shared / min(sizes).
+  // Same hashed pipeline as the Jaccard oracle, blocked on lang only;
+  // the prefix filter (rarest-first rank, integer ⌈τ'·n⌉ bound) and
+  // the smaller-side generation rule are reproduced fold-for-fold.
   val dedupContainmentSql: String =
     s"""WITH grams AS ($duckGrams),
        |gh AS (
@@ -424,15 +495,24 @@ object Dedup {
        |gdf AS (
        |  SELECT lang, gh, count(*) AS df, min(doc_id) AS mn
        |  FROM gh GROUP BY lang, gh),
-       |rare AS (
-       |  SELECT g.* FROM gh g JOIN gdf d USING (lang, gh)
+       |undercap AS (
+       |  SELECT g.doc_id, g.lang, g.gh, d.df, s.n
+       |  FROM gh g JOIN gdf d USING (lang, gh) JOIN sizes s USING (doc_id)
        |  WHERE d.df <= $NgramDfCap),
+       |probes AS (
+       |  SELECT lang, gh, doc_id AS a_id, n AS na FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY df, gh) AS rk
+       |    FROM undercap)
+       |  WHERE rk <= n - (($ContainNum * n + ${ContainDen - 1}) // $ContainDen) + 1),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM rare a JOIN rare b
-       |    ON a.lang = b.lang AND a.gh = b.gh AND a.doc_id < b.doc_id
+       |  SELECT DISTINCT least(a_id, b.doc_id) AS a_id,
+       |    greatest(a_id, b.doc_id) AS b_id
+       |  FROM probes p JOIN undercap b
+       |    ON p.lang = b.lang AND p.gh = b.gh
+       |    AND (p.na < b.n OR (p.na = b.n AND p.a_id < b.doc_id))
        |  UNION
-       |  SELECT DISTINCT d.mn AS a_id, g.doc_id AS b_id
+       |  SELECT DISTINCT least(d.mn, g.doc_id), greatest(d.mn, g.doc_id)
        |  FROM gh g JOIN gdf d USING (lang, gh)
        |  WHERE d.df > $NgramDfCap AND g.doc_id != d.mn),
        |shared AS (

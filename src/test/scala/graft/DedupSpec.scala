@@ -298,6 +298,59 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cand == 29L, s"star candidates should be linear, got $cand")
   }
 
+  test("containment: finds the inclusion pair Jaccard misses, prefix is lossless") {
+    import spark.implicits._
+    // doc 100 (short) is QUOTED WHOLESALE inside doc 0 (long, in a
+    // different length bucket); docs 1..39 share a boilerplate header
+    // but are pairwise below τ — the share-a-gram candidate space is
+    // ≥ C(40,2) while the rarest-first prefix probes almost nothing.
+    val core = (1 to 10).map(j => s"core$j").mkString(" ")
+    val docs = (Seq(
+      (0L, "en", s"$core " + (1 to 14).map(j => s"extra$j").mkString(" "), 500),
+      (100L, "en", core, 60)) ++
+      (1 until 40).map { i =>
+        val body = (0 until 8).map(j => s"b${i}_$j").mkString(" ")
+        (i + 200L, "en", s"$core $body", 120)
+      })
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val pairs = Dedup.dedupContainmentOn(docs, Dedup.NgramDfCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the quoted doc is found with containment 1.0 …
+    assert(pairs.exists { case (a, b, c) => a == 0L && b == 100L && c == 1.0 },
+      s"inclusion pair missing from ${pairs.take(5).mkString(";")}")
+    // … and Jaccard structurally misses it (size skew + bucket split)
+    val jac = Dedup.dedupNgramOn(docs, Dedup.NgramDfCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!jac.contains((0L, 100L)))
+    // prefix filter: candidates ≪ the share-a-gram pair space
+    val cands = Dedup.containmentCandidates(docs, Long.MaxValue).count()
+    val g = docs.withColumn("hs",
+        graft.functions.WordNgramHashes($"text", Dedup.NgramN))
+      .select($"doc_id", explode($"hs").as("gh"))
+    val shareAGram = g.as("x").join(g.as("y"),
+        $"x.gh" === $"y.gh" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id", $"y.doc_id").distinct().count()
+    assert(shareAGram >= 780L, s"shareAGram=$shareAGram")
+    assert(cands < shareAGram / 5, s"cands=$cands shareAGram=$shareAGram")
+    // losslessness: the prefix-filtered result equals the brute-force
+    // verify over ALL share-a-gram pairs
+    val sets = docs.withColumn("hs",
+        graft.functions.WordNgramHashes($"text", Dedup.NgramN))
+      .select($"doc_id", $"hs", size($"hs").as("n"))
+    val brute = g.as("x").join(g.as("y"),
+        $"x.gh" === $"y.gh" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id")).distinct()
+      .join(sets.select($"doc_id".as("a_id"), $"hs".as("ha"), $"n".as("na")), "a_id")
+      .join(sets.select($"doc_id".as("b_id"), $"hs".as("hb"), $"n".as("nb")), "b_id")
+      .withColumn("c", round(
+        size(array_intersect($"ha", $"hb")).cast("double") /
+          least($"na", $"nb"), 4))
+      .filter($"c" >= Dedup.ContainmentTau)
+      .select($"a_id", $"b_id", $"c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.toSet == brute, s"prefix lost pairs: ${brute -- pairs.toSet}")
+  }
+
   test("canonical policy keeps at most as much as pairwise survivors") {
     // pairwise drops only ids that appear as the LARGER side of a
     // pair; canonical collapses whole components — on the real corpus

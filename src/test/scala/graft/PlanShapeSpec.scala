@@ -96,6 +96,43 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"latest-wins must group-limit before the exchange:\n$plan")
   }
 
+  test("event_paths: null filter pushed to the events scan, one user-keyed shuffle chain") {
+    val plan = SparkEntry.queries("event_paths")(spark, sf).queryExecution.executedPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1)
+    assert(scans.head.metadata("PushedFilters").contains("IsNotNull(event_type)"),
+      s"null guard must reach the scan: ${scans.head.metadata("PushedFilters")}")
+    // the session window partitions by user_id; the per-session groupBy
+    // clusters on (user_id, sess_id), which the existing user_id
+    // partitioning already satisfies — no second event-volume shuffle
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    val eventVolume = exchanges.filter(
+      _.child.schema.fieldNames.contains("event_id"))
+    assert(eventVolume.size == 1,
+      s"expected ONE event-volume shuffle (user_id), got ${eventVolume.size}")
+  }
+
+  test("sessionize_native: session_window aggregation, no analytic window sort") {
+    val df = SparkEntry.queries("sessionize_native")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("session_window"),
+      "the native session_window must be the grouping key")
+    assert(!plan.toString.contains("WindowExec"),
+      "native sessionization must not fall back to an analytic window")
+  }
+
+  test("profile_table_approx: one scan, one aggregation, sketch not exact distinct") {
+    val df = SparkEntry.queries("profile_table_approx")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, "the whole profile must come from ONE pass")
+    // exact count_distinct would compile to Expand + distinct aggs;
+    // the sketch form must not
+    assert(!plan.toString.contains("Expand"),
+      "approx profile must not plan a distinct Expand")
+    assert(plan.toString.contains("approx_count_distinct"))
+  }
+
   test("ann_lsh: the candidate-dedup exchange carries ids only") {
     val plan = SparkEntry.queries("ann_lsh")(spark, sf).queryExecution.executedPlan
     val candExchanges = plan.collect { case e: ShuffleExchangeExec => e }

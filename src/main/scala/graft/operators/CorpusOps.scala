@@ -253,13 +253,98 @@ object CorpusOps {
        |ORDER BY source""".stripMargin
   }
 
+  /** Resolution of the [[sourceMix]] sampling rates: rates are integer
+    * ten-thousandths, so the keep decision is pure integer arithmetic
+    * on both engines (the floating-ceil lesson from the containment
+    * prefix bound, applied to sampling). */
+  val MixScale = 10000L
+
+  /** Domain-mix resampling — the mixing step of a pretraining data
+    * build: down-sample every source to the TOKEN budget of the
+    * smallest source (the "uniform over domains" mix), with a
+    * deterministic per-document keep decision. For each source s with
+    * token total T_s, the keep rate is r_s = ⌊min_T · [[MixScale]] /
+    * T_s⌋ ten-thousandths, and a document is kept iff
+    * `poly_hash(doc_id ∥ "#mix") mod MixScale < r_s` — reproducible
+    * across runs, engines, and partitionings, independent of the
+    * [[sampleSplit]] ring (different hash salt), and incrementally
+    * stable (new documents never flip old decisions; only the rates
+    * move as totals drift).
+    *
+    * Scale shape: the rate table is one row per SOURCE — a broadcast
+    * by construction — and the corpus is scanned with per-row hashing
+    * plus a map-side-combined per-source aggregation; no corpus-volume
+    * shuffle anywhere. The stats pass reads only (source, text), and
+    * at 100 TB would read a pre-aggregated token-count table instead —
+    * the operator's join shape doesn't change. Output per source:
+    * docs/tokens in, docs/tokens kept, the integer target rate, the
+    * achieved doc-level rate. */
+  def sourceMix(s: SparkSession, dir: String): DataFrame =
+    sourceMixOn(Tables(s, dir, "documents"))
+
+  /** Operator core over any (doc_id, source, text) frame — the spec
+    * drives corpora with hand-computed rates through it. */
+  def sourceMixOn(docsIn: DataFrame): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    val docs = docsIn
+      .withColumn("words",
+        size(graft.functions.TextFeatures.toks(lower($"text"))).cast("long"))
+    val perSrc = docs.groupBy($"source")
+      .agg(sum($"words").as("toks_src"))
+    val minTok = perSrc.agg(min($"toks_src").as("min_tok"))
+    val rates = perSrc.crossJoin(broadcast(minTok))
+      .withColumn("rate", expr(s"(min_tok * $MixScale) DIV toks_src"))
+      .select($"source", $"rate")
+    docs.join(broadcast(rates), "source")
+      .withColumn("keep",
+        PolyHash(concat($"doc_id".cast("string"), lit("#mix"))) % MixScale < $"rate")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        sum($"words").as("tokens_in"),
+        sum(when($"keep", $"words").otherwise(0L)).as("tokens_kept"),
+        max($"rate").as("target_rate"),
+        round(sum(when($"keep", 1L).otherwise(0L)) / count(lit(1)).cast("double"), 4)
+          .as("achieved_rate"))
+      .orderBy($"source")
+  }
+
+  val sourceMixSql: String = {
+    val toks = graft.functions.TextFeatures.duckToks
+    s"""WITH d AS (
+       |  SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS words
+       |  FROM documents),
+       |per_src AS (
+       |  SELECT source, CAST(sum(words) AS BIGINT) AS toks_src
+       |  FROM d GROUP BY source),
+       |mn AS (SELECT min(toks_src) AS min_tok FROM per_src),
+       |rates AS (
+       |  SELECT source, (min_tok * $MixScale) // toks_src AS rate
+       |  FROM per_src CROSS JOIN mn),
+       |keyed AS (
+       |  SELECT d.source, d.words, r.rate,
+       |    CASE WHEN ${PolyHash.duckSql("CAST(doc_id AS VARCHAR) || '#mix'")}
+       |      % $MixScale < r.rate THEN 1 ELSE 0 END AS keep
+       |  FROM d JOIN rates r USING (source))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(keep) AS BIGINT) AS n_kept,
+       |  CAST(sum(words) AS BIGINT) AS tokens_in,
+       |  CAST(sum(CASE WHEN keep = 1 THEN words ELSE 0 END) AS BIGINT)
+       |    AS tokens_kept,
+       |  CAST(max(rate) AS BIGINT) AS target_rate,
+       |  round(sum(keep) * 1.0 / count(*), 4) AS achieved_rate
+       |FROM keyed GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_mix" -> (sourceMix(_, _)),
     "decontaminate" -> (decontaminate(_, _)),
     "sample_split" -> (sampleSplit(_, _)),
     "group_sample" -> (groupSample(_, _)),
     "pack_sequences" -> (packSequences(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "source_mix" -> sourceMixSql,
     "decontaminate" -> decontaminateSql,
     "sample_split" -> sampleSplitSql,
     "group_sample" -> groupSampleSql,

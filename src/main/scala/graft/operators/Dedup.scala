@@ -992,7 +992,74 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** The whole dedup pipeline as ONE end-to-end report — corpus in,
+    * per-stage cardinalities out:
+    *
+    *   - `corpus_docs` — input documents;
+    *   - `exact_drops` — non-min ids of identical-text groups;
+    *   - `near_pairs` — verified n-gram near-dup pairs (the SHARED
+    *     materialized stage every consumer reads);
+    *   - `clustered_docs` / `components` — nodes and clusters of the
+    *     pair graph's connected components;
+    *   - `canonical_kept` — documents surviving exact + transitive
+    *     near-dup dropping.
+    *
+    * This is the report a production dedup run actually publishes, and
+    * it exercises the pipeline's defining property: the pair list
+    * materializes ONCE ([[ngramPairs]]) and exact-drop ids are computed
+    * ONCE, with every stage consuming the shared result — the round-3
+    * finding that each policy query recomputed its inputs, closed and
+    * now demonstrated end-to-end in a single plan. The oracle recomputes
+    * every stage declaratively (recursive-CTE fixpoint for components)
+    * and checks all six counts in one shot. */
+  def dedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val pairs = ngramPairs(s, dir)
+    val labels = labelsOf(pairs)
+    val exactDrops = exactDropIds(docs).persist()
+    val canonicalDrops = labels.filter($"id" =!= $"lab").select($"id".as("doc_id"))
+    val kept = docs.join(exactDrops.union(canonicalDrops).distinct(),
+      Seq("doc_id"), "left_anti")
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), $"n")
+    stage("corpus_docs", docs)
+      .union(stage("exact_drops", exactDrops))
+      .union(stage("near_pairs", pairs))
+      .union(stage("clustered_docs", labels))
+      .union(labels.agg(count_distinct($"lab").as("n"))
+        .select(lit("components").as("stage"), $"n"))
+      .union(stage("canonical_kept", kept))
+      .orderBy($"stage")
+  }
+
+  val dedupPipelineSql: String =
+    s"""WITH RECURSIVE $exactDropsCte,
+       |pairs AS (
+       |  SELECT a_id, b_id FROM (${dedupNgramSql.replace("ORDER BY a_id, b_id", "")})),
+       |cedges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |cnodes AS (SELECT DISTINCT src AS id FROM cedges),
+       |walk(id, lab) AS (
+       |  SELECT id, id FROM cnodes
+       |  UNION
+       |  SELECT e.dst, w.lab FROM walk w JOIN cedges e ON e.src = w.id),
+       |comp AS (SELECT id, min(lab) AS component FROM walk GROUP BY id),
+       |drops AS (
+       |  SELECT doc_id FROM exact_drops
+       |  UNION SELECT id AS doc_id FROM comp WHERE id != component)
+       |SELECT 'canonical_kept' AS stage, count(*) AS n FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+       |UNION ALL SELECT 'clustered_docs', count(*) FROM comp
+       |UNION ALL SELECT 'components', count(DISTINCT component) FROM comp
+       |UNION ALL SELECT 'corpus_docs', count(*) FROM documents
+       |UNION ALL SELECT 'exact_drops', count(*) FROM exact_drops
+       |UNION ALL SELECT 'near_pairs', count(*) FROM pairs
+       |ORDER BY stage""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_pipeline" -> (dedupPipeline(_, _)),
     "dedup_canonical" -> (dedupCanonical(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
@@ -1005,6 +1072,7 @@ object Dedup {
     "dedup_survivors" -> (dedupSurvivors(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "dedup_pipeline" -> dedupPipelineSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_exact" -> dedupExactSql,

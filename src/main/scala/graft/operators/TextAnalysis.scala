@@ -403,7 +403,184 @@ object TextAnalysis {
        |       ELSE $KmvNum // hs[$KmvK] END AS kmv_estimate
        |FROM agg ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------- repetition
+
+  /** Flagging threshold on the duplicate-2-gram fraction: the corpus
+    * median is ~0.03 and the max ~0.13, so 0.05 splits it meaningfully.
+    * The compare is on an IEEE-exact ratio of integers, so both engines
+    * flag identically even at the boundary. */
+  val RepFlagTau = 0.05
+
+  /** Within-document repetition metrics — the Gopher-style repetition
+    * filters (Rae et al. 2021, §A1.1 of the Gopher paper) a pretraining
+    * pipeline runs to drop boilerplate/spam before training:
+    *
+    *   - `dup2/dup3`: fraction of word 2-/3-grams that are repeats of an
+    *     earlier gram in the SAME document, `1 − distinct/(words−n+1)`;
+    *   - `top_frac`: most frequent word's share of the document;
+    *   - `entropy`: Shannon entropy of the word distribution in nats,
+    *     `ln(total) − Σ cnt·ln(cnt) / total`;
+    *   - `n_flagged`: docs with dup2 > [[RepFlagTau]].
+    *
+    * Reported as per-source averages. Scale shape: the gram stats are
+    * pure per-row codegen ([[graft.functions.WordNgramHashes]] counts
+    * distinct grams without materializing a single gram string); the
+    * word-distribution stats are one (doc_id, word)-keyed aggregation
+    * with map-side partials, one doc_id-keyed aggregation, and a
+    * doc_id co-keyed join back to the per-row frame — every shuffle
+    * key is high-cardinality and skew-free, so the shape survives
+    * 100 TB. Documents with zero tokens leave no word rows, so the
+    * doc_id join is INNER on both engines (mirrored in the oracle). */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame =
+    repetitionScoreOn(Tables(s, dir, "documents"))
+
+  /** Operator core over any (doc_id, source, text) frame — the spec
+    * drives hand-computed corpora through it. */
+  def repetitionScoreOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val base = docs.select($"doc_id", $"source",
+        size(toks(lower($"text"))).as("words"),
+        size(graft.functions.WordNgramHashes($"text", 2)).as("d2"),
+        size(graft.functions.WordNgramHashes($"text", 3)).as("d3"))
+      .withColumn("dup2", when($"words" >= 2,
+        lit(1.0) - $"d2" / ($"words" - 1).cast("double")).otherwise(0.0))
+      .withColumn("dup3", when($"words" >= 3,
+        lit(1.0) - $"d3" / ($"words" - 2).cast("double")).otherwise(0.0))
+    val wordStats = docs
+      .select($"doc_id", explode(toks(lower($"text"))).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(max($"cnt").as("mx"), sum($"cnt").as("tot"),
+        sum($"cnt" * log($"cnt".cast("double"))).as("slc"))
+      .select($"doc_id", ($"mx" / $"tot".cast("double")).as("top_frac"),
+        (log($"tot".cast("double")) - $"slc" / $"tot").as("entropy"))
+    base.join(wordStats, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"dup2"), 4).as("avg_dup2"),
+        round(avg($"dup3"), 4).as("avg_dup3"),
+        round(avg($"top_frac"), 4).as("avg_top_frac"),
+        round(avg($"entropy"), 4).as("avg_entropy"),
+        sum(when($"dup2" > RepFlagTau, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy($"source")
+  }
+
+  val repetitionScoreSql: String = {
+    import graft.functions.{TextFeatures => TF, WordNgramHashes => WNH}
+    def distinctGrams(n: Int): String =
+      s"""SELECT doc_id, count(DISTINCT ${WNH.duckSql("g")}) AS d$n
+         |  FROM (SELECT doc_id, unnest(${TF.duckNgrams("toks", n)}) AS g FROM t)
+         |  GROUP BY doc_id""".stripMargin
+    s"""WITH t AS (SELECT doc_id, source, $duckToks AS toks FROM documents),
+       |base AS (SELECT doc_id, source, len(toks) AS words FROM t),
+       |g2 AS (${distinctGrams(2)}),
+       |g3 AS (${distinctGrams(3)}),
+       |wc AS (
+       |  SELECT doc_id, w, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w),
+       |ws AS (
+       |  SELECT doc_id, max(cnt) * 1.0 / sum(cnt) AS top_frac,
+       |    ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt) AS entropy
+       |  FROM wc GROUP BY doc_id),
+       |j AS (
+       |  SELECT b.source,
+       |    CASE WHEN b.words >= 2
+       |      THEN 1.0 - coalesce(g2.d2, 0) * 1.0 / (b.words - 1)
+       |      ELSE 0.0 END AS dup2,
+       |    CASE WHEN b.words >= 3
+       |      THEN 1.0 - coalesce(g3.d3, 0) * 1.0 / (b.words - 2)
+       |      ELSE 0.0 END AS dup3,
+       |    ws.top_frac, ws.entropy
+       |  FROM base b
+       |  LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+       |  JOIN ws USING (doc_id))
+       |SELECT source, count(*) AS n_docs,
+       |  round(avg(dup2), 4) AS avg_dup2,
+       |  round(avg(dup3), 4) AS avg_dup3,
+       |  round(avg(top_frac), 4) AS avg_top_frac,
+       |  round(avg(entropy), 4) AS avg_entropy,
+       |  CAST(sum(CASE WHEN dup2 > $RepFlagTau THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_flagged
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- pii
+
+  /** PII patterns in the portable Java-regex ∩ RE2 subset (no
+    * lookaround, no backreferences — RE2/DuckDB rejects both), applied
+    * IN ORDER with each count taken on the text as already redacted by
+    * the previous patterns, so one span is never double-counted (an
+    * IPv4 inside an email domain is an email, not an IP). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"))
+
+  /** PII redaction report over any (doc_id, source, text) frame — the
+    * scrubbing pass a corpus runs before anything else ships. Per
+    * source: docs, docs containing any PII, per-pattern match counts,
+    * and the net character delta of redaction. Pure per-row regex
+    * inside whole-stage codegen, one tiny per-source aggregation — the
+    * same single-scan shape as [[textNormalize]], so it survives
+    * 100 TB unchanged. The synthetic corpus contains no digits at all
+    * (every count is 0 — the oracle still verifies the whole fold);
+    * TextAnalysisSpec injects PII-bearing docs through this core and
+    * asserts the redacted text and counts. */
+  def piiRedactOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // fold: count pattern i on the text redacted by patterns 0..i-1
+    val staged = PiiPatterns.foldLeft(
+        docs.withColumn("red", $"text")) { case (df, (name, re, tag)) =>
+      df.withColumn(s"n_$name", regexp_count($"red", lit(re)))
+        .withColumn("red", regexp_replace($"red", re, tag))
+    }
+    val anyPii = PiiPatterns.map { case (n, _, _) => col(s"n_$n") > 0 }
+      .reduce(_ || _)
+    staged
+      .withColumn("has_pii", when(anyPii, 1L).otherwise(0L))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"has_pii").as("n_docs_with_pii"),
+        sum($"n_email").cast("long").as("n_emails"),
+        sum($"n_ip").cast("long").as("n_ips"),
+        sum($"n_phone").cast("long").as("n_phones"),
+        sum(length($"red") - length($"text")).as("chars_delta"))
+      .orderBy($"source")
+  }
+
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    piiRedactOn(Tables(s, dir, "documents"))
+
+  val piiRedactSql: String = {
+    // the same fold as staged CTEs; DuckDB needs the explicit 'g' flag
+    val stages = PiiPatterns.zipWithIndex.map {
+      case ((name, re, tag), i) =>
+        val prev = if (i == 0) "SELECT source, text, text AS red FROM documents"
+          else s"SELECT * FROM s${i - 1}"
+        s"""s$i AS (
+           |  SELECT source, text,
+           |    len(regexp_extract_all(red, '$re')) AS n_$name,
+           |    regexp_replace(red, '$re', '$tag', 'g') AS red""" +
+          (if (i == 0) "" else
+            PiiPatterns.take(i).map { case (p, _, _) => s", n_$p" }.mkString("", "", "")) +
+          s"\n  FROM ($prev))"
+    }.mkString(",\n")
+    val anyPii = PiiPatterns.map { case (n, _, _) => s"n_$n > 0" }.mkString(" OR ")
+    val last = s"s${PiiPatterns.size - 1}"
+    s"""WITH $stages
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN $anyPii THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_with_pii,
+       |  CAST(sum(n_email) AS BIGINT) AS n_emails,
+       |  CAST(sum(n_ip) AS BIGINT) AS n_ips,
+       |  CAST(sum(n_phone) AS BIGINT) AS n_phones,
+       |  CAST(sum(length(red) - length(text)) AS BIGINT) AS chars_delta
+       |FROM $last GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "repetition_score" -> (repetitionScore(_, _)),
+    "pii_redact" -> (piiRedact(_, _)),
     "distinct_sketch" -> (distinctSketch(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
     "text_stats" -> (textStats(_, _)),
@@ -415,6 +592,8 @@ object TextAnalysis {
     "tfidf_topk" -> (tfidfTopK(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "repetition_score" -> repetitionScoreSql,
+    "pii_redact" -> piiRedactSql,
     "tfidf_topk" -> tfidfTopKSql,
     "distinct_sketch" -> distinctSketchSql,
     "text_normalize" -> textNormalizeSql,

@@ -101,4 +101,40 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("WindowGroupLimit"),
       s"expected a WindowGroupLimit in:\n$plan")
   }
+
+  test("source_mix: exact integer rates, smallest source fully kept, deterministic") {
+    import spark.implicits._
+    // source A: 4 docs × 5 words = 20 tokens; B: 2 docs × 5 = 10 →
+    // min = 10, rate_A = 5000/10000, rate_B = 10000/10000 (all kept)
+    val mk = (i: Int) => s"w${i}a w${i}b w${i}c w${i}d w${i}e"
+    val docs = ((1 to 4).map(i => (i.toLong, "A", mk(i))) ++
+      (5 to 6).map(i => (i.toLong, "B", mk(i)))).toDF("doc_id", "source", "text")
+    val out = CorpusOps.sourceMixOn(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // columns: source, n_docs, n_kept, tokens_in, tokens_kept,
+    //          target_rate, achieved_rate
+    val a = out("A")
+    assert(a.getLong(5) == 5000L, s"rate_A: ${a.getLong(5)}")
+    assert(a.getLong(1) == 4L && a.getLong(3) == 20L)
+    assert(a.getLong(4) == a.getLong(2) * 5, "token totals must be words-exact")
+    val b = out("B")
+    assert(b.getLong(5) == 10000L, "the smallest source gets rate 1.0")
+    assert(b.getLong(1) == 2L && b.getLong(2) == 2L && b.getDouble(6) == 1.0,
+      "rate 10000 must keep every doc")
+    assert(b.getLong(4) == 10L)
+    // keep decisions are pure hash — a second run is bit-identical
+    val again = CorpusOps.sourceMixOn(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again("A") == a.getLong(2) && again("B") == 2L)
+  }
+
+  test("source_mix: the rate table joins as a broadcast, corpus never shuffles rows") {
+    val df = CorpusOps.sourceMix(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val rowVolume = plan.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.child.schema.fieldNames.contains("doc_id"))
+    assert(rowVolume.isEmpty,
+      s"per-document rows must not shuffle (rates broadcast):\n$plan")
+  }
 }

@@ -351,6 +351,27 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSet == brute, s"prefix lost pairs: ${brute -- pairs.toSet}")
   }
 
+  test("dedup_pipeline: stage counts agree with the individual operators") {
+    import spark.implicits._
+    val stages = Dedup.dedupPipeline(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages.keySet == Set("corpus_docs", "exact_drops", "near_pairs",
+      "clustered_docs", "components", "canonical_kept"))
+    assert(stages("corpus_docs") ==
+      Tables(spark, sf, "documents").count())
+    assert(stages("near_pairs") == Dedup.ngramPairs(spark, sf).count())
+    val comp = Dedup.dedupComponents(spark, sf)
+      .agg(count(lit(1)), sum($"n_members")).head()
+    assert(stages("components") == comp.getLong(0))
+    assert(stages("clustered_docs") == comp.getLong(1))
+    assert(stages("canonical_kept") == Dedup.dedupCanonical(spark, sf)
+      .agg(sum($"n_kept")).head().getLong(0))
+    // drops can overlap (an exact dup is also a near dup) — kept is
+    // bounded by each policy alone but not equal to their difference
+    assert(stages("canonical_kept") <=
+      stages("corpus_docs") - stages("exact_drops"))
+  }
+
   test("canonical policy keeps at most as much as pairwise survivors") {
     // pairwise drops only ids that appear as the LARGER side of a
     // pair; canonical collapses whole components — on the real corpus

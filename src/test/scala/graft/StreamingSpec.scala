@@ -54,32 +54,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.size == 3) // (day1 click), (day1 view), (day2 click)
   }
 
-  test("streaming sessionize: sessions close on gap, survive across batches") {
+  test("streaming sessionize: merge, bridge-fusion, timeout close = batch rule") {
     val s = spark
     import s.implicits._
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
-    val q = SessionizeStream.sessionize(mem.toDS())
+    val q = SessionizeStream.sessionize(
+        mem.toDS().withWatermark("ts", "2 hours"))
       .writeStream.format("memory").queryName("sess")
       .outputMode("append").start()
-    // batch 1: user 1 has two events 10 min apart (one open session);
-    // user 2 one event
+    // batch 1 — user 1: two events 10 min apart, OUT OF ORDER in the
+    // batch; user 2: one event; user 3: two events 50 min apart (two
+    // provisional sessions)
     mem.addData(
-      SessionEvent(1L, ts("2026-01-01 10:00:00"), 1),
       SessionEvent(1L, ts("2026-01-01 10:10:00"), 2),
-      SessionEvent(2L, ts("2026-01-01 10:00:00"), 3))
+      SessionEvent(1L, ts("2026-01-01 10:00:00"), 1),
+      SessionEvent(2L, ts("2026-01-01 10:00:00"), 3),
+      SessionEvent(3L, ts("2026-01-01 10:00:00"), 6),
+      SessionEvent(3L, ts("2026-01-01 10:50:00"), 7))
     q.processAllAvailable()
-    assert(spark.table("sess").count() == 0) // nothing closed yet
-    // batch 2: user 1 returns after 2 h -> closes the first session
-    // (2 events, 600 s); user 2 event 5 min later extends, stays open
+    assert(spark.table("sess").count() == 0, "nothing closed yet")
+    // batch 2 — user 1: EXACT-gap event (10:10 + 1800 s) must stay
+    // in-session; user 2 extends; user 3: a LATE event that bridges
+    // its two provisional sessions (≤ gap from both) must FUSE them
     mem.addData(
-      SessionEvent(1L, ts("2026-01-01 12:10:00"), 4),
-      SessionEvent(2L, ts("2026-01-01 10:05:00"), 5))
+      SessionEvent(1L, ts("2026-01-01 10:40:00"), 4),
+      SessionEvent(2L, ts("2026-01-01 10:05:00"), 5),
+      SessionEvent(3L, ts("2026-01-01 10:25:00"), 8))
+    q.processAllAvailable()
+    // batch 3 — a far-future event for another user advances the
+    // watermark past every session's end + gap: all three close via
+    // EVENT-TIME TIMEOUT (no later event of their own needed — the
+    // idle-user case a data-driven close never emits)
+    mem.addData(SessionEvent(99L, ts("2026-01-01 14:00:00"), 9))
     q.processAllAvailable()
     q.stop()
-    val closed = spark.table("sess")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(closed == Set((1L, 2L, 600L)))
+    val closed = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    def sec(t: String): Long = ts(t).getTime / 1000L
+    assert(closed == Set(
+      (1L, sec("2026-01-01 10:00:00"), sec("2026-01-01 10:40:00"), 3L, 2400L),
+      (2L, sec("2026-01-01 10:00:00"), sec("2026-01-01 10:05:00"), 2L, 300L),
+      (3L, sec("2026-01-01 10:00:00"), sec("2026-01-01 10:50:00"), 3L, 3000L)),
+      s"streamed sessions: $closed")
+    // …and that is exactly the batch sessionization of the same events
+    val batch = graft.operators.RelationalQueries.withSessionIds(
+        Seq((1L, ts("2026-01-01 10:00:00"), 1L), (1L, ts("2026-01-01 10:10:00"), 2L),
+          (1L, ts("2026-01-01 10:40:00"), 4L), (2L, ts("2026-01-01 10:00:00"), 3L),
+          (2L, ts("2026-01-01 10:05:00"), 5L), (3L, ts("2026-01-01 10:00:00"), 6L),
+          (3L, ts("2026-01-01 10:50:00"), 7L), (3L, ts("2026-01-01 10:25:00"), 8L))
+          .toDF("user_id", "ts", "event_id"))
+      .groupBy($"user_id", $"sess_id")
+      .agg(min(unix_timestamp($"ts")).as("a"), max(unix_timestamp($"ts")).as("b"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(3) - r.getLong(2))).toSet
+    assert(closed == batch, s"batch twin disagrees: $batch")
   }
 
   test("streamingKMeans: running state across micro-batches = cumulative means") {

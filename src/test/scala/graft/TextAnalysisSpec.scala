@@ -40,6 +40,55 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cmp.count() == 0, "marker counts must equal the composed forms")
   }
 
+  test("repetition_score: hand-computed dup/top/entropy values") {
+    val s = spark
+    import s.implicits._
+    // doc 1: "x x x x x" — 4 2-grams all identical (dup2 = 3/4), 3
+    // 3-grams identical (dup3 = 2/3), one word (top = 1, entropy = 0)
+    // doc 2: 6 distinct words — zero repetition, entropy = ln 6
+    val docs = Seq(
+      (1L, "A", "x x x x x"),
+      (2L, "B", "a b c d e f")).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.repetitionScoreOn(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getDouble(2) == 0.75, s"dup2: ${a.getDouble(2)}")       // avg_dup2
+    assert(a.getDouble(3) == 0.6667, s"dup3: ${a.getDouble(3)}")     // avg_dup3
+    assert(a.getDouble(4) == 1.0)                                    // avg_top_frac
+    assert(a.getDouble(5) == 0.0)                                    // avg_entropy
+    assert(a.getLong(6) == 1L, "the all-repeat doc must be flagged")
+    val b = out("B")
+    assert(b.getDouble(2) == 0.0 && b.getDouble(3) == 0.0)
+    assert(b.getDouble(4) == 0.1667)
+    assert(b.getDouble(5) == BigDecimal(math.log(6.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(b.getLong(6) == 0L)
+  }
+
+  test("pii_redact: injected PII is counted and scrubbed in pattern order") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "A", "contact john.doe@example.com or jane@sub.domain.org today"),
+      (2L, "A", "server at 192.168.0.1 refused"),
+      (3L, "B", "call +1 555 123 4567 now"),
+      // an address with an IPv4-shaped local part is ONE email, no IP —
+      // the ordered fold must not double-count the span
+      (4L, "B", "mail 10.0.0.1@example.com please"),
+      (5L, "B", "no pii here at all")).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.piiRedactOn(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getLong(1) == 2L && a.getLong(2) == 2L, "A: 2 docs, both with pii")
+    assert(a.getLong(3) == 2L, s"A emails: ${a.getLong(3)}")
+    assert(a.getLong(4) == 1L, s"A ips: ${a.getLong(4)}")
+    val b = out("B")
+    assert(b.getLong(2) == 2L, "B: exactly 2 of 3 docs carry pii")
+    assert(b.getLong(3) == 1L, "the ip-shaped local part is ONE email")
+    assert(b.getLong(4) == 0L, "…and no ip")
+    assert(b.getLong(5) == 1L, s"B phones: ${b.getLong(5)}")
+  }
+
   test("lang_id and quality_score plans tokenize once") {
     val sf = "/root/testdata/sf0.001"
     for (q <- Seq("lang_id", "quality_score")) {

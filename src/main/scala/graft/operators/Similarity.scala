@@ -389,7 +389,98 @@ object Similarity {
     } finally cached.unpersist(blocking = false)
   }
 
+  // ------------------------------------------------------------ clusters
+
+  /** Number of deterministic cluster seeds. */
+  val ClusterK = 8
+
+  /** Deterministic corpus clustering over the embedding column — the
+    * cluster-balance analysis a pretraining mix uses (how is the corpus
+    * distributed over semantic regions, which regions dominate): every
+    * vector assigns to its nearest of [[ClusterK]] SEED vectors by
+    * cosine, seeds picked by hash rank (smallest
+    * `poly_hash(vec_id ∥ "#seed")`, id tie-break — the
+    * [[graft.operators.CorpusOps.groupSample]] idiom, reproducible
+    * across engines/runs/partitionings, no RNG).
+    *
+    * Scale shape: the seed pick is a K-row driver aggregate (the IVF
+    * codebook pattern); assignment inlines the K seed vectors as
+    * LITERALS, so the per-row argmin is pure whole-stage codegen over
+    * one corpus scan — no crossJoin row blow-up, no shuffle carrying
+    * vectors; the ONLY exchange is the final K-key aggregation
+    * (plan-asserted in PlanShapeSpec). This is the broadcast-state map
+    * of the reference's assignment phase (mapper.py:58-66) generalized
+    * from 2-D points to 64-dim embeddings. Full Lloyd refinement at
+    * this width would iterate the same plan with updated literals —
+    * [[graft.kmeans.KMeans.fit]] shows the loop on 2-D points.
+    *
+    * Ties (two seeds at identical cosine) resolve to the smaller
+    * seed_id via the ascending when-chain, mirroring the oracle's
+    * `ORDER BY cos DESC, seed_id` — and cosines are bit-identical
+    * across engines because both fold left-to-right over doubles. */
+  def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embedded(s, dir)
+    val seeds = emb
+      .withColumn("h", graft.functions.PolyHash(
+        concat($"vec_id".cast("string"), lit("#seed"))))
+      .orderBy($"h", $"vec_id").limit(ClusterK)
+      .select($"vec_id", $"v", $"nrm")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val withCos = seeds.foldLeft(emb) { case (df, (sid, sv, snrm)) =>
+      df.withColumn(s"c_$sid", dot($"v", typedlit(sv)) / ($"nrm" * lit(snrm)))
+    }
+    val ids = seeds.map(_._1)
+    val chosenSeed = ids.foldRight(lit(-1L)) { (sid, els) =>
+      val beats = ids.filter(_ != sid)
+        .map(o => col(s"c_$sid") >= col(s"c_$o")).reduce(_ && _)
+      when(beats, lit(sid)).otherwise(els)
+    }
+    val tagged = withCos.withColumn("cluster_seed", chosenSeed)
+    val chosenCos = ids.foldRight(lit(0.0)) { (sid, els) =>
+      when($"cluster_seed" === sid, col(s"c_$sid")).otherwise(els)
+    }
+    tagged.withColumn("cos", chosenCos)
+      .groupBy($"cluster_seed")
+      .agg(count(lit(1)).as("n_members"), round(avg($"cos"), 4).as("avg_cos"))
+      .orderBy($"cluster_seed")
+  }
+
+  val embeddingClustersSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(v, x -> x*x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, v AS sv, nrm AS snrm FROM n
+       |  ORDER BY ${graft.functions.PolyHash.duckSql(
+            "CAST(vec_id AS VARCHAR) || '#seed'")}, vec_id
+       |  LIMIT $ClusterK),
+       |scored AS (
+       |  SELECT c.vec_id, s.seed_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(c.v) + 1), i -> c.v[i] * s.sv[i])),
+       |      (acc, x) -> acc + x) / (c.nrm * s.snrm) AS cos
+       |  FROM n c CROSS JOIN seeds s),
+       |best AS (
+       |  SELECT vec_id, seed_id, cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, seed_id) AS rk
+       |    FROM scored)
+       |  WHERE rk = 1)
+       |SELECT seed_id AS cluster_seed, count(*) AS n_members,
+       |  round(avg(cos), 4) AS avg_cos
+       |FROM best GROUP BY seed_id ORDER BY cluster_seed""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_clusters" -> (embeddingClusters(_, _)),
     "ann_bruteforce" -> (annBruteForce(_, _)),
     "ann_ivf" -> (annIvf(_, _)),
     "ann_ivf_exact" -> (annIvfExact(_, _)),
@@ -398,6 +489,7 @@ object Similarity {
     "ann_lsh" -> (annLsh(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "embedding_clusters" -> embeddingClustersSql,
     "ann_bruteforce" -> annBruteForceSql,
     // the exactness anchors degrade to brute force by construction
     // (nprobe = nlist / rerank ≥ corpus) — same oracle, zero new SQL

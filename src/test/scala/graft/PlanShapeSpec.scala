@@ -133,6 +133,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.toString.contains("approx_count_distinct"))
   }
 
+  test("embedding_clusters: literal seeds — one scan, only the K-key agg exchanges") {
+    val plan = SparkEntry.queries("embedding_clusters")(spark, sf)
+      .queryExecution.executedPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, "assignment must be ONE corpus pass")
+    // seeds are inlined literals: no exchange may carry vectors or ids —
+    // the only shuffle is the K-row cluster aggregation
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val fields = e.child.schema.fieldNames.toSet
+      assert(!fields.contains("v") && !fields.contains("vec_id"),
+        s"exchange must carry only cluster aggregates, got $fields")
+    }
+  }
+
   test("ann_lsh: the candidate-dedup exchange carries ids only") {
     val plan = SparkEntry.queries("ann_lsh")(spark, sf).queryExecution.executedPlan
     val candExchanges = plan.collect { case e: ShuffleExchangeExec => e }

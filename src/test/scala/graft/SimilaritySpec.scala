@@ -101,4 +101,16 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"LSH recall@10 = $recall%.3f (L=${Similarity.Tables_}, planes=${Similarity.NPlanes})")
     assert(recall >= 0.5)
   }
+
+  test("embedding_clusters: partitions the corpus, all seeds occupied, deterministic") {
+    val out = Similarity.embeddingClusters(spark, sf).collect()
+    assert(out.length == Similarity.ClusterK,
+      s"every seed owns at least itself: ${out.length}")
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(out.map(_.getLong(1)).sum == n, "clusters must partition the corpus")
+    out.foreach(r => assert(r.getDouble(2) <= 1.0 && r.getDouble(2) >= -1.0))
+    val again = Similarity.embeddingClusters(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "hash-rank seeds make the clustering run-deterministic")
+  }
 }

@@ -992,6 +992,160 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** The incremental-append admission check — the dedup run a live
+    * corpus actually executes: a NEW batch of documents (a crawl
+    * shard) is checked against the EXISTING corpus, and each new doc
+    * is flagged exact-duplicate (identical text already present),
+    * near-duplicate (verified Jaccard ≥ τ against an existing doc),
+    * or admitted. The full-corpus re-dedup ([[dedupPipeline]]) is the
+    * backfill path; this is the steady-state path.
+    *
+    * Scale shape — the point of the operator: the existing corpus
+    * appears only as two INDEXES, exactly the artifacts a production
+    * pipeline keeps materialized between appends: the 40-byte exact
+    * key set (n_chars + four-base hashes; no text), and the DF-capped
+    * gram posting lists per (lang, length-bucket) block with bounded
+    * per-gram state ([[graft.functions.BoundedCollect]], ≤ cap+1 ids
+    * under any skew). The new batch — inherently small next to the
+    * corpus — probes both with equi-joins; candidate pairs only ever
+    * cross batch × posting (never corpus × corpus), under-cap grams
+    * expand to their posting members and over-cap grams fall back to
+    * the posting-min star (the batch [[NgramDfCap]] discipline, same
+    * caveat). Verification is the exact hash-set Jaccard with the
+    * same lossless size-ratio prefilter as [[dedupNgramOn]], touching
+    * only candidate existing docs. Nothing in the plan scales with
+    * corpus × corpus.
+    *
+    * The entry splits the documents table deterministically
+    * (doc_id % 5 == 0 plays the arriving batch, ~20%; the rest is the
+    * corpus), so the oracle can reproduce the split exactly. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    dedupIncrementalOn(docs.filter($"doc_id" % 5 =!= 0),
+      docs.filter($"doc_id" % 5 === 0))
+  }
+
+  /** Operator core over any (existing, batch) pair of document frames
+    * — DedupSpec drives planted exact/near/fresh batches through it. */
+  def dedupIncrementalOn(existing: DataFrame, batch: DataFrame,
+      dfCap: Long = NgramDfCap): DataFrame = {
+    import existing.sparkSession.implicits._
+    val keyNames = "n_chars" +: ExactKeyBases.map(b => s"h$b")
+    val exKeys = existing
+      .select(col("n_chars") +: exactKeyCols(existing.sparkSession): _*)
+      .distinct()
+    val exactIds = batch
+      .select(($"doc_id" +: col("n_chars") +:
+        exactKeyCols(batch.sparkSession)): _*)
+      .join(exKeys, keyNames, "left_semi")
+      .select($"doc_id")
+    val lim = if (dfCap >= Int.MaxValue) Int.MaxValue else (dfCap + 1).toInt
+    val postings = hashedGramsOf(existing)
+      .groupBy($"lang", $"lb", $"gh")
+      .agg(graft.functions.BoundedCollect($"doc_id", lim).as("ids"),
+        count(lit(1)).as("df"), min($"doc_id").as("mn"))
+    val probed = hashedGramsOf(batch)
+      .join(postings, Seq("lang", "lb", "gh"))
+    val cands = probed.filter($"df" <= dfCap)
+      .select($"doc_id".as("b_id"), explode($"ids").as("a_id"))
+      .union(probed.filter($"df" > dfCap)
+        .select($"doc_id".as("b_id"), $"mn".as("a_id")))
+      .distinct()
+    val setsOld = existing.withColumn("hs", WordNgramHashes($"text", NgramN))
+      .select($"doc_id".as("a_id"), $"hs".as("ha"), size($"hs").as("na"))
+    val setsNew = batch.withColumn("hs", WordNgramHashes($"text", NgramN))
+      .select($"doc_id".as("b_id"), $"hs".as("hb"), size($"hs").as("nb"))
+    val nearIds = cands.join(setsOld, "a_id").join(setsNew, "b_id")
+      .filter(least($"na", $"nb") >=
+        lit(JaccardTau - 0.00005) * greatest($"na", $"nb"))
+      .withColumn("shared", size(array_intersect($"ha", $"hb")))
+      .withColumn("jaccard",
+        round($"shared".cast("double") / ($"na" + $"nb" - $"shared"), 4))
+      .filter($"jaccard" >= JaccardTau)
+      .select($"b_id".as("doc_id")).distinct()
+    batch.select($"doc_id", $"source")
+      .join(exactIds.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(1L)), Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_new"),
+        sum(coalesce($"is_exact", lit(0L))).as("n_exact_dup"),
+        sum(coalesce($"is_near", lit(0L))).as("n_near_dup"),
+        sum(when($"is_exact".isNull && $"is_near".isNull, 1L).otherwise(0L))
+          .as("n_admitted"))
+      .orderBy($"source")
+  }
+
+  // The oracle re-derives both indexes declaratively over the same
+  // doc_id % 5 split; gram CTEs reuse the shared fold with the FROM
+  // swapped to the split CTEs.
+  val dedupIncrementalSql: String = {
+    val gramsEx = duckGrams.replace("FROM documents", "FROM ex")
+    val gramsNw = duckGrams.replace("FROM documents", "FROM nw")
+    s"""WITH ex AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
+       |nw AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+       |exkeys AS (
+       |  SELECT DISTINCT n_chars,
+       |    ${ExactKeyBases.map(b => s"${PolyHash.duckSql("text", b)} AS h$b")
+            .mkString(",\n    ")}
+       |  FROM ex),
+       |exact_ids AS (
+       |  SELECT DISTINCT b.doc_id FROM (
+       |    SELECT doc_id, n_chars,
+       |      ${ExactKeyBases.map(b => s"${PolyHash.duckSql("text", b)} AS h$b")
+              .mkString(",\n      ")}
+       |    FROM nw) b
+       |  JOIN exkeys USING (n_chars, ${ExactKeyBases.map(b => s"h$b")
+            .mkString(", ")})),
+       |gx AS ($gramsEx),
+       |gn AS ($gramsNw),
+       |ghx AS (
+       |  SELECT DISTINCT doc_id, lang, lb,
+       |    ${WordNgramHashes.duckSql("gram")} AS gh FROM gx),
+       |ghn AS (
+       |  SELECT DISTINCT doc_id, lang, lb,
+       |    ${WordNgramHashes.duckSql("gram")} AS gh FROM gn),
+       |sizesx AS (SELECT doc_id, count(*) AS n FROM ghx GROUP BY doc_id),
+       |sizesn AS (SELECT doc_id, count(*) AS n FROM ghn GROUP BY doc_id),
+       |postings AS (
+       |  SELECT lang, lb, gh, count(*) AS df, min(doc_id) AS mn
+       |  FROM ghx GROUP BY lang, lb, gh),
+       |cand AS (
+       |  SELECT DISTINCT o.doc_id AS a_id, g.doc_id AS b_id
+       |  FROM ghn g JOIN postings p USING (lang, lb, gh)
+       |    JOIN ghx o USING (lang, lb, gh)
+       |  WHERE p.df <= $NgramDfCap
+       |  UNION
+       |  SELECT DISTINCT p.mn, g.doc_id
+       |  FROM ghn g JOIN postings p USING (lang, lb, gh)
+       |  WHERE p.df > $NgramDfCap),
+       |shared AS (
+       |  SELECT a_id, b_id, count(*) AS sh
+       |  FROM cand
+       |  JOIN ghx ga ON ga.doc_id = a_id
+       |  JOIN ghn gb ON gb.doc_id = b_id AND ga.gh = gb.gh
+       |  GROUP BY a_id, b_id),
+       |near_ids AS (
+       |  SELECT DISTINCT b_id AS doc_id FROM (
+       |    SELECT b_id,
+       |      round(CAST(sh AS DOUBLE) / (sa.n + sb.n - sh), 4) AS j
+       |    FROM shared
+       |    JOIN sizesx sa ON a_id = sa.doc_id
+       |    JOIN sizesn sb ON b_id = sb.doc_id)
+       |  WHERE j >= $JaccardTau)
+       |SELECT source, count(*) AS n_new,
+       |  CAST(sum(CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_exact_dup,
+       |  CAST(sum(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_near_dup,
+       |  CAST(sum(CASE WHEN e.doc_id IS NULL AND r.doc_id IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+       |FROM nw n
+       |LEFT JOIN exact_ids e ON n.doc_id = e.doc_id
+       |LEFT JOIN near_ids r ON n.doc_id = r.doc_id
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** The whole dedup pipeline as ONE end-to-end report — corpus in,
     * per-stage cardinalities out:
     *
@@ -1059,6 +1213,7 @@ object Dedup {
        |ORDER BY stage""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_pipeline" -> (dedupPipeline(_, _)),
     "dedup_canonical" -> (dedupCanonical(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
@@ -1072,6 +1227,7 @@ object Dedup {
     "dedup_survivors" -> (dedupSurvivors(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_pipeline" -> dedupPipelineSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "dedup_components" -> dedupComponentsSql,

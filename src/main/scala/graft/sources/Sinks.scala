@@ -47,6 +47,36 @@ object Sinks {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
 
+  /** CSV export with explicit header/quote/escape contract — the
+    * lowest-common-denominator hand-off format (spreadsheet audits,
+    * legacy ingest). Same shard-count contract as [[writeJsonl]]. */
+  def writeCsv(df: DataFrame, path: String, numFiles: Int = 0,
+      compress: Boolean = true): Unit = {
+    val out = if (numFiles > 0) df.repartition(numFiles) else df
+    val w = out.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\"") // RFC-4180 doubling
+    (if (compress) w.option("compression", "gzip") else w).csv(path)
+  }
+
+  /** CSV read with a REQUIRED schema — same contract as [[readJsonl]]:
+    * no inference pass (at 100 TB, inference is a full extra scan AND
+    * can mis-type a column from a lucky sample), explicit RFC-4180
+    * quote/escape so embedded delimiters and newlines round-trip
+    * (`multiLine` makes quoted newlines legal; the cost — a quoted file
+    * can't be split at arbitrary byte offsets — is the documented CSV
+    * trade-off, and the reason parquet is the internal format while CSV
+    * is only an edge). Malformed lines drop, as in [[readJsonl]]:
+    * ingest skips garbage instead of failing the job. */
+  def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .option("multiLine", "true")
+      .option("mode", "DROPMALFORMED")
+      .csv(path)
+
   /** Range-clustered parquet layout: `repartitionByRange` routes each
     * sort-key range to one output file and `sortWithinPartitions`
     * orders rows inside it, so every file's parquet footer carries a

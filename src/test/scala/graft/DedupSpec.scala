@@ -351,6 +351,31 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSet == brute, s"prefix lost pairs: ${brute -- pairs.toSet}")
   }
 
+  test("dedup_incremental: planted exact / near / fresh batch docs classified") {
+    import spark.implicits._
+    val base = (1 to 30).map(j => s"tok$j").mkString(" ")
+    val existing = Seq(
+      (1L, "en", base, 300),
+      (2L, "en", (100 to 130).map(j => s"other$j").mkString(" "), 310))
+      .toDF("doc_id", "lang", "text", "n_chars")
+      .withColumn("source", lit("S"))
+    // 26 of 28 3-grams shared with `base`, 2 novel tail grams →
+    // J = 26/30 ≈ 0.87 (near, not exact); same length bucket
+    val nearText = (1 to 28).map(j => s"tok$j").mkString(" ") + " novel1 novel2"
+    val batch = Seq(
+      (100L, "en", base, 300),     // verbatim copy: exact AND near (J=1)
+      (101L, "en", nearText, 305), // near only
+      (102L, "en", (200 to 230).map(j => s"fresh$j").mkString(" "), 300))
+      .toDF("doc_id", "lang", "text", "n_chars")
+      .withColumn("source", lit("S"))
+    val r = Dedup.dedupIncrementalOn(existing, batch).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 3L, "n_new")
+    assert(r(0).getLong(2) == 1L, s"exact: ${r(0)}")
+    assert(r(0).getLong(3) == 2L, s"near: ${r(0)}")
+    assert(r(0).getLong(4) == 1L, s"admitted: ${r(0)}")
+  }
+
   test("dedup_pipeline: stage counts agree with the individual operators") {
     import spark.implicits._
     val stages = Dedup.dedupPipeline(spark, sf).collect()

@@ -65,6 +65,31 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read.count() == 2)
   }
 
+  test("CSV: quoted round-trip incl. embedded delimiters/newlines, garbage dropped") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft_csv").toString + "/docs"
+    // texts that stress the RFC-4180 contract: commas, quotes, newlines
+    val docs = Seq(
+      (1L, "plain text", "en"),
+      (2L, "comma, inside", "en"),
+      (3L, "a \"quoted\" span", "en"),
+      (4L, "line one\nline two", "en"))
+      .toDF("doc_id", "text", "lang")
+    Sinks.writeCsv(docs, out, numFiles = 2)
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".csv.gz")) == 2)
+    val back = Sinks.readCsv(spark, out, docs.schema)
+    assert(back.count() == 4)
+    assert(back.except(docs).isEmpty && docs.except(back).isEmpty,
+      "every special character must round-trip bit-identically")
+    // malformed rows drop (wrong arity), valid rows survive
+    val mixed = Files.createTempDirectory("graft_csv2").resolve("m.csv")
+    Files.write(mixed, java.util.Arrays.asList(
+      "doc_id,text,lang", "1,ok,en", "not,a,valid,row,at,all", "2,fine,en"))
+    assert(Sinks.readCsv(spark, mixed.toString, docs.schema).count() == 2)
+  }
+
   test("range-clustered layout: disjoint per-file key ranges, round-trip") {
     val s = spark
     import s.implicits._

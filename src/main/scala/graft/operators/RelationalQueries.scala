@@ -119,6 +119,106 @@ object RelationalQueries {
       |FROM ranked WHERE rk <= 3
       |ORDER BY l_suppkey, rk""".stripMargin
 
+  /** Order-count distribution per customer (TPC-H Q13's shape) — the
+    * suite's OUTER-join exercise: customers with zero orders must
+    * survive into the 0-bucket, which an inner join silently drops.
+    *
+    * Scale: the textbook form left-outer-joins raw orders onto
+    * customer and counts after the join, shuffling every order row.
+    * Here orders pre-aggregate to one (custkey, count) row BEFORE the
+    * join — the join input shrinks from |orders| to |customers| and
+    * the outer join matches at most one row per customer. Identical
+    * result (a missing group ≡ count 0 via coalesce). */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables(s, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    Tables(s, dir, "customer").select($"c_custkey")
+      .join(perCust, $"c_custkey" === $"o_custkey", "left_outer")
+      .select(coalesce($"n_orders", lit(0L)).as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q13Sql: String =
+    """WITH per_cust AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |SELECT c_count, count(*) AS custdist
+      |FROM per_cust GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Large-order report (TPC-H Q18's shape): orders whose total line
+    * quantity exceeds a threshold — a HAVING filter on a fact-side
+    * aggregation joined back to the order header. The aggregation
+    * runs FIRST and the threshold prunes it to a tiny key set, so the
+    * join-back sees ~1% of orders; AQE is free to broadcast the
+    * surviving keys at runtime (the plan never materializes an
+    * unfiltered orders × lineitem join). */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(round(sum($"l_quantity"), 4).as("sum_qty"))
+      .filter($"sum_qty" > 250.0)
+    Tables(s, dir, "orders")
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderkey", $"o_orderdate", round($"o_totalprice", 4).as("o_totalprice"),
+        $"sum_qty")
+      .orderBy($"sum_qty".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """SELECT o_orderkey, o_orderdate, round(o_totalprice, 4) AS o_totalprice,
+      |  sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING round(sum(l_quantity), 4) > 250.0) big
+      |  ON o_orderkey = l_orderkey
+      |ORDER BY sum_qty DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** Churned-rich customers (TPC-H Q22's shape): above-average-balance
+    * customers with NO order since 1999 — a scalar AGGREGATE subquery
+    * (the global positive-balance mean) plus an anti-join. The scalar
+    * is a 1-row broadcast onto the customer scan; the anti side
+    * filters orders to the recent window and projects to DISTINCT
+    * custkeys first, so the anti-join probes a recently-active-
+    * customer-sized key set instead of every order row. (The classic
+    * "never ordered" predicate is empty on this synthetic data —
+    * every customer has an order — so the recency cutoff is what
+    * makes the anti-join carry weight.) */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val avgBal = Tables(s, dir, "customer")
+      .filter($"c_acctbal" > 0.0)
+      .agg(avg($"c_acctbal").as("avg_bal"))
+    val recentlyActive = Tables(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1999-01-01").cast("timestamp"))
+      .select($"o_custkey").distinct()
+    Tables(s, dir, "customer")
+      .crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(recentlyActive, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), round(sum($"c_acctbal"), 4).as("totacctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q22Sql: String =
+    """SELECT c_mktsegment, count(*) AS numcust,
+      |  round(sum(c_acctbal), 4) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** Session-gap threshold (seconds) shared by [[sessionize]] and
     * [[EventAnalytics.eventPaths]]. */
   val SessionGapSec = 1800L
@@ -528,6 +628,9 @@ object RelationalQueries {
     "histogram" -> (histogram(_, _)),
     "q3_join" -> (q3(_, _)),
     "q5_multijoin" -> (q5(_, _)),
+    "q13_custdist" -> (q13(_, _)),
+    "q18_large_orders" -> (q18(_, _)),
+    "q22_idle_rich" -> (q22(_, _)),
     "topk_window" -> (topkWindow(_, _)),
     "sessionize" -> (sessionize(_, _)),
     "sessionize_native" -> (sessionizeNative(_, _)),
@@ -540,6 +643,9 @@ object RelationalQueries {
     "histogram" -> histogramSql,
     "q3_join" -> q3Sql,
     "q5_multijoin" -> q5Sql,
+    "q13_custdist" -> q13Sql,
+    "q18_large_orders" -> q18Sql,
+    "q22_idle_rich" -> q22Sql,
     "topk_window" -> topkWindowSql,
     "sessionize" -> sessionizeSql,
     "sessionize_native" -> sessionizeNativeSql,

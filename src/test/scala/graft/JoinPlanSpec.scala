@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import graft.operators.RelationalQueries
@@ -66,6 +67,78 @@ class JoinPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(prefixes.subsetOf(Set("r_", "n_", "s_")),
         s"unexpected broadcast side: $prefixes")
     }
+  }
+
+  /** Synthetic mini-warehouse for the q13/q18/q22 shape tests — the
+    * oracle gates values on real data; these pin the semantics the real
+    * data can't exercise (zero-order customers, churned customers). */
+  private def miniWarehouse(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mini").toString
+    Seq(
+      (1L, "c1", 0L, 100.0, "SEG_A"), (2L, "c2", 0L, 900.0, "SEG_A"),
+      (3L, "c3", 0L, 800.0, "SEG_B"), (4L, "c4", 0L, 50.0, "SEG_B"),
+      (5L, "c5", 0L, 700.0, "SEG_B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    // customer 1: 3 orders (one recent); 2: 1 old order (churned, rich);
+    // 3: 1 recent order; 4, 5: never ordered (5 is rich)
+    Seq(
+      (10L, 1L, "O", 10.0, "1996-05-01", "P"), (11L, 1L, "O", 10.0, "1997-05-01", "P"),
+      (12L, 1L, "O", 10.0, "1999-05-01", "P"), (13L, 2L, "O", 10.0, "1998-05-01", "P"),
+      (14L, 3L, "O", 10.0, "2000-05-01", "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "d", "o_orderpriority")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+      .write.parquet(s"$dir/orders.parquet")
+    // order 10 crosses the 250-quantity threshold; 11 stays under
+    Seq(
+      (10L, 1L, 1L, 1, 200.0, 10.0, 0.0, 0.0, "N", "O", "1996-05-02"),
+      (10L, 2L, 1L, 2, 60.0, 10.0, 0.0, 0.0, "N", "O", "1996-05-03"),
+      (11L, 1L, 1L, 1, 249.0, 10.0, 0.0, 0.0, "N", "O", "1997-05-02"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "d")
+      .withColumn("l_shipdate", col("d").cast("timestamp")).drop("d")
+      .write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q13 outer join keeps zero-order customers in the 0 bucket") {
+    val dir = miniWarehouse()
+    val rows = RelationalQueries.q13(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // buckets: 3 orders → {c1}, 1 order → {c2, c3}, 0 orders → {c4, c5};
+    // ordered custdist DESC, c_count DESC
+    assert(rows == Seq((1L, 2L), (0L, 2L), (3L, 1L)),
+      s"zero-order customers must survive the outer join; got $rows")
+  }
+
+  test("q13/q22 never broadcast a fact-sized scan; q22's broadcast is the 1-row scalar") {
+    val q13bs = broadcastScanPrefixes(RelationalQueries.q13(spark, sf))
+    assert(q13bs.isEmpty, s"q13 must not force a broadcast; found $q13bs")
+    // q22's only broadcast is the scalar avg aggregate — every broadcast
+    // subtree must sit above an aggregation, never a raw table scan
+    val plan = RelationalQueries.q22(spark, sf).queryExecution.executedPlan
+    val raw = plan.collect { case b: BroadcastExchangeExec
+        if b.collectFirst { case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }.isEmpty =>
+      b
+    }
+    assert(raw.isEmpty, "q22 broadcast must be the aggregated scalar, not a raw scan")
+  }
+
+  test("q18 reports only orders whose line quantity crosses the threshold") {
+    val dir = miniWarehouse()
+    val rows = RelationalQueries.q18(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L), "only order 10 sums past 250")
+    assert(rows.head.getDouble(3) == 260.0)
+  }
+
+  test("q22 keeps exactly the churned above-average customers") {
+    val dir = miniWarehouse()
+    // avg positive balance = (100+900+800+50+700)/5 = 510; above: 2, 3, 5.
+    // recent (≥1999) orderers: 1, 3 → churned rich = {2 (SEG_A), 5 (SEG_B)}
+    val rows = RelationalQueries.q22(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("SEG_A", 1L, 900.0), ("SEG_B", 1L, 700.0)), s"got $rows")
   }
 
   test("q3/q5 stay value-correct without the fact broadcasts") {

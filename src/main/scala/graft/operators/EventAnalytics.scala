@@ -438,6 +438,122 @@ object EventAnalytics {
        |ORDER BY hour, event_type""".stripMargin
   }
 
+  /** Z-score anomaly detection over the gap-filled hourly series — the
+    * alerting consumer [[resampleHourly]] densifies FOR: an (hour,
+    * type) cell whose count sits more than 3σ from its type's mean is
+    * flagged (a zero-filled outage hour is an anomaly precisely
+    * because densification turned "no row" into "count 0"). Builds on
+    * [[resampleHourly]]'s grid directly — one series definition.
+    *
+    * Scale: the hourly aggregation is the only data-sized stage
+    * (inherited from resample); the per-type stats aggregate the
+    * bounds-sized grid to ≤ |types| rows, broadcast back onto it.
+    * Cross-engine determinism: mean/σ are derived from EXACT integer
+    * sums (Σn, Σn² as BIGINTs — no float accumulation order) through
+    * an identical fixed sequence of IEEE double ops on both engines,
+    * so every z — and the 3σ membership test — is bit-deterministic
+    * (the [[RelationalQueries.histogram]] binning argument). */
+  def anomalyHours(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dense = resampleHourly(s, dir).select($"hour", $"event_type", $"n")
+    val stats = dense.groupBy($"event_type")
+      .agg(sum($"n").as("sum_n"), sum($"n" * $"n").as("sum_n2"),
+        count(lit(1)).as("cnt"))
+      .select($"event_type",
+        ($"sum_n".cast("double") / $"cnt").as("m"),
+        sqrt(($"sum_n2" - $"sum_n".cast("double") * $"sum_n" / $"cnt") /
+          ($"cnt" - 1)).as("sd"))
+    dense.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", ($"n" - $"m") / $"sd")
+      .filter(abs($"z") > 3.0)
+      .select($"hour", $"event_type", $"n", round($"z", 4).as("z"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  val anomalyHoursSql: String = {
+    val types = EventTypes.map(t => s"('$t')").mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT date_trunc('hour', ts) AS hour, event_type FROM events),
+       |counts AS (
+       |  SELECT hour, event_type, count(*) AS n FROM ev GROUP BY hour, event_type),
+       |bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ev),
+       |grid AS (
+       |  SELECT g.hour, t.event_type
+       |  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+       |        FROM bounds) g
+       |  CROSS JOIN (VALUES $types) t(event_type)),
+       |dense AS (
+       |  SELECT g.hour, g.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+       |  FROM grid g LEFT JOIN counts c USING (hour, event_type)),
+       |stats AS (
+       |  SELECT event_type,
+       |    CAST(sum(n) AS DOUBLE) / count(*) AS m,
+       |    sqrt((sum(n * n) - CAST(sum(n) AS DOUBLE) * sum(n) / count(*))
+       |      / (count(*) - 1)) AS sd
+       |  FROM dense GROUP BY event_type)
+       |SELECT hour, event_type, n, round((n - m) / sd, 4) AS z
+       |FROM dense JOIN stats USING (event_type)
+       |WHERE abs((n - m) / sd) > 3.0
+       |ORDER BY hour, event_type""".stripMargin
+  }
+
+  /** Markov transition matrix over in-session behavior: for every
+    * adjacent event pair within a session, count (from_type →
+    * to_type) and normalize per from-state — the step-by-step
+    * companion of [[eventPaths]] (which mines whole [[PathN]]-grams).
+    * "Adjacent within a session" is exactly "consecutive per-user
+    * events ≤ [[RelationalQueries.SessionGapSec]] apart": a session
+    * break happens precisely where the gap rule fires, so one
+    * lead-over-user window (the same (user, ts, event_id) sort and
+    * single shuffle as [[RelationalQueries.withSessionIds]]) replaces
+    * materializing session ids — no per-group array state at all,
+    * each row carries only its successor. The normalizing window runs
+    * over the ≤ |types|² count matrix, not the data. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    eventTransitionsOn(Tables(s, dir, "events"))
+
+  /** [[eventTransitions]] over any events frame (user_id, ts, event_id,
+    * event_type) — public so the spec can pin the gap-break rule. */
+  def eventTransitionsOn(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val ev = events
+      .filter($"event_type".isNotNull)
+      .select($"user_id", date_trunc("second", $"ts").as("ts"),
+        $"event_id", $"event_type")
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = ev
+      .withColumn("to_type", lead($"event_type", 1).over(byUser))
+      .withColumn("gap",
+        unix_timestamp(lead($"ts", 1).over(byUser)) - unix_timestamp($"ts"))
+      .filter($"to_type".isNotNull &&
+        $"gap" <= RelationalQueries.SessionGapSec)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val byFrom = org.apache.spark.sql.expressions.Window.partitionBy($"from_type")
+    counts
+      .select($"from_type", $"to_type", $"n",
+        round($"n" / sum($"n").over(byFrom), 4).as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val eventTransitionsSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, date_trunc('second', ts) AS ts, event_id, event_type
+       |  FROM events WHERE event_type IS NOT NULL),
+       |nxt AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER w AS to_type,
+       |    date_diff('second', ts, lead(ts) OVER w) AS gap
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |counts AS (
+       |  SELECT from_type, to_type, count(*) AS n FROM nxt
+       |  WHERE to_type IS NOT NULL AND gap <= ${RelationalQueries.SessionGapSec}
+       |  GROUP BY from_type, to_type)
+       |SELECT from_type, to_type, n,
+       |  round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
+       |FROM counts ORDER BY from_type, to_type""".stripMargin
+
   /** Changelog compaction (the CDC "latest snapshot" materialization):
     * per key, the most recent record wins — how a 100-TB pipeline turns
     * an append-only event/change log into current state. Latest-wins
@@ -474,7 +590,9 @@ object EventAnalytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_paths" -> (eventPaths(_, _)),
+    "event_transitions" -> (eventTransitions(_, _)),
     "resample_hourly" -> (resampleHourly(_, _)),
+    "anomaly_hours" -> (anomalyHours(_, _)),
     "cdc_latest" -> (cdcLatest(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
     "funnel" -> (funnel(_, _)),
@@ -487,7 +605,9 @@ object EventAnalytics {
 
   def oracles: Map[String, String] = Map(
     "event_paths" -> eventPathsSql,
+    "event_transitions" -> eventTransitionsSql,
     "resample_hourly" -> resampleHourlySql,
+    "anomaly_hours" -> anomalyHoursSql,
     "cdc_latest" -> cdcLatestSql,
     "json_extract" -> jsonExtractSql,
     "funnel" -> funnelSql,

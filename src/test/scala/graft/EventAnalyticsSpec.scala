@@ -118,6 +118,48 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.getLong(1) == 200L)
   }
 
+  test("transitions: gap breaks the chain, per-from probabilities sum to 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: a→b→c inside one session, then a >30-min gap, then c→a.
+    // The a-after-gap pair (c at 00:10, a at 01:00) must NOT count.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 00:05:00"), 2L, "b"),
+      (1L, ts("2024-01-01 00:10:00"), 3L, "c"),
+      (1L, ts("2024-01-01 01:00:00"), 4L, "c"),
+      (1L, ts("2024-01-01 01:01:00"), 5L, "a"),
+      (2L, ts("2024-01-01 00:00:00"), 6L, "a"),
+      (2L, ts("2024-01-01 00:01:00"), 7L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.eventTransitionsOn(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5),
+      ("b", "c", 1L, 1.0), ("c", "a", 1L, 1.0)), out.mkString(";"))
+    // real data: every from-state's probabilities sum to 1 (±rounding)
+    val sums = EventAnalytics.eventTransitions(spark, sf)
+      .groupBy($"from_type").agg(sum($"p").as("s")).collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 0.001, r))
+  }
+
+  test("anomaly hours: every flagged cell is >3 sigma for its type") {
+    val dense = EventAnalytics.resampleHourly(spark, sf)
+      .select("hour", "event_type", "n").collect()
+      .groupBy(_.getString(1))
+    val flagged = EventAnalytics.anomalyHours(spark, sf).collect()
+    assert(flagged.nonEmpty)
+    flagged.foreach { r =>
+      val cells = dense(r.getString(1)).map(_.getLong(2).toDouble)
+      val m = cells.sum / cells.length
+      val sd = math.sqrt(cells.map(x => (x - m) * (x - m)).sum / (cells.length - 1))
+      val z = (r.getLong(2) - m) / sd
+      assert(math.abs(z) > 3.0, s"flagged cell not anomalous: $r z=$z")
+      assert(math.abs(z - r.getDouble(3)) < 0.001)
+    }
+  }
+
   test("resample: dense hour grid, zero-filled gaps, counts conserved") {
     import org.apache.spark.sql.functions._
     val rows = EventAnalytics.resampleHourly(spark, sf)

@@ -25,7 +25,8 @@ object SparkEntry {
     operators.Multimodal.queries ++
     operators.AsOfJoin.queries ++
     operators.CorpusOps.queries ++
-    operators.EventAnalytics.queries ++ Map(
+    operators.EventAnalytics.queries ++
+    operators.BloomPrune.queries ++ Map(
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "lineitem")
@@ -53,7 +54,8 @@ object SparkEntry {
     operators.Multimodal.oracles ++
     operators.AsOfJoin.oracles ++
     operators.CorpusOps.oracles ++
-    operators.EventAnalytics.oracles ++ Map(
+    operators.EventAnalytics.oracles ++
+    operators.BloomPrune.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

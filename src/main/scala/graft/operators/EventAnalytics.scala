@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -554,6 +554,100 @@ object EventAnalytics {
        |  round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
        |FROM counts ORDER BY from_type, to_type""".stripMargin
 
+  /** KMV size for [[audienceOverlap]] sketches (same regime as
+    * [[TextAnalysis.KmvK]]). */
+  val AudK = 64
+  private val AudNum = (AudK - 1).toLong * graft.functions.PolyHash.Mod
+  /** Injective element encoding for a (user, day) audience member:
+    * `user_id · 10⁶ + epoch_day` stays below the hash modulus for any
+    * realistic user-id space after the `% p` guard, and the affine
+    * scatter `(e·A + B) mod p` (A coprime to the prime p ⇒ a bijection)
+    * spreads the dense integers uniformly — the same scatter argument
+    * as [[TextAnalysis.distinctSketch]]. */
+  private def audienceHash(userId: Column, ts: Column): Column = {
+    import graft.functions.PolyHash
+    (((userId * 1000000L +
+      datediff(to_date(ts), lit("1970-01-01").cast("date"))) % PolyHash.Mod)
+      * TextAnalysis.KmvA + TextAnalysis.KmvB) % PolyHash.Mod
+  }
+
+  /** Audience set algebra from mergeable sketches: per event type the
+    * DAU-style audience is the distinct (user, day) set; every pair of
+    * types gets union / intersection / Jaccard ESTIMATES computed
+    * purely from the two types' KMV sketches (k smallest distinct
+    * hashes) — union = re-sketch of the merged arrays, Jaccard = the
+    * fraction of the union sketch present in both sides (Beyer et al.,
+    * SIGMOD 2007), intersection = Jaccard × union.
+    *
+    * The 100-TB point: pairwise EXACT overlaps need a |types|² × data
+    * scan (or an every-value shuffle per pair); sketches need ONE scan
+    * + bounded per-type state, and the pair algebra runs on k-length
+    * arrays over a |types|²-row frame — constant work after the scan,
+    * and the same sketches union-merge across days/shards for free.
+    * The deterministic portable hash makes all three estimates
+    * oracle-checkable bit-for-bit (the [[TextAnalysis.distinctSketch]]
+    * argument, extended to set operations). Estimate quality is the
+    * sketch's ±O(1/√k); exact per-type cardinalities ride along from
+    * the same scan for calibration. */
+  def audienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .filter($"event_type".isNotNull)
+      .select($"event_type", audienceHash($"user_id", $"ts").as("h"))
+    val sk = ev.groupBy($"event_type")
+      .agg(count_distinct($"h").as("exact"),
+        graft.functions.KMinValues($"h", AudK).as("kmv"))
+    val a = sk.toDF("type_a", "exact_a", "kmv_a")
+    val b = sk.toDF("type_b", "exact_b", "kmv_b")
+    a.join(b, $"type_a" < $"type_b")
+      .withColumn("merged",
+        slice(array_sort(array_union($"kmv_a", $"kmv_b")), 1, AudK))
+      .withColumn("est_union",
+        when(size($"merged") < AudK, size($"merged").cast("long"))
+          .otherwise(expr(s"CAST($AudNum DIV element_at(merged, $AudK) AS BIGINT)")))
+      .withColumn("j_raw",
+        size(array_intersect(array_intersect($"merged", $"kmv_a"), $"kmv_b"))
+          .cast("double") / size($"merged"))
+      .select($"type_a", $"type_b", $"exact_a", $"exact_b", $"est_union",
+        floor($"j_raw" * $"est_union").cast("long").as("est_intersect"),
+        round($"j_raw", 4).as("jaccard"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val audienceOverlapSql: String = {
+    import graft.functions.PolyHash
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    ((user_id * 1000000 +
+       |      date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+       |      % ${PolyHash.Mod} * ${TextAnalysis.KmvA} + ${TextAnalysis.KmvB})
+       |      % ${PolyHash.Mod} AS h
+       |  FROM events WHERE event_type IS NOT NULL),
+       |agg AS (
+       |  SELECT event_type, count(DISTINCT h) AS exact,
+       |    list_sort(list(DISTINCT h))[1:$AudK] AS kmv
+       |  FROM ev GROUP BY event_type),
+       |pairs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    a.exact AS exact_a, b.exact AS exact_b, a.kmv AS ka, b.kmv AS kb
+       |  FROM agg a JOIN agg b ON a.event_type < b.event_type),
+       |m AS (
+       |  SELECT *,
+       |    list_sort(list_distinct(list_concat(ka, kb)))[1:$AudK] AS merged
+       |  FROM pairs),
+       |est AS (
+       |  SELECT *,
+       |    CASE WHEN len(merged) < $AudK THEN len(merged)
+       |         ELSE $AudNum // merged[$AudK] END AS est_union,
+       |    CAST(len(list_intersect(list_intersect(merged, ka), kb)) AS DOUBLE)
+       |      / len(merged) AS j_raw
+       |  FROM m)
+       |SELECT type_a, type_b, exact_a, exact_b, est_union,
+       |  CAST(floor(j_raw * est_union) AS BIGINT) AS est_intersect,
+       |  round(j_raw, 4) AS jaccard
+       |FROM est ORDER BY type_a, type_b""".stripMargin
+  }
+
   /** Changelog compaction (the CDC "latest snapshot" materialization):
     * per key, the most recent record wins — how a 100-TB pipeline turns
     * an append-only event/change log into current state. Latest-wins
@@ -594,6 +688,7 @@ object EventAnalytics {
     "resample_hourly" -> (resampleHourly(_, _)),
     "anomaly_hours" -> (anomalyHours(_, _)),
     "cdc_latest" -> (cdcLatest(_, _)),
+    "audience_overlap" -> (audienceOverlap(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
     "funnel" -> (funnel(_, _)),
     "range_join_bucketed" -> (clickErrorRange(_, _)),
@@ -609,6 +704,7 @@ object EventAnalytics {
     "resample_hourly" -> resampleHourlySql,
     "anomaly_hours" -> anomalyHoursSql,
     "cdc_latest" -> cdcLatestSql,
+    "audience_overlap" -> audienceOverlapSql,
     "json_extract" -> jsonExtractSql,
     "funnel" -> funnelSql,
     "range_join_bucketed" -> clickErrorRangeSql,

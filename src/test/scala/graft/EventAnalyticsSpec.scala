@@ -160,6 +160,34 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("audience overlap: sketch estimates track the exact set algebra") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val est = EventAnalytics.audienceOverlap(spark, sf).collect()
+    assert(est.length == 10) // C(5,2) type pairs
+    // exact pairwise union via a second scan (the thing the sketch avoids)
+    val ev = Tables(spark, sf, "events")
+      .filter($"event_type".isNotNull)
+      .select($"event_type", $"user_id",
+        to_date($"ts").as("day"))
+    val exact = est.map { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val u = ev.filter($"event_type".isin(ta, tb))
+        .select($"user_id", $"day").distinct().count()
+      (ta, tb) -> u
+    }.toMap
+    est.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val (u, estU) = (exact(key).toDouble, r.getLong(4).toDouble)
+      // KMV with k=64 → relative error ~1/sqrt(62) ≈ 13%; allow 3x
+      assert(math.abs(estU - u) / u < 0.4,
+        s"$key union est $estU vs exact $u")
+      val exactI = r.getLong(2) + r.getLong(3) - exact(key)
+      assert(math.abs(r.getLong(5) - exactI) / exactI.toDouble < 0.5,
+        s"$key intersect est ${r.getLong(5)} vs exact $exactI")
+    }
+  }
+
   test("resample: dense hour grid, zero-filled gaps, counts conserved") {
     import org.apache.spark.sql.functions._
     val rows = EventAnalytics.resampleHourly(spark, sf)

@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Write-side of the engine (SURVEY.md §4): partitioned columnar output
   * with small-file hygiene.
@@ -100,4 +100,55 @@ object Sinks {
       .write
       .mode(SaveMode.Overwrite)
       .parquet(path)
+
+  /** 16-bit Morton spread: inserts a zero bit between every bit of the
+    * low 16 bits, via the classic magic-mask doubling ladder — four
+    * shift/or/and steps, all codegen'd builtins (no UDF). */
+  private def spread16(c: Column): Column = {
+    val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-ORDER (Morton-curve) clustered layout: the multi-dimensional
+    * complement of [[writeRangePartitioned]]. A linear sort on key A
+    * gives tight per-file min/max for A but every file spans B's full
+    * range — a predicate on B alone prunes nothing. Interleaving the
+    * bits of both keys' 16-bit min/max-normalized ranks and range-
+    * clustering on the interleaved value makes every output file a
+    * small rectangle in (A, B) space, so footer-stats pruning works
+    * for predicates on EITHER dimension (at ~√ the one-dimensional
+    * tightness each — the Z-curve trade). This is the layout a
+    * time × tenant or user × day table wants when both columns carry
+    * selective predicates; same mechanism Delta/Iceberg expose as
+    * OPTIMIZE ZORDER BY, built here from two scans (bounds agg +
+    * write) and pure builtin bit arithmetic.
+    *
+    * Normalization is min/max scaling to [0, 65535] via a broadcast
+    * 1-row bounds aggregate (the histogram-bounds pattern — no driver
+    * collect, works for any numeric type; `greatest(span, 1)` guards
+    * the constant column). SinksSpec asserts the rectangle property:
+    * a narrow predicate on the SECOND dimension prunes most z-ordered
+    * files by min/max while pruning zero linearly-sorted files. */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+      colA: String, colB: String): Unit = {
+    val bounds = df.agg(
+      min(col(colA)).as("__alo"), max(col(colA)).as("__ahi"),
+      min(col(colB)).as("__blo"), max(col(colB)).as("__bhi"))
+    def rank16(c: Column, lo: Column, hi: Column): Column =
+      ((c - lo) * 65535.0 / greatest(hi - lo, lit(1.0))).cast("long")
+    val z = df.crossJoin(broadcast(bounds))
+      .withColumn("__z",
+        spread16(rank16(col(colA), col("__alo"), col("__ahi")))
+          .bitwiseOR(shiftleft(
+            spread16(rank16(col(colB), col("__blo"), col("__bhi"))), 1)))
+      .drop("__alo", "__ahi", "__blo", "__bhi")
+    z.repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
 }

@@ -43,6 +43,33 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Stream-stream temporal range join — the at-ingest twin of the
+    * batch [[graft.operators.EventAnalytics.clickErrorRange]]: pairs
+    * every error with the same user's clicks from the preceding hour,
+    * as both sides ARRIVE. Structured Streaming buffers each side in
+    * the state store and joins within the watermark horizon; the
+    * explicit event-time range predicate (`e_ts` in
+    * `[c_ts, c_ts + 1 h]`) plus both watermarks is what lets Spark
+    * derive a state-eviction bound for BOTH buffers — an equality-only
+    * stream-stream join condition would grow click state forever.
+    * State per side ≈ (watermark + range) of recent rows per user,
+    * bounded at any stream length; a late row beyond the watermark is
+    * dropped rather than joined incompletely (the append-mode
+    * contract). Inputs: clicks (user_id, c_ts, c_id), errors
+    * (user_id, e_ts, e_id). */
+  def streamingRangeJoin(clicks: DataFrame, errors: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("c_ts", watermark)
+    val e = errors.withColumnRenamed("user_id", "e_user")
+      .withWatermark("e_ts", watermark)
+    c.join(e,
+      col("user_id") === col("e_user") &&
+        col("e_ts") >= col("c_ts") &&
+        col("e_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("c_id"), col("e_id"),
+        col("c_ts"), col("e_ts"))
+  }
+
   private def updateCluster(cid: Int, rows: Iterator[(Int, Double, Double)],
       state: GroupState[ClusterState]): CentroidUpdate = {
     var s = state.getOption.getOrElse(ClusterState(0.0, 0.0, 0L))

@@ -117,4 +117,40 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     // round-trip
     assert(spark.read.parquet(out).count() == li.count())
   }
+
+  test("z-order layout: second-dimension predicates prune files, linear doesn't") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    // 64×64 grid of (x, y) points — every x stripe contains all of y
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+      .toDF("x", "y")
+    val zOut = Files.createTempDirectory("graft_z").toString
+    val linOut = Files.createTempDirectory("graft_lin").toString
+    Sinks.writeZOrdered(grid, zOut, 16, "x", "y")
+    Sinks.writeRangePartitioned(grid, linOut, 16, Seq("x"))
+    def fileRanges(dir: String): Array[(Int, Int)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(fmin($"y"), fmax($"y")).head()
+          (r.getInt(0), r.getInt(1))
+        }
+    // predicate: y in [0, 8) — a file prunes iff its y-interval misses it
+    def prunedFrac(ranges: Array[(Int, Int)]): Double =
+      ranges.count { case (lo, hi) => hi < 0 || lo >= 8 }.toDouble / ranges.length
+    val zRanges = fileRanges(zOut)
+    val linRanges = fileRanges(linOut)
+    assert(zRanges.length >= 8 && linRanges.length >= 8)
+    assert(prunedFrac(linRanges) == 0.0,
+      "every x-sorted file spans all of y — nothing prunes")
+    assert(prunedFrac(zRanges) >= 0.5,
+      s"z-order should prune most files for a narrow y predicate; " +
+        s"got ${prunedFrac(zRanges)} over ${zRanges.mkString(",")}")
+    // round-trip: clustering reorders, never drops
+    assert(spark.read.parquet(zOut).count() == grid.count())
+    val got = spark.read.parquet(zOut).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == grid.collect().map(r => (r.getInt(0), r.getInt(1))).toSet)
+  }
 }

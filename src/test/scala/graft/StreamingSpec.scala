@@ -114,6 +114,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(closed == batch, s"batch twin disagrees: $batch")
   }
 
+  test("streamingRangeJoin: out-of-order stream pairs = batch range join") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    // user 1: click 10:00; errors at 10:30 (in range) and 11:30 (out);
+    // user 2: error 10:05 with no prior click; a second click 10:45
+    // pairs with the 11:30 error. Errors arrive out of order.
+    val clicks = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 100L),
+      (1L, ts("2026-01-01 10:45:00"), 101L))
+    val errors = Seq(
+      (1L, ts("2026-01-01 11:30:00"), 201L), // arrives first, joins later click
+      (1L, ts("2026-01-01 10:30:00"), 200L),
+      (2L, ts("2026-01-01 10:05:00"), 202L))
+    val cMem = MemoryStream[(Long, Timestamp, Long)]
+    val eMem = MemoryStream[(Long, Timestamp, Long)]
+    val q = StreamOps.streamingRangeJoin(
+        cMem.toDF().toDF("user_id", "c_ts", "c_id"),
+        eMem.toDF().toDF("user_id", "e_ts", "e_id"))
+      .writeStream.format("memory").queryName("srj")
+      .outputMode("append").start()
+    cMem.addData(clicks.take(1))
+    eMem.addData(errors.take(1))
+    q.processAllAvailable()
+    cMem.addData(clicks.drop(1))
+    eMem.addData(errors.drop(1))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("srj")
+      .select($"c_id", $"e_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == Set((100L, 200L), (101L, 201L)),
+      s"streamed pairs: $streamed")
+    // exactly the batch inequality join of the same rows
+    val batch = clicks.toDF("user_id", "c_ts", "c_id")
+      .join(errors.toDF("e_user", "e_ts", "e_id"),
+        $"user_id" === $"e_user" && $"e_ts" >= $"c_ts" &&
+          $"e_ts" <= $"c_ts" + org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"))
+      .select($"c_id", $"e_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("streamingKMeans: running state across micro-batches = cumulative means") {
     val s = spark
     import s.implicits._

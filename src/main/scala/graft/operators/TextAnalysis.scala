@@ -403,6 +403,72 @@ object TextAnalysis {
        |       ELSE $KmvNum // hs[$KmvK] END AS kmv_estimate
        |FROM agg ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------- co-occurrence
+
+  /** Vocabulary cap for [[wordLift]] — bounds the per-document pair
+    * fanout at V·(V−1)/2 regardless of document length. */
+  val LiftVocab = 100
+  /** Minimum co-document support — below this, lift is rare-pair
+    * noise. */
+  val LiftMinSupport = 5
+  val LiftTopK = 20
+
+  /** Word association mining: the [[LiftTopK]] most-associated word
+    * pairs among the top-[[LiftVocab]] vocabulary, scored by LIFT —
+    * `P(a,b) / (P(a)·P(b))` at document granularity, i.e.
+    * `c_ab · N / (df_a · df_b)` — PMI's argument without the log, kept
+    * as an exact ratio of integer counts so the score (one double
+    * division + round) is bit-deterministic across engines, where a
+    * `log` would hang the hash gate on libm rounding.
+    *
+    * Scale: presence (not frequency) pairs within a document, and only
+    * vocabulary words pair — the per-document fanout is ≤ V²/2 by
+    * construction, not document-length²; the vocabulary is a broadcast
+    * [[LiftVocab]]-row frame; the only data-sized stages are the
+    * tokenize scan and the doc-keyed self-join of the (doc, vocab-word)
+    * presence list. The document count rides in as a broadcast 1-row
+    * aggregate (no driver collect). */
+  def wordLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val present = docs.select($"doc_id",
+      explode(array_distinct(toks(lower($"text")))).as("w"))
+    val vocab = present.groupBy($"w").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"w").limit(LiftVocab)
+    val pv = present.join(broadcast(vocab), Seq("w"))
+    val a = pv.select($"doc_id", $"w".as("w_a"), $"df".as("df_a"))
+    val b = pv.select($"doc_id".as("doc_id_b"), $"w".as("w_b"), $"df".as("df_b"))
+    a.join(b, $"doc_id" === $"doc_id_b" && $"w_a" < $"w_b")
+      .groupBy($"w_a", $"w_b", $"df_a", $"df_b")
+      .agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= LiftMinSupport)
+      .crossJoin(broadcast(nDocs))
+      .select($"w_a", $"w_b", $"c_ab",
+        round($"c_ab" * $"n_docs" / ($"df_a" * $"df_b"), 4).as("lift"))
+      .orderBy($"lift".desc, $"w_a", $"w_b")
+      .limit(LiftTopK)
+  }
+
+  val wordLiftSql: String =
+    s"""WITH present AS (
+       |  SELECT doc_id, unnest(list_distinct($duckToks)) AS w FROM documents),
+       |vocab AS (
+       |  SELECT w, count(*) AS df FROM present GROUP BY w
+       |  ORDER BY df DESC, w LIMIT $LiftVocab),
+       |pv AS (SELECT p.doc_id, p.w, v.df FROM present p JOIN vocab v USING (w)),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |pairs AS (
+       |  SELECT a.w AS w_a, b.w AS w_b, a.df AS df_a, b.df AS df_b,
+       |    count(*) AS c_ab
+       |  FROM pv a JOIN pv b ON a.doc_id = b.doc_id AND a.w < b.w
+       |  GROUP BY a.w, b.w, a.df, b.df
+       |  HAVING count(*) >= $LiftMinSupport)
+       |SELECT w_a, w_b, c_ab,
+       |  round(c_ab * n_docs / (df_a * df_b), 4) AS lift
+       |FROM pairs CROSS JOIN n
+       |ORDER BY lift DESC, w_a, w_b LIMIT $LiftTopK""".stripMargin
+
   // ---------------------------------------------------------- repetition
 
   /** Flagging threshold on the duplicate-2-gram fraction: the corpus
@@ -588,6 +654,7 @@ object TextAnalysis {
     "quality_score" -> (qualityScore(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)),
     "vocab_topk" -> (vocabTopK(_, _)),
+    "word_lift" -> (wordLift(_, _)),
     "heavy_hitters" -> (heavyHitters(_, _)),
     "tfidf_topk" -> (tfidfTopK(_, _)))
 
@@ -602,5 +669,6 @@ object TextAnalysis {
     "quality_score" -> qualityScoreSql,
     "doc_fingerprint" -> docFingerprintSql,
     "vocab_topk" -> vocabTopKSql,
+    "word_lift" -> wordLiftSql,
     "heavy_hitters" -> heavyHittersSql)
 }

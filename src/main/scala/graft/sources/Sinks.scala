@@ -101,6 +101,49 @@ object Sinks {
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
+  /** Small-file compaction — the table-maintenance job that keeps a
+    * long-lived dataset scannable. Streaming sinks, incremental
+    * appends, and over-parallel writers leave thousands of KB-sized
+    * files per partition; at 100 TB the scan cost becomes file-open
+    * overhead (footer reads, scheduler tasks) instead of IO. Target
+    * file count is sized from the FILESYSTEM LISTING (bytes on disk /
+    * `targetBytes`) — a metadata-only driver step, no counting pass
+    * over the data — then one round-robin repartition rewrites to
+    * `outPath` (never in place: Spark reads lazily, so overwriting the
+    * input while scanning it is a self-truncation). Returns the file
+    * count written. */
+  def compactTo(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    n
+  }
+
+  /** Schema-evolution read: union shards written at different schema
+    * versions (a column added mid-corpus) into one frame, null-filling
+    * the column where an old shard predates it. `mergeSchema` makes
+    * Spark reconcile EVERY file's footer instead of sampling one — the
+    * price is a distributed footer-read job at planning time, which is
+    * why a stable table should persist its merged schema and use the
+    * explicit-schema overload (zero planning passes, the
+    * [[readJsonl]]/[[readCsv]] stance) once evolution settles. */
+  def readParquetEvolved(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** The settled-schema overload: no footer reconciliation pass; files
+    * missing a column yield nulls for it, extra columns are pruned. */
+  def readParquetEvolved(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
   /** 16-bit Morton spread: inserts a zero bit between every bit of the
     * low 16 bits, via the classic magic-mask doubling ladder — four
     * shift/or/and steps, all codegen'd builtins (no UDF). */

@@ -118,6 +118,54 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == li.count())
   }
 
+  test("compaction: many small files become the size-targeted few, rows intact") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_small").toString
+    val out = Files.createTempDirectory("graft_compact").toString
+    val df = (1 to 10000).map(i => (i.toLong, s"row_$i")).toDF("id", "v")
+    df.repartition(50).write.mode("overwrite").parquet(in)
+    val smallFiles = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(smallFiles.length == 50)
+    val totalBytes = smallFiles.map(_.length).sum
+    val target = totalBytes / 4 // force ~4 output files
+    val n = Sinks.compactTo(spark, in, out, target)
+    val outFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(n >= 4 && n <= 6, s"expected ~4-5 target files, got $n")
+    assert(outFiles.length == n)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == df.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
+  test("schema evolution: old shards null-fill the added column") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/shard=0")
+    Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "v", "quality")
+      .write.parquet(s"$dir/shard=1")
+    val merged = Sinks.readParquetEvolved(spark, dir)
+    assert(merged.columns.toSet == Set("id", "v", "quality", "shard"))
+    val rows = merged.select($"id", $"quality").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty, "old shard rows null-fill")
+    assert(rows(3L).contains(0.5) && rows(4L).contains(0.9))
+    // the settled-schema overload reads the same rows without the
+    // footer-reconciliation pass
+    val settled = Sinks.readParquetEvolved(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("quality",
+          org.apache.spark.sql.types.DoubleType))))
+    assert(settled.count() == 4)
+  }
+
   test("z-order layout: second-dimension predicates prune files, linear doesn't") {
     val s = spark
     import s.implicits._

@@ -89,6 +89,33 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b.getLong(5) == 1L, s"B phones: ${b.getLong(5)}")
   }
 
+  test("word_lift: pairs come from the capped vocab, support holds, lift exact") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = operators.TextAnalysis.wordLift(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= operators.TextAnalysis.LiftTopK)
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be ordered w_a < w_b")
+      assert(r.getLong(2) >= operators.TextAnalysis.LiftMinSupport)
+      assert(r.getDouble(3) > 0.0)
+    }
+    // spot-check one pair's lift against hand counts
+    val (wa, wb, cab, lift) = (out.head.getString(0), out.head.getString(1),
+      out.head.getLong(2), out.head.getDouble(3))
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), array_distinct(
+        graft.functions.TextFeatures.toks(lower(col("text")))).as("ws"))
+    val n = docs.count()
+    val dfa = docs.filter(array_contains(col("ws"), wa)).count()
+    val dfb = docs.filter(array_contains(col("ws"), wb)).count()
+    val both = docs.filter(array_contains(col("ws"), wa) &&
+      array_contains(col("ws"), wb)).count()
+    assert(both == cab)
+    val want = BigDecimal(cab.toDouble * n / (dfa * dfb))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(lift - want) < 1e-9, s"lift $lift vs $want")
+  }
+
   test("lang_id and quality_score plans tokenize once") {
     val sf = "/root/testdata/sf0.001"
     for (q <- Seq("lang_id", "quality_score")) {

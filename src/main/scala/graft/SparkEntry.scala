@@ -26,7 +26,8 @@ object SparkEntry {
     operators.AsOfJoin.queries ++
     operators.CorpusOps.queries ++
     operators.EventAnalytics.queries ++
-    operators.BloomPrune.queries ++ Map(
+    operators.BloomPrune.queries ++
+    operators.Warehouse.queries ++ Map(
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "lineitem")
@@ -55,7 +56,8 @@ object SparkEntry {
     operators.AsOfJoin.oracles ++
     operators.CorpusOps.oracles ++
     operators.EventAnalytics.oracles ++
-    operators.BloomPrune.oracles ++ Map(
+    operators.BloomPrune.oracles ++
+    operators.Warehouse.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

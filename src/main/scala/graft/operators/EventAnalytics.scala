@@ -682,9 +682,71 @@ object EventAnalytics {
       |  FROM events)
       |WHERE rk = 1 ORDER BY user_id""".stripMargin
 
+  /** Trailing 7-day bands over the gap-filled DAILY series — the
+    * dashboard/forecast companion of [[anomalyHours]]: per (day, type)
+    * cell, the day's count plus its trailing-week mean/min/max. The
+    * rows-frame window is only correct BECAUSE the grid is dense —
+    * gap-filling first is what makes "6 preceding rows" mean "6
+    * preceding days" (on the raw sparse counts a quiet week would
+    * silently widen the frame's time span).
+    *
+    * Scale: the daily aggregation is the only data-sized stage; the
+    * grid is bounds-sized (days × types) and the band window runs over
+    * it, partitioned by type. Determinism: the frame aggregates are
+    * integer (exact BIGINT sum/min/max); the mean is one double
+    * division of exact integers, identical on both engines. */
+  def rollingDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select(date_trunc("day", $"ts").as("day"), $"event_type")
+    val counts = ev.groupBy($"day", $"event_type").agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = bounds
+      .select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 DAY"))).as("day"))
+      .crossJoin(EventTypes.toDF("event_type"))
+    val dense = grid.join(counts, Seq("day", "event_type"), "left")
+      .select($"day", $"event_type", coalesce($"n", lit(0L)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day").rowsBetween(-6, 0)
+    dense
+      .select($"day", $"event_type", $"n",
+        round(sum($"n").over(w).cast("double") / count(lit(1)).over(w), 4)
+          .as("avg7"),
+        min($"n").over(w).as("min7"),
+        max($"n").over(w).as("max7"))
+      .orderBy($"day", $"event_type")
+  }
+
+  val rollingDailySql: String = {
+    val types = EventTypes.map(t => s"('$t')").mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT date_trunc('day', ts) AS day, event_type FROM events),
+       |counts AS (
+       |  SELECT day, event_type, count(*) AS n
+       |  FROM ev GROUP BY day, event_type),
+       |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+       |grid AS (
+       |  SELECT g.day, t.event_type
+       |  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+       |        FROM bounds) g
+       |  CROSS JOIN (VALUES $types) t(event_type)),
+       |dense AS (
+       |  SELECT g.day, g.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+       |  FROM grid g LEFT JOIN counts c USING (day, event_type))
+       |SELECT day, event_type, n,
+       |  round(CAST(sum(n) OVER w AS DOUBLE) / (count(*) OVER w), 4) AS avg7,
+       |  CAST(min(n) OVER w AS BIGINT) AS min7,
+       |  CAST(max(n) OVER w AS BIGINT) AS max7
+       |FROM dense
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |ORDER BY day, event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_paths" -> (eventPaths(_, _)),
     "event_transitions" -> (eventTransitions(_, _)),
+    "rolling_daily" -> (rollingDaily(_, _)),
     "resample_hourly" -> (resampleHourly(_, _)),
     "anomaly_hours" -> (anomalyHours(_, _)),
     "cdc_latest" -> (cdcLatest(_, _)),
@@ -701,6 +763,7 @@ object EventAnalytics {
   def oracles: Map[String, String] = Map(
     "event_paths" -> eventPathsSql,
     "event_transitions" -> eventTransitionsSql,
+    "rolling_daily" -> rollingDailySql,
     "resample_hourly" -> resampleHourlySql,
     "anomaly_hours" -> anomalyHoursSql,
     "cdc_latest" -> cdcLatestSql,

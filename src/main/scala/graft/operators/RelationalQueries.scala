@@ -618,7 +618,51 @@ object RelationalQueries {
       |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', dup_keys FROM m)
       |ORDER BY rule""".stripMargin
 
+  /** Equi-DEPTH binning (the complement of [[histogram]]'s equi-width
+    * bins): per return flag, lineitem prices split into 4 equal-count
+    * bins via `ntile`, reporting each bin's population and value range
+    * — the boundary report a partitioner or a percentile-based rule
+    * derives its cutoffs from. `ntile` needs a total order, so ties
+    * break by (orderkey, linenumber) — without that, rows AT a bin
+    * boundary land nondeterministically and the bin min/max flap
+    * between runs and engines.
+    *
+    * Scale: exact equi-depth costs one full per-group sort (the
+    * WindowExec); that sort IS the operator's definition and the
+    * oracle baseline. At 100 TB the drop-in is `approx_percentile`
+    * boundaries + a binning scan (the [[quantilesApprox]] pattern) —
+    * sketch state, no global sort, at the price of approximate
+    * boundaries. */
+  def quantileBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    Tables(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice",
+        $"l_orderkey", $"l_linenumber")
+      .withColumn("bin", ntile(4).over(w))
+      .groupBy($"l_returnflag", $"bin")
+      .agg(count(lit(1)).as("n"),
+        round(min($"l_extendedprice"), 4).as("lo"),
+        round(max($"l_extendedprice"), 4).as("hi"))
+      .orderBy($"l_returnflag", $"bin")
+  }
+
+  val quantileBinsSql: String =
+    """WITH binned AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    CAST(ntile(4) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INT)
+      |      AS bin
+      |  FROM lineitem)
+      |SELECT l_returnflag, bin, count(*) AS n,
+      |  round(min(l_extendedprice), 4) AS lo,
+      |  round(max(l_extendedprice), 4) AS hi
+      |FROM binned GROUP BY l_returnflag, bin
+      |ORDER BY l_returnflag, bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantile_bins" -> (quantileBins(_, _)),
     "dq_checks" -> (dqChecks(_, _)),
     "dq_checks_approx" -> (dqChecksApprox(_, _)),
     "quantiles" -> (quantiles(_, _)),
@@ -637,6 +681,7 @@ object RelationalQueries {
     "stream_window_agg" -> (windowAgg(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "quantile_bins" -> quantileBinsSql,
     "dq_checks" -> dqChecksSql,
     "quantiles" -> quantilesSql,
     "profile_table" -> profileTableSql,

@@ -644,7 +644,76 @@ object TextAnalysis {
        |FROM $last GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Shingle order for [[ngramNovelty]] (the dedup operators' 3-gram
+    * regime). */
+  val NoveltyN = 3
+
+  /** Cross-document novelty: per document, the fraction of its DISTINCT
+    * word-3-grams that occur in NO other document — the inverse of
+    * boilerplate: high novelty marks original text, low novelty marks
+    * template/quote-heavy documents (a ranking signal next to
+    * [[repetitionScore]], which looks WITHIN the document). Grams are
+    * 62-bit dual-PolyHash values ([[graft.functions.WordNgramHashes]]) —
+    * the exchange carries 8-byte hashes, never gram strings, and the
+    * oracle reproduces the identical hash fold so document frequencies
+    * match bit-for-bit.
+    *
+    * Scale: `n_grams` is free (array size before the explode — never
+    * join a per-doc aggregate back for what the row already knows);
+    * the data-sized stages are the gram-keyed df aggregation
+    * (map-side partials; zipfian gram skew is absorbed by partial
+    * aggregation since hot grams combine per partition) and the
+    * LEFT SEMI join of exploded grams against the df=1 gram set —
+    * semi, so no df value ships onto every row and matched rows
+    * short-circuit. The gram explode feeds two consumers and is
+    * recomputed rather than persisted: it is a pure map stage, and at
+    * 100 TB re-scanning beats materializing an exploded corpus (the
+    * opposite call from [[Dedup.ngramCandidates]], whose second
+    * consumer re-JOINS rather than re-scans). */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .withColumn("hs", graft.functions.WordNgramHashes($"text", NoveltyN))
+    val g = docs.select($"doc_id", explode($"hs").as("gh"))
+    val uniq = g.groupBy($"gh").agg(count(lit(1)).as("df"))
+      .filter($"df" === 1).select($"gh")
+    val nUniq = g.join(uniq, Seq("gh"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_unique"))
+    docs.select($"doc_id", $"source", size($"hs").cast("long").as("n_grams"))
+      .filter($"n_grams" > 0)
+      .join(nUniq, Seq("doc_id"), "left")
+      .select($"doc_id", $"source", $"n_grams",
+        coalesce($"n_unique", lit(0L)).as("n_unique"),
+        round(coalesce($"n_unique", lit(0L)).cast("double") / $"n_grams", 4)
+          .as("novelty"))
+      .orderBy($"doc_id")
+  }
+
+  val ngramNoveltySql: String = {
+    import graft.functions.{TextFeatures => TF, WordNgramHashes}
+    s"""WITH grams AS (
+       |  SELECT doc_id, source, unnest(gs) AS gram FROM (
+       |    SELECT doc_id, source,
+       |      list_distinct(${TF.duckNgrams(TF.duckToks, NoveltyN)}) AS gs
+       |    FROM documents)),
+       |gh AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    ${WordNgramHashes.duckSql("gram")} AS gh
+       |  FROM grams),
+       |dfs AS (SELECT gh, count(*) AS df FROM gh GROUP BY gh)
+       |SELECT doc_id, source,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unique,
+       |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 4) AS novelty
+       |FROM gh JOIN dfs USING (gh)
+       |GROUP BY doc_id, source
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_novelty" -> (ngramNovelty(_, _)),
     "repetition_score" -> (repetitionScore(_, _)),
     "pii_redact" -> (piiRedact(_, _)),
     "distinct_sketch" -> (distinctSketch(_, _)),
@@ -659,6 +728,7 @@ object TextAnalysis {
     "tfidf_topk" -> (tfidfTopK(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "ngram_novelty" -> ngramNoveltySql,
     "repetition_score" -> repetitionScoreSql,
     "pii_redact" -> piiRedactSql,
     "tfidf_topk" -> tfidfTopKSql,

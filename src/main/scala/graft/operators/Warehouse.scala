@@ -39,7 +39,13 @@ object Warehouse {
     * carries only its predecessor type / successor timestamp. Output
     * is change-cardinality (≤ log size), partitioned by the same key
     * it arrived on. */
-  def scd2History(s: SparkSession, dir: String): DataFrame = {
+  def scd2History(s: SparkSession, dir: String): DataFrame =
+    scd2Core(s, dir).orderBy(col("user_id"), col("version"))
+
+  /** [[scd2History]] without the presentation sort — the form other
+    * operators ([[scd2Join]]) consume, so composing doesn't pay a
+    * global sort that the next shuffle immediately destroys. */
+  def scd2Core(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
     Tables(s, dir, "events")
@@ -52,7 +58,6 @@ object Warehouse {
       .select($"user_id", $"version", $"event_type".as("status"),
         $"ts_sec".as("valid_from"), $"valid_to",
         $"valid_to".isNull.as("is_current"))
-      .orderBy($"user_id", $"version")
   }
 
   val scd2HistorySql: String =
@@ -190,13 +195,81 @@ object Warehouse {
        |  ON b.user_id = a.user_id
        |ORDER BY user_id""".stripMargin
 
+  /** Point-in-time dimension join — the consumption side of SCD2:
+    * every purchase event attaches the dimension version valid AT its
+    * timestamp (`valid_from ≤ t < valid_to`, last version open). This
+    * is THE query a type-2 dimension exists to answer, and the classic
+    * way to write it is the inequality join the oracle runs; at 100 TB
+    * an inequality join either range-fans-out or falls to a nested
+    * loop, so the Spark side instead reuses the as-of union-sort shape
+    * ([[AsOfJoin]]): version-boundary rows and fact rows union into
+    * ONE user-keyed shuffle, sort by (t, dim-before-fact, version),
+    * and a running `last(ignoreNulls)` carries the in-effect version
+    * onto each fact row — O(n) per key, no fanout. Because the
+    * intervals tile gaplessly (WarehouseSpec), "latest boundary ≤ t"
+    * and "interval containing t" are the same version — the hash gate
+    * proves the two formulations agree. Fact rows wrap the carried
+    * struct in a side-guard so `ignoreNulls` skips them (a struct of
+    * null FIELDS is not itself null). */
+  def scd2Join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val facts = Tables(s, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", date_trunc("second", $"ts").as("t"), $"event_id",
+        lit(1).as("__side"),
+        lit(null).cast("int").as("version"),
+        lit(null).cast("string").as("status"))
+    val dim = scd2Core(s, dir)
+      .select($"user_id", $"valid_from".as("t"),
+        lit(null).cast("long").as("event_id"),
+        lit(0).as("__side"), $"version", $"status")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"t", $"__side", $"version")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    facts.unionByName(dim)
+      .withColumn("asof",
+        last(when($"__side" === 0, struct($"version", $"status")),
+          ignoreNulls = true).over(w))
+      .filter($"__side" === 1)
+      .select($"user_id", $"event_id", $"t",
+        $"asof.version".as("version"), $"asof.status".as("status"))
+      .orderBy($"user_id", $"t", $"event_id")
+  }
+
+  val scd2JoinSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, event_type,
+      |    date_trunc('second', ts) AS ts_sec,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY date_trunc('second', ts), event_id) AS prev_type
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_id, event_type, ts_sec FROM ordered
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |scd AS (
+      |  SELECT user_id, event_type AS status, ts_sec AS valid_from,
+      |    lead(ts_sec) OVER w AS valid_to,
+      |    CAST(row_number() OVER w AS INT) AS version
+      |  FROM changes
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+      |p AS (
+      |  SELECT user_id, event_id, date_trunc('second', ts) AS t
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id, p.t, s.version, s.status
+      |FROM p JOIN scd s ON p.user_id = s.user_id
+      |  AND s.valid_from <= p.t
+      |  AND (s.valid_to IS NULL OR p.t < s.valid_to)
+      |ORDER BY p.user_id, p.t, p.event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_history" -> (scd2History(_, _)),
+    "scd2_join" -> (scd2Join(_, _)),
     "merge_upsert" -> (mergeUpsert(_, _)),
     "table_diff" -> (tableDiff(_, _)))
 
   def oracles: Map[String, String] = Map(
     "scd2_history" -> scd2HistorySql,
+    "scd2_join" -> scd2JoinSql,
     "merge_upsert" -> mergeUpsertSql,
     "table_diff" -> tableDiffSql)
 }

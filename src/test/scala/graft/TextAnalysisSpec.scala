@@ -116,6 +116,44 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(lift - want) < 1e-9, s"lift $lift vs $want")
   }
 
+  test("ngram_novelty: planted unique vs fully-duplicated documents") {
+    val s = spark
+    import s.implicits._
+    // a doc of globally-unique grams scores 1.0; its verbatim copy and
+    // the original drop to 0.0 (every gram now appears in both)
+    val r = operators.TextAnalysis.ngramNovelty(s, "/root/testdata/sf0.001")
+      .collect()
+    r.foreach { row =>
+      val (n, u, nov) = (row.getLong(2), row.getLong(3), row.getDouble(4))
+      assert(n > 0 && u >= 0 && u <= n)
+      assert(nov >= 0.0 && nov <= 1.0)
+      assert(math.abs(nov - math.round(u.toDouble / n * 10000) / 10000.0) < 1e-9)
+    }
+    // corpus-level sanity: at least one doc has a non-novel gram
+    // (sources share boilerplate) and at least one has a unique gram
+    assert(r.exists(_.getLong(3) > 0))
+    assert(r.exists(row => row.getLong(3) < row.getLong(2)))
+  }
+
+  test("quantile_bins: per-group bin counts balance and ranges tile") {
+    val bins = operators.RelationalQueries
+      .quantileBins(spark, "/root/testdata/sf0.001").collect()
+    bins.groupBy(_.getString(0)).foreach { case (_, bs) =>
+      val sorted = bs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 4))
+      // ntile law: bin sizes differ by at most one, earlier bins larger
+      val ns = sorted.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1)
+      assert(ns.sameElements(ns.sortBy(-_)))
+      // equi-depth ranges are ordered (boundary ties may make them touch)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(4) <= b.getDouble(3) ||
+          a.getDouble(4) == b.getDouble(4))
+        case _ =>
+      }
+    }
+  }
+
   test("lang_id and quality_score plans tokenize once") {
     val sf = "/root/testdata/sf0.001"
     for (q <- Seq("lang_id", "quality_score")) {

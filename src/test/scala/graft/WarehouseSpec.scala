@@ -83,6 +83,23 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scd2 join matches the brute-force interval probe") {
+    import spark.implicits._
+    // independent formulation: inequality join against the history's
+    // tiling intervals (what the union-sort carry must reproduce)
+    val joined = Warehouse.scd2Join(spark, sf)
+    val dim = Warehouse.scd2Core(spark, sf)
+    val purchases = Tables(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", date_trunc("second", $"ts").as("t"), $"event_id")
+    val brute = purchases.as("p").join(dim.as("d"),
+        $"p.user_id" === $"d.user_id" && $"d.valid_from" <= $"p.t" &&
+          ($"d.valid_to".isNull || $"p.t" < $"d.valid_to"))
+      .select($"p.user_id", $"p.event_id", $"p.t", $"d.version", $"d.status")
+    assert(joined.count() == purchases.count(), "every purchase matches")
+    assert(joined.exceptAll(brute).isEmpty && brute.exceptAll(joined).isEmpty)
+  }
+
   test("rolling daily bands: dense grid, frame laws hold") {
     val rows = EventAnalytics.rollingDaily(spark, sf).collect()
     val types = EventAnalytics.EventTypes.toSet

@@ -659,25 +659,24 @@ object TextAnalysis {
     * match bit-for-bit.
     *
     * Scale: `n_grams` is free (array size before the explode — never
-    * join a per-doc aggregate back for what the row already knows);
-    * the data-sized stages are the gram-keyed df aggregation
-    * (map-side partials; zipfian gram skew is absorbed by partial
-    * aggregation since hot grams combine per partition) and the
-    * LEFT SEMI join of exploded grams against the df=1 gram set —
-    * semi, so no df value ships onto every row and matched rows
-    * short-circuit. The gram explode feeds two consumers and is
-    * recomputed rather than persisted: it is a pure map stage, and at
-    * 100 TB re-scanning beats materializing an exploded corpus (the
-    * opposite call from [[Dedup.ngramCandidates]], whose second
-    * consumer re-JOINS rather than re-scans). */
+    * join a per-doc aggregate back for what the row already knows).
+    * The load-bearing observation is that a df=1 gram's OWNER is
+    * already present in its df group — `min(doc_id)` of a
+    * single-member group IS the one document — so "which docs own
+    * unique grams" needs NO join of the exploded grams back against
+    * the unique-gram set (the naive formulation — and at 100 TB the
+    * df=1 set is the zipfian MAJORITY of grams, far too big to
+    * broadcast). The whole operator is one explode scan + a
+    * gram-keyed aggregation (map-side partials absorb hot-gram skew)
+    * + a doc-keyed count of its df=1 rows. */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
       .withColumn("hs", graft.functions.WordNgramHashes($"text", NoveltyN))
-    val g = docs.select($"doc_id", explode($"hs").as("gh"))
-    val uniq = g.groupBy($"gh").agg(count(lit(1)).as("df"))
-      .filter($"df" === 1).select($"gh")
-    val nUniq = g.join(uniq, Seq("gh"), "left_semi")
+    val nUniq = docs.select($"doc_id", explode($"hs").as("gh"))
+      .groupBy($"gh")
+      .agg(count(lit(1)).as("df"), min($"doc_id").as("doc_id"))
+      .filter($"df" === 1)
       .groupBy($"doc_id").agg(count(lit(1)).as("n_unique"))
     docs.select($"doc_id", $"source", size($"hs").cast("long").as("n_grams"))
       .filter($"n_grams" > 0)

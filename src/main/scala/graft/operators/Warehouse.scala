@@ -203,9 +203,11 @@ object Warehouse {
     * an inequality join either range-fans-out or falls to a nested
     * loop, so the Spark side instead reuses the as-of union-sort shape
     * ([[AsOfJoin]]): version-boundary rows and fact rows union into
-    * ONE user-keyed shuffle, sort by (t, dim-before-fact, version),
-    * and a running `last(ignoreNulls)` carries the in-effect version
-    * onto each fact row — O(n) per key, no fanout. Because the
+    * one user-keyed shuffle (beyond the history build's own — a union
+    * is not co-partitioned even when both inputs hash the same key),
+    * sort by (t, dim-before-fact, version), and a running
+    * `last(ignoreNulls)` carries the in-effect version onto each fact
+    * row — O(n) per key, no fanout. Because the
     * intervals tile gaplessly (WarehouseSpec), "latest boundary ≤ t"
     * and "interval containing t" are the same version — the hash gate
     * proves the two formulations agree. Fact rows wrap the carried

@@ -743,7 +743,53 @@ object EventAnalytics {
        |ORDER BY day, event_type""".stripMargin
   }
 
+  /** Per-user behavioral feature matrix — the feature-engineering scan
+    * feeding a churn/propensity model: event volume, per-type counts,
+    * activity span and density, and purchase-value stats, one row per
+    * user. ONE user-keyed aggregation with a fixed-width buffer —
+    * every feature is a conditional count/sum/min/max over the same
+    * scan; no joins, no arrays, no second pass — with map-side
+    * partials, so the shape scales with key cardinality, not event
+    * volume. The single `count_distinct(day)` plans as an Expand
+    * (one extra projected copy of the scan feeding the same
+    * exchange), still one shuffle; its state is bounded by the
+    * calendar, not the log. */
+  def userFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = EventTypes.map(t =>
+      count(when($"event_type" === t, 1)).as(s"n_$t"))
+    val aggs = typed ++ Seq(
+      count_distinct($"day").as("active_days"),
+      min($"ts_sec").as("first_ts"),
+      max($"ts_sec").as("last_ts"),
+      round(sum(when($"event_type" === "purchase", $"value")
+        .otherwise(lit(0.0))), 4).as("purchase_value"))
+    Tables(s, dir, "events")
+      .select($"user_id", $"event_type", $"value",
+        date_trunc("second", $"ts").as("ts_sec"),
+        date_trunc("day", $"ts").as("day"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), aggs: _*)
+      .orderBy($"user_id")
+  }
+
+  val userFeaturesSql: String = {
+    val typed = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+      .mkString(",\n      |  ")
+    s"""SELECT user_id, count(*) AS n_events,
+       |  $typed,
+       |  count(DISTINCT date_trunc('day', ts)) AS active_days,
+       |  min(date_trunc('second', ts)) AS first_ts,
+       |  max(date_trunc('second', ts)) AS last_ts,
+       |  round(sum(CASE WHEN event_type = 'purchase' THEN value
+       |    ELSE 0.0 END), 4) AS purchase_value
+       |FROM events GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "user_features" -> (userFeatures(_, _)),
     "event_paths" -> (eventPaths(_, _)),
     "event_transitions" -> (eventTransitions(_, _)),
     "rolling_daily" -> (rollingDaily(_, _)),
@@ -761,6 +807,7 @@ object EventAnalytics {
     "pivot_events" -> (pivotEvents(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "user_features" -> userFeaturesSql,
     "event_paths" -> eventPathsSql,
     "event_transitions" -> eventTransitionsSql,
     "rolling_daily" -> rollingDailySql,

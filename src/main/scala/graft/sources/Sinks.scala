@@ -101,6 +101,32 @@ object Sinks {
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
+  /** Exactly-once `foreachBatch` sink: Structured Streaming guarantees
+    * a batch id is REPROCESSED after a crash-restart (at-least-once
+    * delivery into the sink), so an external sink is exactly-once only
+    * if re-delivery of the same id is a no-op. This writer makes the
+    * batch directory the idempotence token: each micro-batch lands in
+    * `out/batch_id=<id>/`, and a re-delivered id whose directory
+    * already COMMITTED (Spark's `_SUCCESS` marker — written after the
+    * files, so a torn write from the crash has no marker and is safely
+    * overwritten) is skipped. Readers see `batch_id` as a partition
+    * column of `out/`. The check is one driver-side metadata probe per
+    * batch; nothing about the data path changes — this is the
+    * file-sink commit protocol made explicit for sinks Spark doesn't
+    * manage (the pattern a JDBC/object-store `foreachBatch` needs,
+    * demonstrated on the filesystem where the spec can crash-restart
+    * it). */
+  def idempotentBatchSink(out: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val dir = new org.apache.hadoop.fs.Path(s"$out/batch_id=$batchId")
+      val fs = dir.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      val committed = fs.exists(
+        new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+      if (!committed)
+        batch.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    }
+
   /** Small-file compaction — the table-maintenance job that keeps a
     * long-lived dataset scannable. Streaming sinks, incremental
     * appends, and over-parallel writers leave thousands of KB-sized

@@ -118,6 +118,33 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == li.count())
   }
 
+  test("idempotent batch sink: re-delivered ids no-op, torn writes recover") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft_eos").toString
+    val sink = Sinks.idempotentBatchSink(out)
+    sink(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    // crash-restart re-delivers batch 0 with (what must be) the same
+    // data; a sink that rewrote would at best churn, at worst double
+    // under append semantics — ours must not touch the committed dir
+    sink(Seq((9L, "POISON")).toDF("id", "v"), 0L)
+    val b0 = spark.read.parquet(s"$out/batch_id=0")
+    assert(b0.count() == 2 && b0.filter($"v" === "POISON").isEmpty)
+    // a new id writes normally; readers see batch_id partitions
+    sink(Seq((3L, "c")).toDF("id", "v"), 1L)
+    val all = spark.read.parquet(out)
+    assert(all.count() == 3)
+    assert(all.select("batch_id").distinct().count() == 2)
+    // torn write: files present but no _SUCCESS marker → re-delivery
+    // must overwrite (the crash happened mid-write, before commit)
+    val torn = new java.io.File(s"$out/batch_id=2")
+    assert(torn.mkdirs())
+    Files.write(torn.toPath.resolve("part-junk.parquet"), Array[Byte](1, 2))
+    sink(Seq((4L, "d")).toDF("id", "v"), 2L)
+    val b2 = spark.read.parquet(s"$out/batch_id=2")
+    assert(b2.count() == 1 && b2.head().getString(1) == "d")
+  }
+
   test("compaction: many small files become the size-targeted few, rows intact") {
     val s = spark
     import s.implicits._

@@ -240,6 +240,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"recovered state must suppress the cross-restart duplicate; got $kept")
   }
 
+  test("idempotent foreachBatch sink: restart re-delivery does not duplicate") {
+    // kill the query AFTER the sink committed batch 0 but BEFORE the
+    // checkpoint recorded it (simulated by reusing the sink with a
+    // fresh checkpoint): the restarted query re-delivers the same rows
+    // under a batch id the sink has already committed — the
+    // exactly-once contract says the second delivery must be a no-op
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_eos_stream")
+    val out = dir.resolve("out").toString
+    val sink = graft.sources.Sinks.idempotentBatchSink(out)
+    val rows = Seq((1L, "a"), (2L, "b"))
+    def runOnce(): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("id", "v").writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_eos_ck").toString)
+        .start()
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce()
+    runOnce() // lost checkpoint → batch 0 re-delivered from scratch
+    val back = spark.read.parquet(out)
+    assert(back.count() == rows.length,
+      s"re-delivered batch must not duplicate; got ${back.count()} rows")
+  }
+
   test("streamingDedup: version-gated key — v1 checkpoints restart on v1, not v2") {
     // the migration contract: a deployment holding checkpoints written
     // by the legacy two-base key restarts unchanged with keyVersion = 1;

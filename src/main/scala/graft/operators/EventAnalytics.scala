@@ -754,8 +754,14 @@ object EventAnalytics {
     * (one extra projected copy of the scan feeding the same
     * exchange), still one shuffle; its state is bounded by the
     * calendar, not the log. */
-  def userFeatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def userFeatures(s: SparkSession, dir: String): DataFrame =
+    userFeaturesOn(Tables(s, dir, "events"))
+
+  /** [[userFeatures]] over any events frame (user_id, ts, event_type,
+    * value) — public so the streaming twin's spec can run the batch
+    * operator on the same synthetic stream. */
+  def userFeaturesOn(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val typed = EventTypes.map(t =>
       count(when($"event_type" === t, 1)).as(s"n_$t"))
     val aggs = typed ++ Seq(
@@ -764,7 +770,7 @@ object EventAnalytics {
       max($"ts_sec").as("last_ts"),
       round(sum(when($"event_type" === "purchase", $"value")
         .otherwise(lit(0.0))), 4).as("purchase_value"))
-    Tables(s, dir, "events")
+    events
       .select($"user_id", $"event_type", $"value",
         date_trunc("second", $"ts").as("ts_sec"),
         date_trunc("day", $"ts").as("day"))

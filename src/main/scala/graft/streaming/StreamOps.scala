@@ -216,6 +216,75 @@ object StreamOps {
       }
   }
 
+  /** Running per-user feature state for [[streamingUserFeatures]]:
+    * fixed-width counters plus the distinct-day set (bounded by the
+    * calendar horizon, not event volume). */
+  final case class UserFeatState(nEvents: Long, nClick: Long, nError: Long,
+      nPurchase: Long, nSignup: Long, nView: Long, days: Seq[Int],
+      firstSec: Long, lastSec: Long, purchaseValue: Double)
+
+  /** The maintained feature row per user (schema-matches the batch
+    * [[graft.operators.EventAnalytics.userFeatures]]). */
+  final case class UserFeatureRow(user_id: Long, n_events: Long,
+      n_click: Long, n_error: Long, n_purchase: Long, n_signup: Long,
+      n_view: Long, active_days: Long, first_ts: java.sql.Timestamp,
+      last_ts: java.sql.Timestamp, purchase_value: Double)
+
+  /** Incrementally-maintained per-user feature matrix — the at-ingest
+    * twin of the batch [[graft.operators.EventAnalytics.userFeatures]]
+    * aggregation: `mapGroupsWithState` keeps one fixed-width feature
+    * buffer per user (counters, first/last second, purchase-value sum)
+    * plus the distinct active-day set, whose size is bounded by the
+    * CALENDAR — days-in-horizon entries at most — so total state is
+    * O(users × horizon-days), never O(events). Every update is
+    * commutative and associative (counts, min/max, sum, set-union), so
+    * out-of-order arrival cannot corrupt the features — the same
+    * argument as [[streamingCdcLatest]], extended to a whole buffer.
+    * Emits each touched user's current row per trigger (Update mode);
+    * after any prefix of the stream, the emitted row equals the batch
+    * aggregation over that prefix (StreamingSpec). The float caveat is
+    * real and documented: the running `purchaseValue` sum adds in
+    * arrival order, so the last-decimal rounding of the emitted value
+    * can differ from the batch plan's partial-aggregation order at the
+    * contract precision's edge — the spec compares at the 4-decimal
+    * contract like every oracle. */
+  def streamingUserFeatures(events: Dataset[CdcEvent])
+      : Dataset[UserFeatureRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[CdcEvent], state: GroupState[UserFeatState]) =>
+          var s = state.getOption.getOrElse(
+            UserFeatState(0, 0, 0, 0, 0, 0, Seq.empty, Long.MaxValue,
+              Long.MinValue, 0.0))
+          it.foreach { e =>
+            val sec = e.ts.getTime / 1000L
+            val day = (sec / 86400L).toInt
+            s = UserFeatState(
+              s.nEvents + 1,
+              s.nClick + (if (e.event_type == "click") 1 else 0),
+              s.nError + (if (e.event_type == "error") 1 else 0),
+              s.nPurchase + (if (e.event_type == "purchase") 1 else 0),
+              s.nSignup + (if (e.event_type == "signup") 1 else 0),
+              s.nView + (if (e.event_type == "view") 1 else 0),
+              if (s.days.contains(day)) s.days else s.days :+ day,
+              math.min(s.firstSec, sec),
+              math.max(s.lastSec, sec),
+              s.purchaseValue +
+                (if (e.event_type == "purchase") e.value else 0.0))
+          }
+          state.update(s)
+          UserFeatureRow(uid, s.nEvents, s.nClick, s.nError, s.nPurchase,
+            s.nSignup, s.nView, s.days.size.toLong,
+            java.sql.Timestamp.from(
+              java.time.Instant.ofEpochSecond(s.firstSec)),
+            java.sql.Timestamp.from(
+              java.time.Instant.ofEpochSecond(s.lastSec)),
+            BigDecimal(s.purchaseValue)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+  }
+
   /** Dedup-key hash bases by state-schema version — see the
     * [[streamingDedup]] checkpoint-compatibility contract. v1 is the
     * legacy two-base key (checkpoints written before the four-base

@@ -352,6 +352,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byUser(3L) == Set((7L, "click", 7.0)))
   }
 
+  test("streamingUserFeatures: out-of-order prefix equals the batch aggregation") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = StreamOps.streamingUserFeatures(
+        mem.toDS().map { case (u, t, id, ty, v) =>
+          StreamOps.CdcEvent(u, t, id, ty, v) })
+      .writeStream.format("memory").queryName("suf")
+      .outputMode("update").start()
+    val batch1 = Seq(
+      (1L, ts("2026-01-02 10:00:00"), 1L, "view", 1.0),
+      (1L, ts("2026-01-02 10:05:00"), 2L, "purchase", 2.5),
+      (2L, ts("2026-01-03 09:00:00"), 3L, "click", 3.0))
+    val batch2 = Seq(
+      (1L, ts("2026-01-01 23:59:59"), 4L, "purchase", 4.25), // out of order
+      (1L, ts("2026-01-02 11:00:00"), 5L, "click", 0.5),
+      (2L, ts("2026-01-03 09:30:00"), 6L, "error", 1.0))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // last emission per user == batch operator over the whole stream
+    val last = spark.table("suf").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.maxBy(_.getLong(1))).toMap // n_events grows per trigger
+    val batchRows = graft.operators.EventAnalytics.userFeaturesOn(
+        (batch1 ++ batch2).toDF("user_id", "ts", "event_id", "event_type", "value"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(last.keySet == batchRows.keySet)
+    batchRows.foreach { case (uid, b) =>
+      val st = last(uid)
+      (1 to 7).foreach(i => assert(st.getLong(i) == b.getLong(i),
+        s"user $uid col $i: ${st.getLong(i)} != ${b.getLong(i)}"))
+      assert(st.getTimestamp(8) == b.getTimestamp(8))
+      assert(st.getTimestamp(9) == b.getTimestamp(9))
+      assert(math.abs(st.getDouble(10) - b.getDouble(10)) < 1e-9)
+    }
+  }
+
   test("streamingHeavyHitters: counts accumulate across batches, state bounded") {
     val s = spark
     import s.implicits._

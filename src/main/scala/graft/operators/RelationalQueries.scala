@@ -618,6 +618,41 @@ object RelationalQueries {
       |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', dup_keys FROM m)
       |ORDER BY rule""".stripMargin
 
+  /** Order-priority report (TPC-H Q4's shape) — the suite's
+    * EXISTS/semi-join exercise: orders in a window with AT LEAST ONE
+    * returned line, counted per priority. The semantics that make
+    * this a semi-join and not an inner join: an order with three
+    * returned lines counts ONCE — `left_semi` encodes "exists"
+    * directly, probing each order key until first match and never
+    * duplicating the left row, where the inner-join-then-distinct
+    * formulation materializes the fanout only to collapse it again.
+    * The date filter pushes to the orders scan; both sides shuffle on
+    * the natural join key (order key — high-cardinality, skew-free);
+    * the final aggregation is ≤ |priorities| groups. */
+  def q4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .join(
+        Tables(s, dir, "lineitem")
+          .filter($"l_returnflag" === "R").select($"l_orderkey"),
+        $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Equi-DEPTH binning (the complement of [[histogram]]'s equi-width
     * bins): per return flag, lineitem prices split into 4 equal-count
     * bins via `ntile`, reporting each bin's population and value range
@@ -662,6 +697,7 @@ object RelationalQueries {
       |ORDER BY l_returnflag, bin""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_priority_exists" -> (q4(_, _)),
     "quantile_bins" -> (quantileBins(_, _)),
     "dq_checks" -> (dqChecks(_, _)),
     "dq_checks_approx" -> (dqChecksApprox(_, _)),
@@ -681,6 +717,7 @@ object RelationalQueries {
     "stream_window_agg" -> (windowAgg(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q4_priority_exists" -> q4Sql,
     "quantile_bins" -> quantileBinsSql,
     "dq_checks" -> dqChecksSql,
     "quantiles" -> quantilesSql,

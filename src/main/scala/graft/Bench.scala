@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, one JSON line to stdout (BENCH_r{N}.json).
+  * SPARK_GRAFT_SF_DIR, JSON to stdout (BENCH_r{N}.json).
   *
   * Queries are forced through a `noop`-format write so the FULL plan
   * executes (a bare `count()` would let Catalyst prune projections and
@@ -21,12 +21,38 @@ import org.apache.spark.sql.SparkSession
   * (codegen compile, AQE canonicalization).
   *
   * The shared near-dup pair stage ([[operators.Dedup.ngramPairs]]) is
-  * cleared once per SWEEP, not per query: within a sweep the first
-  * dedup-family query prices the build and the rest reuse it — the
-  * accounting a real pipeline run has — while the next sweep starts
-  * cold again. */
+  * cleared and then REBUILT as its own timed entry
+  * (`dedup_pairs_build`) at the top of every sweep: the build is priced
+  * exactly once per sweep under its own name instead of landing on
+  * whichever family query happens to run first (round 4 billed it to
+  * `dedup_canonical` and the 8-11 s build cost showed up as spread on
+  * different family members across sweeps), and every dedup-family
+  * query then measures pure consumption of the materialized rows — the
+  * accounting a real pipeline run has.
+  *
+  * Artifact-capture contract (the round-4 lesson): the driver keeps
+  * only the LAST ~2000 characters of the run's output, and sbt appends
+  * a ~75-char `[success]` line after ours — a single 4-5 KB JSON line
+  * loses its head (round 4's captured artifact contained only the
+  * spread map; the total and minimums survived nowhere but
+  * BASELINE.md). So the emission is three-fold:
+  *   1. the FULL result (3-decimal minimums + spreads + total) is
+  *      written to `BENCH_FULL.json` in the working directory — it
+  *      lands in the repo and survives any stdout truncation;
+  *   2. a verbose one-line JSON (same content) prints first, for eyes
+  *      on a local run;
+  *   3. a COMPACT line prints LAST, sized well under the capture
+  *      window: the most expensive per-query minimums individually
+  *      (greedy by cost until the character budget), the cheap rest
+  *      aggregated as {n, sum}, and the TOTAL at the line's end so
+  *      even a truncated capture retains the gate numbers. */
 object Bench {
   val Sweeps = 3
+
+  /** Character budget for the compact line's per-query map — the
+    * 2000-char capture window minus the trailing sbt status line and
+    * the compact line's own framing, with safety margin. */
+  val CompactBudget = 1500
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,39 +65,72 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
+    def timed(name: String)(run: => Unit): Unit = {
+      // settle GC debt from earlier queries so it isn't billed here
+      System.gc()
+      val t0 = System.nanoTime()
+      val ok =
+        try { run; true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      // a failed run records -1, never its time-to-exception — a
+      // breakage must not read as a speedup in the JSON line
+      times(name) = times(name) :+ (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
     for (_ <- 1 to Sweeps) {
       operators.Dedup.clearPairCache()
+      // the shared pair-stage build, priced once per sweep as its own
+      // entry (ngramPairs materializes eagerly via localCheckpoint, so
+      // timing the call covers the full candidates+verify build)
+      timed("dedup_pairs_build") { operators.Dedup.ngramPairs(spark, sfDir) }
       names.foreach { case (name, fn) =>
-        // settle GC debt from earlier queries so it isn't billed here
-        System.gc()
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        // a failed run records -1, never its time-to-exception — a
-        // breakage must not read as a speedup in the JSON line
-        times(name) = times(name) :+ (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        timed(name) { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       }
     }
-    val results = names.map { case (name, _) =>
+    val results = times.keys.toSeq.sorted.map { name =>
       val ts = times(name)
       if (ts.contains(-1.0)) (name, -1.0, -1.0)
       else (name, ts.min, ts.max - ts.min)
     }
-    def obj(f: (String, Double, Double) => Double): String =
-      results.map { case (k, mn, sp) => "\"" + k + f"""":${f(k, mn, sp)}%.3f""" }
-        .mkString("{", ",", "}")
-    val qs = obj((_, mn, _) => mn)
-    val spreads = obj((_, _, sp) => sp)
     // failed queries report -1 in `queries` but are EXCLUDED from the
     // total (summing the sentinel would make a breakage read as a
     // speedup); the explicit count makes a partial run unmistakable
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"sweeps":$Sweeps,"failed":$failed,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+
+    def obj(f: (String, Double, Double) => Double): String =
+      results.map { case (k, mn, sp) => "\"" + k + f"""":${f(k, mn, sp)}%.3f""" }
+        .mkString("{", ",", "}")
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","spread":${obj((_, _, sp) => sp)},"queries":${obj((_, mn, _) => mn)},"sweeps":$Sweeps,"failed":$failed,"sf":"$sfDir"}"""
+    println(full)
+    try {
+      val out = java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+      java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
+
+    // compact gate line, printed LAST (after spark.stop() so no
+    // shutdown logging can land between it and the capture window)
+    val byCost = results.sortBy { case (_, mn, _) => -mn }
+    val entries = byCost.map { case (k, mn, _) =>
+      k -> (if (mn >= 10 || mn < 0) f""""$k":$mn%.1f""" else f""""$k":$mn%.2f""")
+    }
+    var used = 0
+    val keep = scala.collection.mutable.LinkedHashSet[String]()
+    entries.foreach { case (k, s) =>
+      if (used + s.length + 1 <= CompactBudget) { keep += k; used += s.length + 1 }
+    }
+    val kept = entries.filter(e => keep(e._1)).sortBy(_._1).map(_._2).mkString(",")
+    val rest = results.filter(r => !keep(r._1) && r._2 >= 0)
+    val restStr = f""","rest":{"n":${rest.size},"sum":${rest.map(_._2).sum}%.3f}"""
+    val compact =
+      f"""{"q":{$kept}$restStr,"metric":"total","value":$total%.3f,"unit":"sec","sweeps":$Sweeps,"failed":$failed,"sf":"$sfName","fullAt":"BENCH_FULL.json"}"""
     spark.stop()
+    println(compact)
   }
 }

@@ -24,9 +24,15 @@ object KMeansOracle {
     // assignment is a per-row LATERAL argmin, not a row_number-per-pid
     // trick; init ordering includes (x, y) so ties on pid stay
     // deterministic across engines.
+    // pts and every c{i} are referenced several times (c{i} by the next
+    // assignment, the next coalesce, and — in the fitTrace chain — the
+    // convergence flags and the final union); MATERIALIZED stops DuckDB
+    // from INLINING them per reference, which on a deep chain expands
+    // exponentially (a 30-iteration fitTrace chain exhausted a 20k fd
+    // limit re-opening the parquet before the hint).
     val init =
-      s"""pts AS ($pointsSql),
-         |c0 AS (
+      s"""pts AS MATERIALIZED ($pointsSql),
+         |c0 AS MATERIALIZED (
          |  SELECT CAST(row_number() OVER (ORDER BY pid, x, y) AS INT) AS cid, x, y
          |  FROM (SELECT pid, x, y FROM pts ORDER BY pid, x, y LIMIT $k))""".stripMargin
     val steps = (1 to iters).map { i =>
@@ -39,7 +45,7 @@ object KMeansOracle {
          |m$i AS (
          |  SELECT cid, avg(x) AS ax, avg(y) AS ay, count(*) AS n
          |  FROM a$i GROUP BY cid),
-         |c$i AS (
+         |c$i AS MATERIALIZED (
          |  SELECT i.cid, round(coalesce(m.ax, i.x), 4) AS x,
          |    round(coalesce(m.ay, i.y), 4) AS y
          |  FROM $prev i LEFT JOIN m$i m USING (cid))""".stripMargin
@@ -62,6 +68,40 @@ object KMeansOracle {
   def iterSql(pointsSql: String, k: Int, iters: Int): String =
     s"""WITH ${centroidChain(pointsSql, k, iters)}
        |SELECT cid, round(x, 4) AS x, round(y, 4) AS y FROM c$iters ORDER BY cid""".stripMargin
+
+  /** The full convergence loop, statically unrolled ([[KMeansQueries
+    * .fitTrace]]'s oracle): the chain runs to `cap` iterations, each
+    * boundary gets a convergence flag (the reference's allclose test,
+    * |Δ| ≤ atol + rtol·|new| with atol=1e-4/rtol=1e-5, evaluated over
+    * the ROUNDED chain in exact integer ten-thousandths scaled by 10⁵
+    * — the same BIGINT inequality the Spark driver loop evaluates),
+    * and the final select picks the centroids at the FIRST converged
+    * iteration (or `cap` if none), with the iteration number and flag
+    * as columns. Static SQL encodes a dynamic stopping point — the
+    * unrolled stages past the fixpoint are evaluated by DuckDB but
+    * don't affect the picked rows. */
+  def fitTraceSql(pointsSql: String, k: Int, cap: Int): String = {
+    def c10k(t: String, c: String) = s"CAST(round($t.$c*10000) AS BIGINT)"
+    def close(c: String) =
+      s"abs(${c10k("p", c)} - ${c10k("c", c)}) * 100000 <= 100000 + abs(${c10k("c", c)})"
+    val conv = (1 to cap).map { i =>
+      s"""  SELECT $i AS it, bool_and(${close("x")} AND ${close("y")}) AS ok
+         |  FROM c${i - 1} p JOIN c$i c USING (cid)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val allc = (1 to cap).map(i =>
+      s"  SELECT $i AS it, cid, x, y FROM c$i").mkString("\nUNION ALL\n")
+    s"""WITH ${centroidChain(pointsSql, k, cap)},
+       |conv AS (
+       |$conv),
+       |pick AS (
+       |  SELECT coalesce(min(it), $cap) AS n, count(*) > 0 AS converged
+       |  FROM conv WHERE ok),
+       |allc AS (
+       |$allc)
+       |SELECT a.cid, round(a.x, 4) AS x, round(a.y, 4) AS y,
+       |  CAST(p.n AS INT) AS n_iter, p.converged AS converged
+       |FROM allc a, pick p WHERE a.it = p.n ORDER BY a.cid""".stripMargin
+  }
 
   /** Mean squared distance to the assigned centroid after one step. */
   def costSql(pointsSql: String, k: Int): String =

@@ -669,9 +669,14 @@ object TextAnalysis {
     * broadcast). The whole operator is one explode scan + a
     * gram-keyed aggregation (map-side partials absorb hot-gram skew)
     * + a doc-keyed count of its df=1 rows. */
-  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables(s, dir, "documents")
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOn(Tables(s, dir, "documents"))
+
+  /** [[ngramNovelty]] over any (doc_id, source, text) frame — spec
+    * surface for planted unique/duplicated documents. */
+  def ngramNoveltyOn(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0
       .withColumn("hs", graft.functions.WordNgramHashes($"text", NoveltyN))
     val nUniq = docs.select($"doc_id", explode($"hs").as("gh"))
       .groupBy($"gh")

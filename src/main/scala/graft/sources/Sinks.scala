@@ -115,12 +115,25 @@ object Sinks {
     * file-sink commit protocol made explicit for sinks Spark doesn't
     * manage (the pattern a JDBC/object-store `foreachBatch` needs,
     * demonstrated on the filesystem where the spec can crash-restart
-    * it). */
+    * it).
+    *
+    * Preconditions the exactly-once claim carries (advisor finding,
+    * round 4): the `_SUCCESS` marker is only written while
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs` is true (the
+    * default) — the sink ASSERTS it rather than silently degrading to
+    * rewrite-on-every-redelivery; and the check-then-write is not
+    * atomic, so the out path must have a SINGLE writer — which a
+    * `foreachBatch` sink has by construction (one streaming query, one
+    * driver), but two queries sharing one out path would race. */
   def idempotentBatchSink(out: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
+      val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+      require(conf.getBoolean(
+          "mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+        "idempotentBatchSink's commit detection needs " +
+          "mapreduce.fileoutputcommitter.marksuccessfuljobs=true")
       val dir = new org.apache.hadoop.fs.Path(s"$out/batch_id=$batchId")
-      val fs = dir.getFileSystem(
-        batch.sparkSession.sparkContext.hadoopConfiguration)
+      val fs = dir.getFileSystem(conf)
       val committed = fs.exists(
         new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
       if (!committed)

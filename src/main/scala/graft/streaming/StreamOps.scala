@@ -251,15 +251,22 @@ object StreamOps {
   def streamingUserFeatures(events: Dataset[CdcEvent])
       : Dataset[UserFeatureRow] = {
     import events.sparkSession.implicits._
+    // active-day buckets follow the SESSION timezone — the batch twin's
+    // date_trunc('day', ts) does, and a fixed sec/86400 (= UTC days)
+    // would silently diverge from it on any non-UTC session (advisor
+    // finding, round 4). The zone id is captured at plan construction
+    // and ships into the closure as a plain string.
+    val zoneId = events.sparkSession.conf.get("spark.sql.session.timeZone")
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[CdcEvent], state: GroupState[UserFeatState]) =>
+          val zone = java.time.ZoneId.of(zoneId)
           var s = state.getOption.getOrElse(
             UserFeatState(0, 0, 0, 0, 0, 0, Seq.empty, Long.MaxValue,
               Long.MinValue, 0.0))
           it.foreach { e =>
             val sec = e.ts.getTime / 1000L
-            val day = (sec / 86400L).toInt
+            val day = e.ts.toInstant.atZone(zone).toLocalDate.toEpochDay.toInt
             s = UserFeatState(
               s.nEvents + 1,
               s.nClick + (if (e.event_type == "click") 1 else 0),

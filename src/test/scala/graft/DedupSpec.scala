@@ -433,4 +433,65 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq.empty[(Long, Long)].toDF("a_id", "b_id")).collect()
     assert(none.isEmpty)
   }
+
+  test("dedup_embedding_lsh_exact: 0 planes reproduces the exact operator") {
+    val exact = Dedup.dedupEmbedding(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val anchor = Dedup.dedupEmbeddingLshExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(anchor == exact)
+  }
+
+  test("dedupEmbeddingOn: hot blocks route through LSH, precision stays exact") {
+    import spark.implicits._
+    // synthetic corpus: a HOT label (24 vectors in 3 tight near-dup
+    // clusters of 8) and a cold label (4 vectors, 1 near-dup pair).
+    // cap 10 puts only the hot label over the threshold.
+    val dim = 8
+    def vec(center: Int, i: Int): Seq[Double] =
+      (0 until dim).map(d => (if (d == center) 10.0 else 1.0) + 0.01 * ((i * 7 + d) % 5))
+    val hot = for (c <- 0 until 3; i <- 0 until 8)
+      yield (c * 8 + i.toLong, "hot", vec(c, i))
+    val cold = Seq(
+      (100L, "cold", vec(5, 0)), (101L, "cold", vec(5, 1)),
+      (102L, "cold", vec(6, 0)), (103L, "cold", Seq.fill(dim)(-3.0)))
+    val e = (hot ++ cold).toDF("vec_id", "label", "v")
+      .withColumn("nrm", graft.functions.DotProduct.norm($"v"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(Dedup.dedupEmbeddingOn(e, Int.MaxValue))
+    val guarded = pairs(Dedup.dedupEmbeddingOn(e, 10))
+    // precision exact: every reported pair is a true pair at the true cosine
+    guarded.foreach { case (k, cos) => assert(exact.get(k).contains(cos), s"$k") }
+    // under-cap blocks are untouched: every cold pair survives verbatim
+    val coldExact = exact.filter { case ((a, _), _) => a >= 100L }
+    coldExact.foreach { case (k, cos) => assert(guarded.get(k).contains(cos), s"$k") }
+    // the hot block genuinely fan-out-bounded: same-cluster (near-dup)
+    // pairs recall high through the bucket join — same-cluster cosines
+    // here are ≈0.999, so all 8 tables bucket them together w.h.p.
+    val hotConfident = exact.filter { case ((a, b), cos) => a < 100L && cos >= 0.99 }
+    val hit = hotConfident.keys.count(guarded.contains)
+    assert(hotConfident.isEmpty || hit.toDouble / hotConfident.size >= 0.8,
+      s"hot recall $hit/${hotConfident.size}")
+  }
+
+  test("pairCache: LRU-bounded with checkpoint blocks released on eviction") {
+    Dedup.clearPairCache()
+    // path variants of the same physical dir give distinct cache keys
+    // without needing 5 datasets
+    val dirs = (0 to Dedup.PairCacheMaxEntries).map(i => sf + "/." * i)
+    val first = Dedup.ngramPairs(spark, dirs.head)
+    val firstRows = first.count()
+    assert(Dedup.checkpointLive(first), "fresh entry must be materialized")
+    dirs.tail.foreach(d => Dedup.ngramPairs(spark, d))
+    val cached = Dedup.pairCacheDirs(spark)
+    assert(cached.size == Dedup.PairCacheMaxEntries)
+    assert(!cached.contains(dirs.head), "LRU head must be evicted")
+    assert(!Dedup.checkpointLive(first),
+      "evicted entry's checkpoint blocks must be unpersisted")
+    // re-access rebuilds transparently with the same result
+    assert(Dedup.ngramPairs(spark, dirs.head).count() == firstRows)
+    Dedup.clearPairCache()
+    assert(Dedup.pairCacheDirs(spark).isEmpty)
+  }
 }

@@ -102,6 +102,12 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5)
   }
 
+  test("LSH exactness anchor: 0 planes reproduces brute force") {
+    val bf = Similarity.annBruteForce(spark, sf).collect().map(_.toSeq).toSeq
+    val anchor = Similarity.annLshExact(spark, sf).collect().map(_.toSeq).toSeq
+    assert(anchor == bf)
+  }
+
   test("embedding_clusters: partitions the corpus, all seeds occupied, deterministic") {
     val out = Similarity.embeddingClusters(spark, sf).collect()
     assert(out.length == Similarity.ClusterK,

@@ -389,7 +389,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"user $uid col $i: ${st.getLong(i)} != ${b.getLong(i)}"))
       assert(st.getTimestamp(8) == b.getTimestamp(8))
       assert(st.getTimestamp(9) == b.getTimestamp(9))
-      assert(math.abs(st.getDouble(10) - b.getDouble(10)) < 1e-9)
+      // both sides round to 4 decimals from DIFFERENT summation orders
+      // (arrival-order running sum vs batch partial aggregation), so the
+      // contract tolerance is half a unit in the 4th decimal — a 1e-9
+      // tolerance would flake on a non-exact binary sum (advisor, r4)
+      assert(math.abs(st.getDouble(10) - b.getDouble(10)) < 5e-5)
     }
   }
 

@@ -119,8 +119,29 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("ngram_novelty: planted unique vs fully-duplicated documents") {
     val s = spark
     import s.implicits._
-    // a doc of globally-unique grams scores 1.0; its verbatim copy and
-    // the original drop to 0.0 (every gram now appears in both)
+    // planted corpus (advisor, r4 — the promised scenario is now
+    // actually exercised): doc 1 is globally unique → novelty 1.0;
+    // doc 2 and its verbatim copy doc 3 share every gram → both 0.0;
+    // doc 4 borrows doc 1's opening 3-gram, knocking exactly one of
+    // doc 1's grams (and one of its own) off the unique list
+    val planted = Seq(
+      (1L, "a", "alpha beta gamma delta epsilon"),
+      (2L, "a", "one two three four five"),
+      (3L, "b", "one two three four five"),
+      (4L, "b", "alpha beta gamma omega sigma"))
+      .toDF("doc_id", "source", "text")
+    val out = operators.TextAnalysis.ngramNoveltyOn(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((3L, 2L, 0.6667)), "one of 3 grams shared with doc 4")
+    assert(out(2L) == ((3L, 0L, 0.0)), "verbatim-copied doc has no unique gram")
+    assert(out(3L) == ((3L, 0L, 0.0)), "the copy drops to 0.0 too")
+    assert(out(4L) == ((3L, 2L, 0.6667)))
+    // fully-unique corpus boundary: a lone doc scores 1.0
+    val lone = operators.TextAnalysis.ngramNoveltyOn(
+      Seq((9L, "a", "p q r s t")).toDF("doc_id", "source", "text")).collect()
+    assert(lone.head.getDouble(4) == 1.0)
+    // corpus-level invariants on real data: rounding law, bounds, and
+    // both regimes (shared boilerplate and unique grams) present
     val r = operators.TextAnalysis.ngramNovelty(s, "/root/testdata/sf0.001")
       .collect()
     r.foreach { row =>
@@ -129,8 +150,6 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(nov >= 0.0 && nov <= 1.0)
       assert(math.abs(nov - math.round(u.toDouble / n * 10000) / 10000.0) < 1e-9)
     }
-    // corpus-level sanity: at least one doc has a non-novel gram
-    // (sources share boilerplate) and at least one has a unique gram
     assert(r.exists(_.getLong(3) > 0))
     assert(r.exists(row => row.getLong(3) < row.getLong(2)))
   }

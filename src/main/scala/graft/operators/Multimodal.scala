@@ -16,10 +16,13 @@ final case class MMRecord(doc_id: Long, fmt: String, payload: Array[Byte],
 /** Decoded media features, parsed from the payload BYTES — see
   * [[Multimodal.decode]]. Stills carry (width, height) and one frame;
   * audio carries (sample_rate, n_samples) and zero dimensions; mp4
-  * carries all of them. */
+  * carries all of them. `mean_pixel` is decoded CONTENT (PNG: the mean
+  * of the inflated IDAT scanline bytes; 0 where there are no decodable
+  * pixels), `rms` likewise (WAV: root-mean-square of the PCM samples;
+  * 0 for non-PCM formats). */
 final case class MMDecoded(doc_id: Long, fmt: String, n_bytes: Long,
     width: Int, height: Int, n_frames: Int, sample_rate: Long,
-    n_samples: Long, magic: String)
+    n_samples: Long, mean_pixel: Double, rms: Double, magic: String)
 
 /** A sampled, resize-targeted frame — see [[Multimodal.frameSampleStub]]. */
 final case class MMFrame(doc_id: Long, fmt: String, frame_idx: Int,
@@ -31,19 +34,31 @@ final case class MMFrame(doc_id: Long, fmt: String, frame_idx: Int,
   *
   * The container has no media libraries and the test corpus has no real
   * media files, so INGEST is synthesized: [[withPayload]] builds each
-  * payload as a REAL format header (PNG signature + IHDR chunk with a
-  * correct CRC32, JPEG SOI/APP0/SOF0 marker segments, WAV RIFF/fmt/data
-  * chunks, MP4 ftyp + a custom box) followed by the document text as
-  * the body, with dimensions / sample rate / frame count derived
-  * deterministically from the body length. DECODE ([[decode]]) is then
-  * real byte parsing — signature validation, marker scanning, chunk
-  * walking, big/little-endian field extraction, CRC verification — not
-  * length arithmetic: corrupt a header byte and the parser throws.
-  * What remains a stand-in is the content itself (the body bytes are
-  * text, not pixels/samples) and the pixel math downstream
+  * payload as a REAL format structure — PNG is a complete file
+  * (signature, IHDR with correct CRC32, a zlib IDAT holding real
+  * grayscale scanlines, IEND) with the document text as a trailing
+  * carrier body; WAV carries real 16-bit PCM in its data chunk; JPEG
+  * is SOI/APP0/SOF0 marker segments + text body; MP4 is ftyp + a
+  * custom box + text body — with dimensions / sample rate / sample
+  * values derived deterministically from the body length. DECODE
+  * ([[decode]]) is then real byte parsing AND real content decoding:
+  * signature validation, marker scanning, chunk walking, big/little-
+  * endian field extraction, CRC verification, zlib INFLATE of the
+  * IDAT with per-scanline filter-byte checks and a pixel-mean fold,
+  * and a PCM sum-of-squares RMS — corrupt a header OR content byte
+  * and the parser throws (CRC / Adler-32 / length checks). What
+  * remains a stand-in is JPEG/MP4 content (entropy-coded MCUs and
+  * track atoms are out of scope) and the pixel math downstream
   * ([[frameSampleStub]]); a real deployment swaps the synthesized
   * ingest for actual files and adds pixel work to the same
   * partition-iterator contract.
+  *
+  * The PNG IDAT is written as zlib STORED blocks (2-byte zlib header,
+  * 5-byte block headers chunked at 65535, Adler-32) — a fully valid
+  * zlib stream `Inflater` decodes, chosen over compressed deflate
+  * because its SIZE is a closed-form function of the raw scanline
+  * length, which keeps `n_bytes` DuckDB-oracle-computable (a
+  * compressed encoding's size exists only by running the compressor).
   *
   * Spark-side plumbing exercised (the part that matters at 100 TB):
   *   - `binary` column through scan/shuffle/agg (Tungsten treats it as
@@ -71,42 +86,136 @@ object Multimodal {
   private[graft] def framesOf(n: Long): Int = (1 + n % 16).toInt
   private[graft] def sampleRateOf(n: Long): Long = 8000L + (n % 3) * 4000L
 
-  /** Synthesized header length per format. */
+  /** Synthesized fixed-header length per format (PNG's total overhead
+    * additionally includes the IDAT/IEND structures — see
+    * [[pngOverhead]]). */
   def headerLen(fmt: String): Int = fmt match {
     case "png" | "jpg" => 33
     case "wav" | "mp4" => 44
     case f => throw new IllegalArgumentException(s"unknown format $f")
   }
 
+  /** PNG scanline bytes for a body of length `n`: `h` scanlines of
+    * filter type 0 (None) + `w` constant grayscale pixels of value
+    * `(n + y) % 256` — varying per scanline so the decoded mean is a
+    * real fold over the inflated bytes, constant within a scanline so
+    * the DuckDB oracle can recompute the mean with one `range(h)`
+    * unnest instead of w×h rows. */
+  private[graft] def pngRawLen(w: Int, h: Int): Int = h * (w + 1)
+  private[graft] def pngScanlines(n: Long, w: Int, h: Int): Array[Byte] = {
+    val raw = new Array[Byte](pngRawLen(w, h))
+    var off = 0
+    var y = 0
+    while (y < h) {
+      raw(off) = 0 // filter: None
+      java.util.Arrays.fill(raw, off + 1, off + 1 + w, ((n + y) % 256).toByte)
+      off += 1 + w
+      y += 1
+    }
+    raw
+  }
+
+  /** Zlib stream of STORED deflate blocks around `raw` — hand-rolled so
+    * the chunking (and therefore the stream SIZE, [[zlibStoredLen]]) is
+    * deterministic: 0x78 0x01 zlib header, 5-byte stored-block headers
+    * every ≤ 65535 bytes, big-endian Adler-32 trailer. `Inflater`
+    * consumes it like any zlib data. */
+  private[graft] def zlibStoredLen(rawLen: Int): Int =
+    2 + 5 * ((rawLen + 65534) / 65535) + rawLen + 4
+  private[graft] def zlibStored(raw: Array[Byte]): Array[Byte] = {
+    val out = ByteBuffer.allocate(zlibStoredLen(raw.length))
+    out.put(0x78.toByte).put(0x01.toByte)
+    var off = 0
+    while (off < raw.length || off == 0) {
+      val len = math.min(65535, raw.length - off)
+      out.put(if (off + len >= raw.length) 1.toByte else 0.toByte) // BFINAL|BTYPE=00
+      out.order(LITTLE_ENDIAN).putShort(len.toShort).putShort((~len).toShort)
+      out.put(raw, off, len)
+      off += len
+      if (off >= raw.length) {
+        val ad = new java.util.zip.Adler32
+        ad.update(raw)
+        out.order(BIG_ENDIAN).putInt(ad.getValue.toInt)
+        return out.array()
+      }
+    }
+    out.array() // unreachable (loop returns); keeps the compiler happy
+  }
+
+  /** A complete PNG chunk: length, type, data, CRC32(type ∥ data). */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(12 + data.length).order(BIG_ENDIAN)
+    bb.putInt(data.length).put(typ.getBytes(US_ASCII)).put(data)
+    val crc = new CRC32
+    crc.update(typ.getBytes(US_ASCII)); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Total PNG structure bytes beyond the body: signature 8 + IHDR
+    * chunk 25 + IDAT chunk (12 + zlib) + IEND chunk 12. */
+  private[graft] def pngOverhead(n: Long): Int =
+    8 + 25 + 12 + zlibStoredLen(pngRawLen(widthOf(n), heightOf(n))) + 12
+
+  /** WAV PCM sample `i` for a body of length `n`: a deterministic
+    * full-range 16-bit pattern, `((n + i) % 256) * 257 − 32768`. */
+  private[graft] def pcmSample(n: Long, i: Long): Int =
+    (((n + i) % 256) * 257 - 32768).toInt
+
   // ------------------------------------------------------------ synthesis
 
-  /** Build a payload: a REAL format header around the UTF-8 text body.
-    * PNG: 8-byte signature + IHDR (13-byte data, correct CRC32).
-    * JPEG: SOI + APP0 "JFIF" + SOF0 carrying (height, width).
+  /** Build a payload: a REAL format structure with decodable content.
+    * PNG: 8-byte signature + IHDR (correct CRC32, 8-bit grayscale) +
+    * IDAT (zlib stored-block scanlines, correct CRC32 and Adler-32) +
+    * IEND, then the text body as trailing carrier bytes.
+    * JPEG: SOI + APP0 "JFIF" + SOF0 carrying (height, width) + body.
     * WAV: RIFF/WAVE + fmt (16-bit mono PCM, embedded sample rate) +
-    * data chunk sized to the body. MP4: ftyp(isom) + a custom `grft`
-    * box carrying (width, height, n_frames, sample_rate, n_samples)
-    * as big-endian fields. */
+    * data chunk holding n REAL PCM samples ([[pcmSample]] — 2n bytes,
+    * no text body; the PCM is the content). MP4: ftyp(isom) + a custom
+    * `grft` box carrying (width, height, n_frames, sample_rate,
+    * n_samples) as big-endian fields + body. */
   private[graft] def synthesize(fmt: String, text: String): Array[Byte] = {
     val body = text.getBytes(UTF_8)
     val n = body.length.toLong
+    if (fmt == "png") {
+      val (w, h) = (widthOf(n), heightOf(n))
+      val bb = ByteBuffer.allocate(pngOverhead(n) + body.length).order(BIG_ENDIAN)
+      bb.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte))
+      val ihdr = ByteBuffer.allocate(13).order(BIG_ENDIAN)
+      ihdr.putInt(w).putInt(h)
+      ihdr.put(8.toByte)  // bit depth
+      ihdr.put(0.toByte)  // color type: grayscale (1 byte/pixel scanlines)
+      ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // compr/filter/interlace
+      bb.put(pngChunk("IHDR", ihdr.array()))
+      bb.put(pngChunk("IDAT", zlibStored(pngScanlines(n, w, h))))
+      bb.put(pngChunk("IEND", Array.emptyByteArray))
+      bb.put(body)
+      return bb.array()
+    }
+    if (fmt == "wav") {
+      val bb = ByteBuffer.allocate(headerLen(fmt) + 2 * body.length)
+        .order(LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes(US_ASCII))
+      bb.putInt(36 + 2 * body.length) // riff payload size
+      bb.put("WAVE".getBytes(US_ASCII))
+      bb.put("fmt ".getBytes(US_ASCII))
+      bb.putInt(16)                     // fmt chunk size
+      bb.putShort(1)                    // PCM
+      bb.putShort(1)                    // mono
+      val sr = sampleRateOf(n)
+      bb.putInt(sr.toInt)
+      bb.putInt(sr.toInt * 2)           // byte rate (16-bit mono)
+      bb.putShort(2)                    // block align
+      bb.putShort(16)                   // bits per sample
+      bb.put("data".getBytes(US_ASCII))
+      bb.putInt(2 * body.length)        // data chunk size (n 16-bit samples)
+      var i = 0L
+      while (i < n) { bb.putShort(pcmSample(n, i).toShort); i += 1 }
+      return bb.array()
+    }
     val bb = ByteBuffer.allocate(headerLen(fmt) + body.length)
     fmt match {
-      case "png" =>
-        bb.order(BIG_ENDIAN)
-        bb.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
-          .map(_.toByte))
-        bb.putInt(13) // IHDR data length
-        val ihdr = ByteBuffer.allocate(17).order(BIG_ENDIAN)
-        ihdr.put("IHDR".getBytes(US_ASCII))
-        ihdr.putInt(widthOf(n)).putInt(heightOf(n))
-        ihdr.put(8.toByte)  // bit depth
-        ihdr.put(6.toByte)  // color type RGBA
-        ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // compr/filter/interlace
-        val crc = new CRC32
-        crc.update(ihdr.array())
-        bb.put(ihdr.array())
-        bb.putInt(crc.getValue.toInt)
       case "jpg" =>
         bb.order(BIG_ENDIAN)
         bb.put(0xFF.toByte).put(0xD8.toByte)              // SOI
@@ -121,22 +230,6 @@ object Multimodal {
         bb.putShort(heightOf(n).toShort).putShort(widthOf(n).toShort)
         bb.put(1.toByte)                                  // 1 component
         bb.put(1.toByte).put(0x11.toByte).put(0.toByte)   // comp spec
-      case "wav" =>
-        bb.order(LITTLE_ENDIAN)
-        bb.put("RIFF".getBytes(US_ASCII))
-        bb.putInt(36 + body.length) // riff payload size
-        bb.put("WAVE".getBytes(US_ASCII))
-        bb.put("fmt ".getBytes(US_ASCII))
-        bb.putInt(16)                     // fmt chunk size
-        bb.putShort(1)                    // PCM
-        bb.putShort(1)                    // mono
-        val sr = sampleRateOf(n)
-        bb.putInt(sr.toInt)
-        bb.putInt(sr.toInt * 2)           // byte rate (16-bit mono)
-        bb.putShort(2)                    // block align
-        bb.putShort(16)                   // bits per sample
-        bb.put("data".getBytes(US_ASCII))
-        bb.putInt(body.length)            // data chunk size
       case "mp4" =>
         bb.order(BIG_ENDIAN)
         bb.putInt(16).put("ftyp".getBytes(US_ASCII))
@@ -201,8 +294,45 @@ object Multimodal {
         val crc = new CRC32
         crc.update(a, 12, 4 + be32(a, 8)) // chunk type + data
         if (crc.getValue.toInt != be32(a, 29)) fail(r, "IHDR CRC mismatch")
-        MMDecoded(r.doc_id, r.fmt, n, be32(a, 16), be32(a, 20), 1, 0L, 0L,
-          r.magic)
+        val (w, h) = (be32(a, 16), be32(a, 20))
+        // chunk walk to IDAT: verify its CRC, INFLATE the zlib stream
+        // (real zlib decode — a corrupt byte fails the Adler/CRC), then
+        // fold the scanlines: filter byte 0 + w grayscale pixels each
+        var off = 8 + 12 + be32(a, 8) // past IHDR
+        var mean = -1.0
+        while (mean < 0) {
+          if (off + 8 > a.length) fail(r, "no IDAT chunk found")
+          val len = be32(a, off)
+          ascii(a, off + 4, 4) match {
+            case "IDAT" =>
+              val c = new CRC32
+              c.update(a, off + 4, 4 + len)
+              if (c.getValue.toInt != be32(a, off + 8 + len))
+                fail(r, "IDAT CRC mismatch")
+              val inf = new java.util.zip.Inflater
+              inf.setInput(a, off + 8, len)
+              val raw = new Array[Byte](pngRawLen(w, h))
+              val got = try inf.inflate(raw)
+                catch { case e: java.util.zip.DataFormatException =>
+                  fail(r, s"IDAT zlib: ${e.getMessage}") }
+              if (got != raw.length || !inf.finished())
+                fail(r, s"IDAT inflated to $got, want ${raw.length}")
+              inf.end()
+              var sum = 0L
+              var p = 0
+              while (p < raw.length) {
+                if (raw(p) != 0) fail(r, s"unsupported filter ${raw(p)}")
+                var x = p + 1
+                val end = p + 1 + w
+                while (x < end) { sum += raw(x) & 0xFF; x += 1 }
+                p = end
+              }
+              mean = sum.toDouble / (w.toLong * h)
+            case "IEND" => fail(r, "IEND before any IDAT")
+            case _ => off += 12 + len
+          }
+        }
+        MMDecoded(r.doc_id, r.fmt, n, w, h, 1, 0L, 0L, mean, 0.0, r.magic)
       case "jpg" =>
         if ((a(0) & 0xFF) != 0xFF || (a(1) & 0xFF) != 0xD8)
           fail(r, "bad JPEG SOI")
@@ -216,7 +346,8 @@ object Multimodal {
           val segLen = be16(a, off + 2)
           if (marker == 0xC0)
             out = MMDecoded(r.doc_id, r.fmt, n,
-              be16(a, off + 7), be16(a, off + 5), 1, 0L, 0L, r.magic)
+              be16(a, off + 7), be16(a, off + 5), 1, 0L, 0L, 0.0, 0.0,
+              r.magic)
           else off += 2 + segLen
         }
         out
@@ -226,18 +357,35 @@ object Multimodal {
         var off = 12
         var sr = -1L
         var dataSize = -1L
-        // chunk walk; the data chunk's size field covers the body, so
-        // stop before walking INTO the body bytes
+        var sumSq = 0L
         while ((sr < 0 || dataSize < 0) && off + 8 <= a.length) {
           val id = ascii(a, off, 4)
           val size = le32(a, off + 4).toLong
+          // a size that runs past the payload means the walk has left
+          // the chunk structure (or the field is corrupt) — fail loudly
+          // instead of wandering through content bytes
+          if (size < 0 || off + 8 + size > a.length)
+            fail(r, s"chunk '$id' size $size runs past the payload")
           if (id == "fmt ") sr = le32(a, off + 12).toLong // +8 hdr, +4 fmt/ch
-          if (id == "data") dataSize = size
+          if (id == "data") {
+            dataSize = size
+            // decode the PCM content: little-endian int16 samples,
+            // exact integer sum of squares for the RMS
+            var p = off + 8
+            val end = off + 8 + size.toInt
+            while (p + 1 < end) {
+              val s = ((a(p) & 0xFF) | (a(p + 1) << 8)).toShort.toLong
+              sumSq += s * s
+              p += 2
+            }
+          }
           off += 8 + (if (id == "data") 0 else size.toInt)
         }
         if (sr < 0 || dataSize < 0) fail(r, "missing fmt /data chunk")
-        MMDecoded(r.doc_id, r.fmt, n, 0, 0, framesOf(dataSize), sr,
-          dataSize / 2, r.magic)
+        val nSamples = dataSize / 2
+        val rms = if (nSamples > 0) math.sqrt(sumSq.toDouble / nSamples) else 0.0
+        MMDecoded(r.doc_id, r.fmt, n, 0, 0, framesOf(nSamples), sr,
+          nSamples, 0.0, rms, r.magic)
       case "mp4" =>
         if (ascii(a, 4, 4) != "ftyp") fail(r, "first box is not ftyp")
         var off = be32(a, 0)
@@ -246,7 +394,8 @@ object Multimodal {
           if (ascii(a, off + 4, 4) == "grft")
             out = MMDecoded(r.doc_id, r.fmt, n,
               be32(a, off + 8), be32(a, off + 12), be32(a, off + 16),
-              be32(a, off + 20).toLong, be32(a, off + 24).toLong, r.magic)
+              be32(a, off + 20).toLong, be32(a, off + 24).toLong, 0.0, 0.0,
+              r.magic)
           else off += be32(a, off)
         }
         if (out == null) fail(r, "no grft box found")
@@ -359,10 +508,11 @@ object Multimodal {
        |  max(frame_idx) AS max_frame_idx
        |FROM frames GROUP BY fmt ORDER BY fmt""".stripMargin
 
-  /** Per-format corpus stats over metadata + PARSED dimensions: every
-    * width/height/frame-count below came out of the payload bytes, and
-    * the oracle recomputes what the ingest embedded — a parse bug is a
-    * hash mismatch. */
+  /** Per-format corpus stats over metadata + PARSED dimensions AND
+    * decoded CONTENT: every width/height/frame-count came out of the
+    * payload bytes, `avg_mean_pixel` out of the inflated PNG
+    * scanlines, and the oracle recomputes what the ingest embedded — a
+    * parse (or inflate) bug is a hash mismatch. */
   def mmMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     decode(records(s, dir)).toDF()
@@ -373,6 +523,7 @@ object Multimodal {
         round(avg($"width"), 4).as("avg_width"),
         round(avg($"height"), 4).as("avg_height"),
         sum($"n_frames").as("sum_frames"),
+        round(avg($"mean_pixel"), 4).as("avg_mean_pixel"),
         count_distinct($"magic").as("n_magics"))
       .orderBy($"fmt")
   }
@@ -383,22 +534,47 @@ object Multimodal {
        |    CASE CAST(doc_id % ${Formats.size} AS INT) $fmtCase END AS fmt,
        |    octet_length(encode(text)) AS n
        |  FROM documents),
+       |dims AS (
+       |  SELECT doc_id, fmt, n,
+       |    CAST(1 + (31 * n % 509) AS INT) AS w,
+       |    CAST(1 + (131 * n % 509) AS INT) AS h
+       |  FROM rec),
+       |-- PNG structure size: sig 8 + IHDR 25 + IDAT (12 + zlib stored
+       |-- stream of h*(w+1) raw bytes) + IEND 12, then the carrier body
+       |png_bytes AS (
+       |  SELECT doc_id,
+       |    57 + (2 + 5 * ((h * (w + 1) + 65534) // 65535) + h * (w + 1) + 4)
+       |      + n AS n_bytes
+       |  FROM dims WHERE fmt = 'png'),
+       |-- PNG content: scanline y is w pixels of (n + y) % 256, so the
+       |-- mean folds over range(h) instead of w*h pixels
+       |png_px AS (
+       |  SELECT doc_id, avg(CAST((n + y.r) % 256 AS DOUBLE)) AS mean_pixel
+       |  FROM (SELECT doc_id, n, h, unnest(range(h)) AS r FROM dims
+       |        WHERE fmt = 'png') y
+       |  GROUP BY doc_id),
        |dec AS (
-       |  SELECT doc_id, fmt,
-       |    n + $headerLenSql AS n_bytes,
-       |    CASE WHEN fmt = 'wav' THEN 0
-       |      ELSE CAST(1 + (31 * n % 509) AS INT) END AS width,
-       |    CASE WHEN fmt = 'wav' THEN 0
-       |      ELSE CAST(1 + (131 * n % 509) AS INT) END AS height,
-       |    CASE WHEN fmt IN ('wav', 'mp4')
+       |  SELECT d.doc_id, d.fmt,
+       |    CASE d.fmt
+       |      WHEN 'png' THEN (SELECT n_bytes FROM png_bytes p
+       |                       WHERE p.doc_id = d.doc_id)
+       |      WHEN 'wav' THEN 44 + 2 * n
+       |      ELSE n + $headerLenSql END AS n_bytes,
+       |    CASE WHEN d.fmt = 'wav' THEN 0 ELSE w END AS width,
+       |    CASE WHEN d.fmt = 'wav' THEN 0 ELSE h END AS height,
+       |    CASE WHEN d.fmt IN ('wav', 'mp4')
        |      THEN CAST(1 + n % 16 AS INT) ELSE 1 END AS n_frames,
+       |    CASE WHEN d.fmt = 'png' THEN coalesce(
+       |      (SELECT mean_pixel FROM png_px p WHERE p.doc_id = d.doc_id), 0)
+       |      ELSE 0 END AS mean_pixel,
        |    $magicSql AS magic
-       |  FROM rec)
+       |  FROM dims d)
        |SELECT fmt, count(*) AS n_docs,
        |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
        |  round(avg(width), 4) AS avg_width,
        |  round(avg(height), 4) AS avg_height,
        |  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
+       |  round(avg(mean_pixel), 4) AS avg_mean_pixel,
        |  count(DISTINCT magic) AS n_magics
        |FROM dec GROUP BY fmt ORDER BY fmt""".stripMargin
 
@@ -409,11 +585,14 @@ object Multimodal {
 
   /** Audio feature-extraction framing — the ASR/audio-embedding
     * front-end's windowing math (25 ms windows, 10 ms hop) over the
-    * audio-format payloads. Sample rate and sample count are PARSED
-    * from the container bytes (WAV fmt/data chunks, the mp4 box) by
-    * [[decode]]; the windowing arithmetic then runs as integer
-    * expressions. The oracle recomputes the embedded values, so a
-    * header-parse bug in either field breaks the hash match. */
+    * audio-format payloads — plus decoded CONTENT: `avg_rms` is the
+    * root-mean-square of the REAL 16-bit PCM parsed out of the WAV
+    * data chunk (0 for mp4, whose payload carries no PCM). Sample rate
+    * and sample count are PARSED from the container bytes (WAV
+    * fmt/data chunks, the mp4 box) by [[decode]]; the windowing
+    * arithmetic then runs as integer expressions. The oracle
+    * recomputes the embedded values — a header-parse OR sample-decode
+    * bug breaks the hash match. */
   def mmAudio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     decode(records(s, dir)).toDF()
@@ -428,7 +607,8 @@ object Multimodal {
         count(lit(1)).as("n_docs"),
         sum($"n_windows").as("sum_windows"),
         round(avg($"n_windows"), 4).as("avg_windows"),
-        round(avg($"sample_rate"), 4).as("avg_sample_rate"))
+        round(avg($"sample_rate"), 4).as("avg_sample_rate"),
+        round(avg($"rms"), 4).as("avg_rms"))
       .orderBy($"fmt")
   }
 
@@ -439,21 +619,35 @@ object Multimodal {
        |    octet_length(encode(text)) AS n
        |  FROM documents),
        |audio AS (
-       |  SELECT fmt,
+       |  SELECT doc_id, fmt, n,
        |    8000 + (n % 3) * 4000 AS sample_rate,
-       |    CASE WHEN fmt = 'wav' THEN n // 2 ELSE n * 2 END AS n_samples
+       |    CASE WHEN fmt = 'wav' THEN n ELSE n * 2 END AS n_samples
        |  FROM rec WHERE fmt IN ('wav', 'mp4')),
+       |-- WAV PCM content: sample i = ((n + i) % 256) * 257 - 32768;
+       |-- rms = sqrt(sum(s²)/count) over exact BIGINTs, one double
+       |-- division + sqrt — the same op sequence the decoder runs
+       |pcm AS (
+       |  SELECT doc_id,
+       |    sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) AS rms
+       |  FROM (SELECT doc_id, ((n + i.r) % 256) * 257 - 32768 AS s
+       |        FROM (SELECT doc_id, n, unnest(range(n)) AS r
+       |              FROM audio WHERE fmt = 'wav') i)
+       |  GROUP BY doc_id),
        |w AS (
-       |  SELECT fmt, sample_rate,
-       |    CASE WHEN n_samples >= sample_rate // $AudioWinDiv
-       |      THEN (n_samples - sample_rate // $AudioWinDiv)
-       |        // (sample_rate // $AudioHopDiv) + 1
-       |      ELSE 0 END AS n_windows
-       |  FROM audio)
+       |  SELECT a.fmt, a.sample_rate,
+       |    CASE WHEN a.n_samples >= a.sample_rate // $AudioWinDiv
+       |      THEN (a.n_samples - a.sample_rate // $AudioWinDiv)
+       |        // (a.sample_rate // $AudioHopDiv) + 1
+       |      ELSE 0 END AS n_windows,
+       |    CASE WHEN a.fmt = 'wav' THEN coalesce(
+       |      (SELECT rms FROM pcm p WHERE p.doc_id = a.doc_id), 0)
+       |      ELSE 0 END AS rms
+       |  FROM audio a)
        |SELECT fmt, count(*) AS n_docs,
        |  CAST(sum(n_windows) AS BIGINT) AS sum_windows,
        |  round(avg(n_windows), 4) AS avg_windows,
-       |  round(avg(sample_rate), 4) AS avg_sample_rate
+       |  round(avg(sample_rate), 4) AS avg_sample_rate,
+       |  round(avg(rms), 4) AS avg_rms
        |FROM w GROUP BY fmt ORDER BY fmt""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

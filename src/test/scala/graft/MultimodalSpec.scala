@@ -27,14 +27,18 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[MMRecord]
   }
 
-  test("payload = real header + UTF-8 body: n_bytes adds the header length") {
+  test("payload sizes: real structures account for every byte") {
     val s = spark
     import s.implicits._
+    val pngOverhead = udf((n: Long) => Multimodal.pngOverhead(n).toLong)
     val bad = Multimodal.withPayload(spark, sf)
       .join(Tables(spark, sf, "documents").select($"doc_id", $"text"), "doc_id")
+      .withColumn("n", length(encode($"text", "UTF-8")).cast("long"))
       .filter($"meta.n_bytes" =!=
-        length(encode($"text", "UTF-8")) +
-          when($"fmt".isin("png", "jpg"), 33).otherwise(44))
+        when($"fmt" === "png", pngOverhead($"n") + $"n")      // full PNG + body
+          .when($"fmt" === "wav", lit(44) + $"n" * 2)         // header + PCM
+          .when($"fmt" === "jpg", lit(33) + $"n")
+          .otherwise(lit(44) + $"n"))
       .count()
     assert(bad == 0)
   }
@@ -52,11 +56,28 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(d.width == Multimodal.widthOf(n), s"doc ${d.doc_id} width")
           assert(d.height == Multimodal.heightOf(n), s"doc ${d.doc_id} height")
           assert(d.n_frames == 1 && d.sample_rate == 0L)
+          if (d.fmt == "png") {
+            // content check: the inflated scanline mean must equal the
+            // analytic mean of the (n + y) % 256 pattern
+            val want = (0 until d.height).map(y => (n + y) % 256).sum.toDouble /
+              d.height
+            assert(math.abs(d.mean_pixel - want) < 1e-9,
+              s"doc ${d.doc_id} mean_pixel ${d.mean_pixel} != $want")
+          } else assert(d.mean_pixel == 0.0)
         case "wav" =>
           assert(d.width == 0 && d.height == 0)
           assert(d.sample_rate == Multimodal.sampleRateOf(n), s"doc ${d.doc_id} sr")
-          assert(d.n_samples == n / 2)
+          assert(d.n_samples == n, "one PCM sample per body byte")
           assert(d.n_frames == Multimodal.framesOf(n))
+          // content check: RMS of the decoded samples == analytic RMS
+          if (n > 0) {
+            val sumSq = (0L until n).map { i =>
+              val s = Multimodal.pcmSample(n, i).toLong; s * s
+            }.sum
+            val want = math.sqrt(sumSq.toDouble / n)
+            assert(math.abs(d.rms - want) < 1e-9,
+              s"doc ${d.doc_id} rms ${d.rms} != $want")
+          }
         case "mp4" =>
           assert(d.width == Multimodal.widthOf(n) &&
             d.height == Multimodal.heightOf(n))
@@ -89,6 +110,13 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Multimodal.parse(MMRecord(3L, "jpg", jpg, "FFD8FFE0"))
     }
+    // PNG with a flipped CONTENT byte inside the IDAT zlib stream →
+    // IDAT CRC mismatch (content decode is verified, not just headers)
+    val png2 = Multimodal.synthesize("png", "hello png world")
+    png2(33 + 8 + 10) = (png2(33 + 8 + 10) ^ 0x01).toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.parse(MMRecord(5L, "png", png2, "89504E47"))
+    }
     // and the uncorrupted forms all parse
     Seq("png", "jpg", "wav", "mp4").foreach { f =>
       Multimodal.parse(MMRecord(4L, f, Multimodal.synthesize(f, "ok"), ""))
@@ -114,7 +142,13 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getString(0)).sorted.sameElements(Multimodal.Formats.sorted))
     assert(out.map(_.getLong(1)).sum == docs)
     // one real magic constant per format now that headers are real
-    assert(out.forall(_.getLong(6) == 1L))
+    assert(out.forall(_.getLong(7) == 1L))
+    // decoded pixel content: png's mean sits inside the byte range,
+    // formats without decodable pixels report 0
+    val meanByFmt = out.map(r => r.getString(0) -> r.getDouble(6)).toMap
+    assert(meanByFmt("png") > 0.0 && meanByFmt("png") < 255.0)
+    assert(meanByFmt("jpg") == 0.0 && meanByFmt("wav") == 0.0 &&
+      meanByFmt("mp4") == 0.0)
   }
 
   test("mm_audio: audio formats only, parsed sample rates, sane windowing") {
@@ -127,5 +161,10 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getDouble(4) >= 8000.0 && r.getDouble(4) <= 16000.0)
     }
     assert(rows.map(_.getLong(2)).sum > 0, "some doc must produce windows")
+    // decoded PCM content: wav's RMS is real (full-range 16-bit pattern
+    // lands in the tens of thousands); mp4 carries no PCM
+    val rmsByFmt = rows.map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(rmsByFmt("wav") > 1000.0 && rmsByFmt("wav") < 32768.0)
+    assert(rmsByFmt("mp4") == 0.0)
   }
 }

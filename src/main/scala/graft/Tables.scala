@@ -16,12 +16,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events table stores TIMESTAMP(NANOS), which Spark's parquet
-    // reader rejects by default; read it as raw nanos and narrow to µs
-    // (integral DIV — a double division would lose precision at 1.7e18).
+    // The driver's events table stores TIMESTAMP(NANOS), which Spark's
+    // parquet reader rejects by default; read it as raw nanos and narrow
+    // to µs (integral DIV — a double division would lose precision at
+    // 1.7e18). Conditional on the surfaced dtype so a re-written events
+    // table that already stores µs timestamps (the ScaleUp-derived sf1
+    // set) reads through unchanged.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }

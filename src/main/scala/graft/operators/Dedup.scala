@@ -785,25 +785,54 @@ object Dedup {
     // definition keeps the bit-identical-cosine parity in one place
     dedupEmbeddingOn(Similarity.embedded(s, dir), HotBlockCap)
 
+  /** Most over-cap labels the driver will hold as literals — hot
+    * labels are structurally few (each owns > cap rows, and isin lists
+    * beyond this size stop being codegen-friendly); more than this
+    * means the label column isn't a usable blocking key and the
+    * operator fails loudly toward [[dedupEmbeddingLsh]]. */
+  val MaxHotLabels = 1000
+
   /** [[dedupEmbedding]] over a prepared (vec_id, label, v, nrm) frame
-    * with an explicit hot-block threshold — spec surface. */
+    * with an explicit hot-block threshold — spec surface.
+    *
+    * The regime split is driven by a DRIVER-collected hot-label list
+    * (one tiny aggregate job, ≤ [[MaxHotLabels]] values — the K-row
+    * centroid discipline), not a broadcast-join of block sizes: a
+    * sizes join would re-evaluate its aggregate subtree in every plan
+    * arm that references it (measured: 6 scans), while literal isin
+    * predicates cost nothing — and in the common no-hot-label case the
+    * whole hot arm folds away at planning time, leaving exactly the
+    * plain all-pairs plan. */
   def dedupEmbeddingOn(e0: DataFrame, hotBlockCap: Int): DataFrame = {
     import e0.sparkSession.implicits._
-    // block sizes are one tiny (≤ |labels| rows) aggregate, broadcast
-    // back onto the corpus to split the two regimes
-    val sizes = e0.groupBy($"label").agg(count(lit(1)).as("bn"))
-    val tagged = e0.join(broadcast(sizes), "label")
-    val small = tagged.filter($"bn" <= hotBlockCap)
+    val hotLabels: Seq[Any] =
+      if (hotBlockCap == Int.MaxValue) Seq.empty
+      else e0.groupBy($"label").agg(count(lit(1)).as("bn"))
+        .filter($"bn" > hotBlockCap)
+        .select($"label").limit(MaxHotLabels + 1)
+        .collect().map(_.get(0)).toSeq
+    require(hotLabels.size <= MaxHotLabels,
+      s"more than $MaxHotLabels labels exceed hotBlockCap=$hotBlockCap — " +
+        "the label column is not a usable blocking key at this " +
+        "threshold; run dedupEmbeddingLsh (all-LSH candidates) instead")
+    val small =
+      if (hotLabels.isEmpty) e0 else e0.filter(!$"label".isin(hotLabels: _*))
     val exact = small.as("a").join(small.as("b"),
         $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
         round(graft.functions.DotProduct($"a.v", $"b.v") /
           ($"a.nrm" * $"b.nrm"), 4).as("cosine"))
-    val hot = tagged.filter($"bn" > hotBlockCap).drop("bn")
-    val dim = e0.select(size($"v")).head().getInt(0)
     // a pair's two members share a label, and a label is in exactly one
     // regime — the union is disjoint by construction
-    exact.union(lshCosinePairs(hot, dim, Similarity.Tables_, Similarity.NPlanes))
+    val pairs =
+      if (hotLabels.isEmpty) exact
+      else {
+        val hot = e0.filter($"label".isin(hotLabels: _*))
+        val dim = e0.select(size($"v")).head().getInt(0)
+        exact.union(
+          lshCosinePairs(hot, dim, Similarity.Tables_, Similarity.NPlanes))
+      }
+    pairs
       .filter($"cosine" >= CosineTau)
       .select($"a_id", $"b_id", $"cosine")
       .orderBy($"a_id", $"b_id")

@@ -58,10 +58,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
     // Untimed warmup: JVM/codegen/parquet-footer costs land here, not on
-    // the alphabetically-first query.
-    try SparkEntry.queries("q1_agg")(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
-    catch { case _: Throwable => }
+    // the alphabetically-first query — and the pair-stage build runs
+    // once untimed too, so the per-sweep `dedup_pairs_build` entries
+    // measure the steady-state rebuild instead of billing sweep 1 for
+    // first-touch codegen (round-4's 12 s build spread was exactly
+    // that cold-start landing in the spread column).
+    try {
+      SparkEntry.queries("q1_agg")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      operators.Dedup.clearPairCache()
+      operators.Dedup.ngramPairs(spark, sfDir)
+    } catch { case _: Throwable => }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)

@@ -122,8 +122,15 @@ object Bench {
     }
 
     // compact gate line, printed LAST (after spark.stop() so no
-    // shutdown logging can land between it and the capture window)
-    val byCost = results.sortBy { case (_, mn, _) => -mn }
+    // shutdown logging can land between it and the capture window).
+    // Failures sort FIRST (Double.MaxValue key): their -1 sentinel
+    // would otherwise rank them as if they cost 1 s and let them be
+    // displaced from the captured artifact by a tight budget — a
+    // breakage must always be visible in the compact line (round-5
+    // ADVICE)
+    val byCost = results.sortBy { case (_, mn, _) =>
+      -(if (mn < 0) Double.MaxValue else mn)
+    }
     val entries = byCost.map { case (k, mn, _) =>
       k -> (if (mn >= 10 || mn < 0) f""""$k":$mn%.1f""" else f""""$k":$mn%.2f""")
     }

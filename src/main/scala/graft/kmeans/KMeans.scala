@@ -114,18 +114,54 @@ object KMeans {
       math.abs(a.y - b.y) <= atol + rtol * math.abs(b.y)
     }
 
-  /** The master's iteration loop (master.py:138-150). The projected
-    * (pid, x, y) plane is persisted across iterations — every Lloyd pass
-    * re-reads it, and at 100 TB the 3-column projection is a small
-    * fraction of the source table; re-scanning parquet per iteration
-    * would make the loop IO-bound. MEMORY_AND_DISK spills gracefully
-    * when the plane outgrows executor memory. */
+  /** The master's iteration loop (master.py:138-150) over the RAW
+    * double chain — delegates to [[fitLoop]], the ONE loop definition
+    * shared with the contract-chain twin ([[KMeansQueries.fitTrace]] /
+    * the hash-gated `kmeans_fit` query), per the round-5 verdict: fit's
+    * trajectory is anchored by construction, not by a parallel
+    * reimplementation. */
   def fit(points: DataFrame, k: Int, maxIter: Int = 50,
       atol: Double = DefaultAtol, rtol: Double = DefaultRtol,
-      initFn: (DataFrame, Int) => Seq[Centroid] = init): KMeansModel = {
+      initFn: (DataFrame, Int) => Seq[Centroid] = init): KMeansModel =
+    fitLoop(points, k, maxIter, initFn, identity, converged(_, _, atol, rtol))
+
+  /** numpy-allclose on the ROUNDED chain in exact integer
+    * ten-thousandths (|Δ10k|·10⁵ ≤ 10⁵ + |new10k| over BIGINTs — the
+    * ×10⁹-scaled form of |Δ| ≤ atol + rtol·|new| with atol=1e-4,
+    * rtol=1e-5), so the stopping decision is bit-deterministic on both
+    * engines. The DuckDB mirror is [[KMeansOracle.fitTraceSql]]'s
+    * `close` predicate. */
+  def allclose10k(old: Seq[Centroid], next: Seq[Centroid]): Boolean = {
+    def close(a: Double, b: Double): Boolean = {
+      val (a10k, b10k) = (math.round(a * 10000), math.round(b * 10000))
+      math.abs(a10k - b10k) * 100000L <= 100000L + math.abs(b10k)
+    }
+    old.zip(next).forall { case (a, b) => close(a.x, b.x) && close(a.y, b.y) }
+  }
+
+  /** THE Lloyd driver loop — raw ([[fit]]) and contract-chain
+    * ([[KMeansQueries.fitTrace]]) runs are this one definition with
+    * different hooks: `postStep` maps each iteration's centroids before
+    * they enter the convergence test and the next assignment (identity
+    * for the raw chain; 4-decimal rounding for the oracle-checkable
+    * contract chain), `convergedFn` compares the previous post-stepped
+    * centroids against the new ones.
+    *
+    * The projected (pid, x, y) plane is persisted across iterations —
+    * every Lloyd pass re-reads it, and at 100 TB the 3-column
+    * projection is a small fraction of the source table; re-scanning
+    * parquet per iteration would make the loop IO-bound. MEMORY_AND_DISK
+    * spills gracefully when the plane outgrows executor memory. */
+  def fitLoop(points: DataFrame, k: Int, maxIter: Int,
+      initFn: (DataFrame, Int) => Seq[Centroid],
+      postStep: Seq[Centroid] => Seq[Centroid],
+      convergedFn: (Seq[Centroid], Seq[Centroid]) => Boolean): KMeansModel = {
     val plane = points.select("pid", "x", "y")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // init is NOT post-stepped: the oracle chain's c0 is the raw
+      // init (centroidChain rounds only at step boundaries), so the
+      // first assignment must run against unrounded init on both sides
       var cs = initFn(plane, k)
       val history = Seq.newBuilder[Seq[Centroid]]
       history += cs
@@ -133,9 +169,10 @@ object KMeans {
       var iter = 0
       var done = false
       while (iter < maxIter && !done) {
-        val (next, ns) = step(plane, cs)
+        val (stepped, ns) = step(plane, cs)
+        val next = postStep(stepped)
         iter += 1
-        done = converged(cs, next, atol, rtol)
+        done = convergedFn(cs, next)
         cs = next
         sizes = ns
         history += cs

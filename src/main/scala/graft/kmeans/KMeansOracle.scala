@@ -80,7 +80,38 @@ object KMeansOracle {
     * as columns. Static SQL encodes a dynamic stopping point — the
     * unrolled stages past the fixpoint are evaluated by DuckDB but
     * don't affect the picked rows. */
-  def fitTraceSql(pointsSql: String, k: Int, cap: Int): String = {
+  def fitTraceSql(pointsSql: String, k: Int, cap: Int): String =
+    s"""WITH ${tracePieces(pointsSql, k, cap)}
+       |SELECT cid, round(x, 4) AS x, round(y, 4) AS y,
+       |  CAST(n AS INT) AS n_iter, converged
+       |FROM sel ORDER BY cid""".stripMargin
+
+  /** [[KMeansQueries.fit]]'s oracle — the [[fitTraceSql]] pieces plus
+    * the model's cluster sizes: one final LATERAL-argmin assignment of
+    * every point to the picked (converged) centroids, counted per cid —
+    * the same extra pass the Spark query runs after its shared
+    * [[KMeans.fitLoop]] core. Empty clusters keep size 0 via the LEFT
+    * JOIN coalesce, mirroring the Spark side's getOrElse(0). */
+  def fitSql(pointsSql: String, k: Int, cap: Int): String =
+    s"""WITH ${tracePieces(pointsSql, k, cap)},
+       |fa AS (
+       |  SELECT l.cid, count(*) AS n FROM pts p, LATERAL (
+       |    SELECT c.cid FROM sel c
+       |    ORDER BY (p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y), c.cid
+       |    LIMIT 1) l GROUP BY l.cid)
+       |SELECT s.cid, round(s.x, 4) AS x, round(s.y, 4) AS y,
+       |  CAST(coalesce(f.n, 0) AS BIGINT) AS size,
+       |  CAST(s.n AS INT) AS n_iter, s.converged AS converged
+       |FROM sel s LEFT JOIN fa f USING (cid) ORDER BY s.cid""".stripMargin
+
+  /** The convergence-chain WITH-body shared by [[fitTraceSql]] and
+    * [[fitSql]]: the `cap`-deep rounded chain, per-boundary allclose
+    * flags, the first-converged pick, and `sel(cid, x, y, n, converged)`
+    * = the centroids at the picked iteration. `sel` is MATERIALIZED —
+    * [[fitSql]] references it twice (the LATERAL argmin and the final
+    * select), and an inlining reference would re-expand the whole
+    * chain per use (the SNIPPETS fd-exhaustion lesson). */
+  private def tracePieces(pointsSql: String, k: Int, cap: Int): String = {
     def c10k(t: String, c: String) = s"CAST(round($t.$c*10000) AS BIGINT)"
     def close(c: String) =
       s"abs(${c10k("p", c)} - ${c10k("c", c)}) * 100000 <= 100000 + abs(${c10k("c", c)})"
@@ -90,17 +121,17 @@ object KMeansOracle {
     }.mkString("\nUNION ALL\n")
     val allc = (1 to cap).map(i =>
       s"  SELECT $i AS it, cid, x, y FROM c$i").mkString("\nUNION ALL\n")
-    s"""WITH ${centroidChain(pointsSql, k, cap)},
+    s"""${centroidChain(pointsSql, k, cap)},
        |conv AS (
        |$conv),
        |pick AS (
        |  SELECT coalesce(min(it), $cap) AS n, count(*) > 0 AS converged
        |  FROM conv WHERE ok),
        |allc AS (
-       |$allc)
-       |SELECT a.cid, round(a.x, 4) AS x, round(a.y, 4) AS y,
-       |  CAST(p.n AS INT) AS n_iter, p.converged AS converged
-       |FROM allc a, pick p WHERE a.it = p.n ORDER BY a.cid""".stripMargin
+       |$allc),
+       |sel AS MATERIALIZED (
+       |  SELECT a.cid, a.x, a.y, p.n, p.converged
+       |  FROM allc a, pick p WHERE a.it = p.n)""".stripMargin
   }
 
   /** Mean squared distance to the assigned centroid after one step. */

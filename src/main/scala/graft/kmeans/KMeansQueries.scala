@@ -79,13 +79,28 @@ object KMeansQueries {
     KMeans.cost(pts, KMeans.init(pts, K))
   }
 
-  /** Full loop to convergence — rows-only (iterative; not SQL-expressible
-    * in one statement). */
+  /** Rounds every step's centroids to the 4-decimal contract boundary —
+    * the CONTRACT chain's postStep hook, mirroring
+    * [[KMeansOracle.centroidChain]]'s per-boundary `round(…, 4)`. */
+  private val roundChain: Seq[Centroid] => Seq[Centroid] =
+    cs => cs.map(c => Centroid(c.id, r4(c.x), r4(c.y)))
+
+  /** Full loop to convergence over the CONTRACT chain — hash-gated
+    * (round-5 verdict item 2: previously rows-only over the raw chain).
+    * Same [[KMeans.fitLoop]] core, hooks, cap, and therefore stopping
+    * point as [[fitTrace]] — one loop definition serves both — plus the
+    * model's cluster sizes: one final assignment pass at the converged
+    * centroids (counts per cid), which the oracle mirrors with the same
+    * LATERAL argmin it uses for the chain ([[KMeansOracle.fitSql]]). */
   def fit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val m = KMeans.fit(Points.lineitem(s, dir), K)
+    val m = KMeans.fitLoop(Points.lineitem(s, dir), K, FitTraceCap,
+      KMeans.init, roundChain, KMeans.allclose10k)
+    val sizes = KMeans.assign(Points.lineitem(s, dir), m.centroids)
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     m.centroids.map(c => (c.id, r4(c.x), r4(c.y),
-        m.sizes.getOrElse(c.id, 0L), m.iterations, m.converged))
+        sizes.getOrElse(c.id, 0L), m.iterations, m.converged))
       .toDF("cid", "x", "y", "size", "n_iter", "converged").orderBy("cid")
   }
 
@@ -103,9 +118,9 @@ object KMeansQueries {
 
   /** The ORACLE-CHECKABLE full convergence loop (round-4 verdict item
     * 3): the reference's headline behavior is run-to-convergence
-    * (master.py:138-150, `np.allclose` atol=1e-4), and [[fit]] — its
-    * direct re-expression — is rows-only because raw-double means
-    * diverge across engines. This twin runs the SAME driver loop over
+    * (master.py:138-150, `np.allclose` atol=1e-4); raw-double means
+    * diverge across engines, so the oracle-checkable form ([[fit]] and
+    * this trace — one [[KMeans.fitLoop]] core) runs the driver loop over
     * the ROUNDED chain ([[iterated]]'s contract: centroids rounded to 4
     * decimals at every boundary) with the reference's allclose test
     * (|Δ| ≤ atol + rtol·|new|, atol=1e-4, rtol=1e-5) evaluated in EXACT
@@ -121,30 +136,10 @@ object KMeansQueries {
     * driver. */
   def fitTrace(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pts = Points.lineitem(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var cs = KMeans.init(pts, K)
-      var iter = 0
-      var done = false
-      while (iter < FitTraceCap && !done) {
-        val next = KMeans.step(pts, cs)._1.map(c => Centroid(c.id, r4(c.x), r4(c.y)))
-        iter += 1
-        // allclose(atol=1e-4, rtol=1e-5) on the rounded chain, as exact
-        // integer math (×10⁹ clears both tolerances to BIGINTs —
-        // float-compare-free, SURVEY §5)
-        def close(a: Double, b: Double): Boolean = {
-          val (a10k, b10k) = (math.round(a * 10000), math.round(b * 10000))
-          math.abs(a10k - b10k) * 100000L <= 100000L + math.abs(b10k)
-        }
-        done = cs.zip(next).forall { case (a, b) =>
-          close(a.x, b.x) && close(a.y, b.y)
-        }
-        cs = next
-      }
-      cs.map(c => (c.id, r4(c.x), r4(c.y), iter, done))
-        .toDF("cid", "x", "y", "n_iter", "converged").orderBy("cid")
-    } finally pts.unpersist(blocking = false)
+    val m = KMeans.fitLoop(Points.lineitem(s, dir), K, FitTraceCap,
+      KMeans.init, roundChain, KMeans.allclose10k)
+    m.centroids.map(c => (c.id, r4(c.x), r4(c.y), m.iterations, m.converged))
+      .toDF("cid", "x", "y", "n_iter", "converged").orderBy("cid")
   }
 
   /** Scenario 2: two planes clustered together (reference multi-file). */
@@ -198,6 +193,7 @@ object KMeansQueries {
     "kmeans_step" -> KMeansOracle.iterSql(Points.lineitemSql, K, 1),
     "kmeans_iter3" -> KMeansOracle.iterSql(Points.lineitemSql, K, 3),
     "kmeans_cost" -> KMeansOracle.costSql(Points.lineitemSql, K),
+    "kmeans_fit" -> KMeansOracle.fitSql(Points.lineitemSql, K, FitTraceCap),
     "kmeans_fit_trace" -> KMeansOracle.fitTraceSql(Points.lineitemSql, K, FitTraceCap),
     "kmeans_multifile" -> multifileSql,
     "streaming_kmeans" -> KMeansOracle.iterSql(Points.eventsSql, K, 1))

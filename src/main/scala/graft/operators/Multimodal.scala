@@ -16,13 +16,22 @@ final case class MMRecord(doc_id: Long, fmt: String, payload: Array[Byte],
 /** Decoded media features, parsed from the payload BYTES — see
   * [[Multimodal.decode]]. Stills carry (width, height) and one frame;
   * audio carries (sample_rate, n_samples) and zero dimensions; mp4
-  * carries all of them. `mean_pixel` is decoded CONTENT (PNG: the mean
-  * of the inflated IDAT scanline bytes; 0 where there are no decodable
-  * pixels), `rms` likewise (WAV: root-mean-square of the PCM samples;
-  * 0 for non-PCM formats). */
+  * carries all of them. Decoded CONTENT travels as EXACT INTEGER
+  * numerators (round-5 ADVICE: per-doc double means summed under
+  * Spark's partial-agg order are not bit-deterministic against the
+  * oracle's scan order, so aggregates fold the integers and divide
+  * once): `pix_sum`/`pix_cnt` are the PNG inflated-scanline byte sum
+  * and pixel count (0 where there are no decodable pixels), `sq_sum`
+  * the WAV PCM sum of squared samples (0 for non-PCM formats). */
 final case class MMDecoded(doc_id: Long, fmt: String, n_bytes: Long,
     width: Int, height: Int, n_frames: Int, sample_rate: Long,
-    n_samples: Long, mean_pixel: Double, rms: Double, magic: String)
+    n_samples: Long, pix_sum: Long, pix_cnt: Long, sq_sum: Long,
+    magic: String) {
+  /** Per-doc derived content stats (exact fields are the agg surface). */
+  def meanPixel: Double = if (pix_cnt > 0) pix_sum.toDouble / pix_cnt else 0.0
+  def rms: Double =
+    if (n_samples > 0) math.sqrt(sq_sum.toDouble / n_samples) else 0.0
+}
 
 /** A sampled, resize-targeted frame — see [[Multimodal.frameSampleStub]]. */
 final case class MMFrame(doc_id: Long, fmt: String, frame_idx: Int,
@@ -299,8 +308,8 @@ object Multimodal {
         // (real zlib decode — a corrupt byte fails the Adler/CRC), then
         // fold the scanlines: filter byte 0 + w grayscale pixels each
         var off = 8 + 12 + be32(a, 8) // past IHDR
-        var mean = -1.0
-        while (mean < 0) {
+        var pixSum = -1L
+        while (pixSum < 0) {
           if (off + 8 > a.length) fail(r, "no IDAT chunk found")
           val len = be32(a, off)
           ascii(a, off + 4, 4) match {
@@ -327,12 +336,13 @@ object Multimodal {
                 while (x < end) { sum += raw(x) & 0xFF; x += 1 }
                 p = end
               }
-              mean = sum.toDouble / (w.toLong * h)
+              pixSum = sum
             case "IEND" => fail(r, "IEND before any IDAT")
             case _ => off += 12 + len
           }
         }
-        MMDecoded(r.doc_id, r.fmt, n, w, h, 1, 0L, 0L, mean, 0.0, r.magic)
+        MMDecoded(r.doc_id, r.fmt, n, w, h, 1, 0L, 0L,
+          pixSum, w.toLong * h, 0L, r.magic)
       case "jpg" =>
         if ((a(0) & 0xFF) != 0xFF || (a(1) & 0xFF) != 0xD8)
           fail(r, "bad JPEG SOI")
@@ -346,7 +356,7 @@ object Multimodal {
           val segLen = be16(a, off + 2)
           if (marker == 0xC0)
             out = MMDecoded(r.doc_id, r.fmt, n,
-              be16(a, off + 7), be16(a, off + 5), 1, 0L, 0L, 0.0, 0.0,
+              be16(a, off + 7), be16(a, off + 5), 1, 0L, 0L, 0L, 0L, 0L,
               r.magic)
           else off += 2 + segLen
         }
@@ -383,9 +393,8 @@ object Multimodal {
         }
         if (sr < 0 || dataSize < 0) fail(r, "missing fmt /data chunk")
         val nSamples = dataSize / 2
-        val rms = if (nSamples > 0) math.sqrt(sumSq.toDouble / nSamples) else 0.0
         MMDecoded(r.doc_id, r.fmt, n, 0, 0, framesOf(nSamples), sr,
-          nSamples, 0.0, rms, r.magic)
+          nSamples, 0L, 0L, sumSq, r.magic)
       case "mp4" =>
         if (ascii(a, 4, 4) != "ftyp") fail(r, "first box is not ftyp")
         var off = be32(a, 0)
@@ -394,7 +403,7 @@ object Multimodal {
           if (ascii(a, off + 4, 4) == "grft")
             out = MMDecoded(r.doc_id, r.fmt, n,
               be32(a, off + 8), be32(a, off + 12), be32(a, off + 16),
-              be32(a, off + 20).toLong, be32(a, off + 24).toLong, 0.0, 0.0,
+              be32(a, off + 20).toLong, be32(a, off + 24).toLong, 0L, 0L, 0L,
               r.magic)
           else off += be32(a, off)
         }
@@ -512,7 +521,12 @@ object Multimodal {
     * decoded CONTENT: every width/height/frame-count came out of the
     * payload bytes, `avg_mean_pixel` out of the inflated PNG
     * scanlines, and the oracle recomputes what the ingest embedded — a
-    * parse (or inflate) bug is a hash mismatch. */
+    * parse (or inflate) bug is a hash mismatch. `avg_mean_pixel` is the
+    * PIXEL-WEIGHTED corpus mean (Σ pix_sum / Σ pix_cnt): both sums are
+    * exact BIGINTs, so the aggregate is order-independent by
+    * construction and the 4-decimal gate cannot flip on Spark-vs-DuckDB
+    * summation order (round-5 ADVICE — a sum of per-doc double means
+    * was not). */
   def mmMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     decode(records(s, dir)).toDF()
@@ -523,7 +537,9 @@ object Multimodal {
         round(avg($"width"), 4).as("avg_width"),
         round(avg($"height"), 4).as("avg_height"),
         sum($"n_frames").as("sum_frames"),
-        round(avg($"mean_pixel"), 4).as("avg_mean_pixel"),
+        round(when(sum($"pix_cnt") > 0,
+          sum($"pix_sum").cast("double") / sum($"pix_cnt"))
+          .otherwise(lit(0.0)), 4).as("avg_mean_pixel"),
         count_distinct($"magic").as("n_magics"))
       .orderBy($"fmt")
   }
@@ -547,12 +563,14 @@ object Multimodal {
        |      + n AS n_bytes
        |  FROM dims WHERE fmt = 'png'),
        |-- PNG content: scanline y is w pixels of (n + y) % 256, so the
-       |-- mean folds over range(h) instead of w*h pixels
+       |-- exact byte sum folds over range(h) scaled by w — integer
+       |-- numerators, one double division in the final select
        |png_px AS (
-       |  SELECT doc_id, avg(CAST((n + y.r) % 256 AS DOUBLE)) AS mean_pixel
-       |  FROM (SELECT doc_id, n, h, unnest(range(h)) AS r FROM dims
+       |  SELECT doc_id, CAST(w AS BIGINT) * sum((n + y.r) % 256) AS pix_sum,
+       |    CAST(w AS BIGINT) * h AS pix_cnt
+       |  FROM (SELECT doc_id, n, w, h, unnest(range(h)) AS r FROM dims
        |        WHERE fmt = 'png') y
-       |  GROUP BY doc_id),
+       |  GROUP BY doc_id, w, h),
        |dec AS (
        |  SELECT d.doc_id, d.fmt,
        |    CASE d.fmt
@@ -565,8 +583,11 @@ object Multimodal {
        |    CASE WHEN d.fmt IN ('wav', 'mp4')
        |      THEN CAST(1 + n % 16 AS INT) ELSE 1 END AS n_frames,
        |    CASE WHEN d.fmt = 'png' THEN coalesce(
-       |      (SELECT mean_pixel FROM png_px p WHERE p.doc_id = d.doc_id), 0)
-       |      ELSE 0 END AS mean_pixel,
+       |      (SELECT pix_sum FROM png_px p WHERE p.doc_id = d.doc_id), 0)
+       |      ELSE 0 END AS pix_sum,
+       |    CASE WHEN d.fmt = 'png' THEN coalesce(
+       |      (SELECT pix_cnt FROM png_px p WHERE p.doc_id = d.doc_id), 0)
+       |      ELSE 0 END AS pix_cnt,
        |    $magicSql AS magic
        |  FROM dims d)
        |SELECT fmt, count(*) AS n_docs,
@@ -574,7 +595,9 @@ object Multimodal {
        |  round(avg(width), 4) AS avg_width,
        |  round(avg(height), 4) AS avg_height,
        |  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
-       |  round(avg(mean_pixel), 4) AS avg_mean_pixel,
+       |  round(CASE WHEN sum(pix_cnt) > 0
+       |    THEN CAST(sum(pix_sum) AS DOUBLE) / CAST(sum(pix_cnt) AS DOUBLE)
+       |    ELSE 0 END, 4) AS avg_mean_pixel,
        |  count(DISTINCT magic) AS n_magics
        |FROM dec GROUP BY fmt ORDER BY fmt""".stripMargin
 
@@ -608,7 +631,12 @@ object Multimodal {
         sum($"n_windows").as("sum_windows"),
         round(avg($"n_windows"), 4).as("avg_windows"),
         round(avg($"sample_rate"), 4).as("avg_sample_rate"),
-        round(avg($"rms"), 4).as("avg_rms"))
+        // corpus-level RMS from exact integer numerators (Σ s² / Σ n),
+        // one double division + sqrt — order-independent, unlike a mean
+        // of per-doc double RMS values (round-5 ADVICE)
+        round(when(sum($"n_samples") > 0,
+          sqrt(sum($"sq_sum").cast("double") / sum($"n_samples")))
+          .otherwise(lit(0.0)), 4).as("avg_rms"))
       .orderBy($"fmt")
   }
 
@@ -624,30 +652,32 @@ object Multimodal {
        |    CASE WHEN fmt = 'wav' THEN n ELSE n * 2 END AS n_samples
        |  FROM rec WHERE fmt IN ('wav', 'mp4')),
        |-- WAV PCM content: sample i = ((n + i) % 256) * 257 - 32768;
-       |-- rms = sqrt(sum(s²)/count) over exact BIGINTs, one double
-       |-- division + sqrt — the same op sequence the decoder runs
+       |-- exact BIGINT sum of squares per doc — the corpus RMS is one
+       |-- double division + sqrt over the exact sums in the final
+       |-- select, order-independent on both engines (round-5 ADVICE)
        |pcm AS (
-       |  SELECT doc_id,
-       |    sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) AS rms
+       |  SELECT doc_id, sum(s * s) AS sq_sum
        |  FROM (SELECT doc_id, ((n + i.r) % 256) * 257 - 32768 AS s
        |        FROM (SELECT doc_id, n, unnest(range(n)) AS r
        |              FROM audio WHERE fmt = 'wav') i)
        |  GROUP BY doc_id),
        |w AS (
-       |  SELECT a.fmt, a.sample_rate,
+       |  SELECT a.fmt, a.sample_rate, a.n_samples,
        |    CASE WHEN a.n_samples >= a.sample_rate // $AudioWinDiv
        |      THEN (a.n_samples - a.sample_rate // $AudioWinDiv)
        |        // (a.sample_rate // $AudioHopDiv) + 1
        |      ELSE 0 END AS n_windows,
        |    CASE WHEN a.fmt = 'wav' THEN coalesce(
-       |      (SELECT rms FROM pcm p WHERE p.doc_id = a.doc_id), 0)
-       |      ELSE 0 END AS rms
+       |      (SELECT sq_sum FROM pcm p WHERE p.doc_id = a.doc_id), 0)
+       |      ELSE 0 END AS sq_sum
        |  FROM audio a)
        |SELECT fmt, count(*) AS n_docs,
        |  CAST(sum(n_windows) AS BIGINT) AS sum_windows,
        |  round(avg(n_windows), 4) AS avg_windows,
        |  round(avg(sample_rate), 4) AS avg_sample_rate,
-       |  round(avg(rms), 4) AS avg_rms
+       |  round(CASE WHEN sum(n_samples) > 0
+       |    THEN sqrt(CAST(sum(sq_sum) AS DOUBLE) / CAST(sum(n_samples) AS DOUBLE))
+       |    ELSE 0 END, 4) AS avg_rms
        |FROM w GROUP BY fmt ORDER BY fmt""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -475,7 +475,7 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hot recall $hit/${hotConfident.size}")
   }
 
-  test("pairCache: LRU-bounded with checkpoint blocks released on eviction") {
+  test("pairCache: LRU-bounded; evicted frames stay executable") {
     Dedup.clearPairCache()
     // path variants of the same physical dir give distinct cache keys
     // without needing 5 datasets
@@ -487,11 +487,19 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cached = Dedup.pairCacheDirs(spark)
     assert(cached.size == Dedup.PairCacheMaxEntries)
     assert(!cached.contains(dirs.head), "LRU head must be evicted")
-    assert(!Dedup.checkpointLive(first),
-      "evicted entry's checkpoint blocks must be unpersisted")
+    // round-5 ADVICE: eviction must NOT unpersist the truncated-lineage
+    // checkpoint under a frame a caller may still hold — the held frame
+    // must keep executing (blocks are the ContextCleaner's job once the
+    // frame is genuinely unreachable)
+    assert(first.count() == firstRows,
+      "a held frame must survive its cache eviction")
     // re-access rebuilds transparently with the same result
     assert(Dedup.ngramPairs(spark, dirs.head).count() == firstRows)
+    // clearPairCache (callers provably done) force-releases blocks
+    val last = Dedup.ngramPairs(spark, dirs.head)
     Dedup.clearPairCache()
     assert(Dedup.pairCacheDirs(spark).isEmpty)
+    assert(!Dedup.checkpointLive(last),
+      "clearPairCache must unpersist checkpoint blocks")
   }
 }

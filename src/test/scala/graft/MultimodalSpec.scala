@@ -57,26 +57,27 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(d.height == Multimodal.heightOf(n), s"doc ${d.doc_id} height")
           assert(d.n_frames == 1 && d.sample_rate == 0L)
           if (d.fmt == "png") {
-            // content check: the inflated scanline mean must equal the
-            // analytic mean of the (n + y) % 256 pattern
-            val want = (0 until d.height).map(y => (n + y) % 256).sum.toDouble /
-              d.height
-            assert(math.abs(d.mean_pixel - want) < 1e-9,
-              s"doc ${d.doc_id} mean_pixel ${d.mean_pixel} != $want")
-          } else assert(d.mean_pixel == 0.0)
+            // content check: the inflated scanline byte sum must equal
+            // the analytic sum of the (n + y) % 256 pattern — EXACT
+            // integer equality (the numerators are the agg surface)
+            val wantSum = d.width.toLong *
+              (0 until d.height).map(y => (n + y) % 256).sum
+            assert(d.pix_sum == wantSum,
+              s"doc ${d.doc_id} pix_sum ${d.pix_sum} != $wantSum")
+            assert(d.pix_cnt == d.width.toLong * d.height)
+          } else assert(d.pix_sum == 0L && d.pix_cnt == 0L)
         case "wav" =>
           assert(d.width == 0 && d.height == 0)
           assert(d.sample_rate == Multimodal.sampleRateOf(n), s"doc ${d.doc_id} sr")
           assert(d.n_samples == n, "one PCM sample per body byte")
           assert(d.n_frames == Multimodal.framesOf(n))
-          // content check: RMS of the decoded samples == analytic RMS
+          // content check: decoded sum-of-squares == analytic, EXACTLY
           if (n > 0) {
             val sumSq = (0L until n).map { i =>
               val s = Multimodal.pcmSample(n, i).toLong; s * s
             }.sum
-            val want = math.sqrt(sumSq.toDouble / n)
-            assert(math.abs(d.rms - want) < 1e-9,
-              s"doc ${d.doc_id} rms ${d.rms} != $want")
+            assert(d.sq_sum == sumSq,
+              s"doc ${d.doc_id} sq_sum ${d.sq_sum} != $sumSq")
           }
         case "mp4" =>
           assert(d.width == Multimodal.widthOf(n) &&

@@ -68,6 +68,8 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       operators.Dedup.clearPairCache()
       operators.Dedup.ngramPairs(spark, sfDir)
+      operators.Similarity.clearTrainCache()
+      operators.Similarity.trainAnn(spark, sfDir)
     } catch { case _: Throwable => }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
@@ -92,6 +94,16 @@ object Bench {
       // entry (ngramPairs materializes eagerly via localCheckpoint, so
       // timing the call covers the full candidates+verify build)
       timed("dedup_pairs_build") { operators.Dedup.ngramPairs(spark, sfDir) }
+      // ANN training (IVF quantizer + PQ codebook/encode), train-once
+      // semantics priced once per sweep under its own name — the
+      // round-5 verdict's ann_ivf/ann_pq spreads were this training
+      // re-running inside every query call (an ANN index trains once
+      // and serves many queries; the per-call retraining was the
+      // bench artifact, not the operator)
+      operators.Similarity.clearTrainCache()
+      timed("ann_train_build") {
+        operators.Similarity.trainAnn(spark, sfDir)
+      }
       names.foreach { case (name, fn) =>
         timed(name) { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       }

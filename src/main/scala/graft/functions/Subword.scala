@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Subword (BPE-style) token count of a whitespace-tokenized string —
+  * the round-5 verdict's "tokenizer-aware token accounting": training-
+  * sequence budgets are TOKEN budgets, and whitespace counts mis-size
+  * packing by 20-40% on real text, so [[graft.operators.CorpusOps]]'s
+  * packing/mix twins (`pack_sequences_bpe`, `source_mix_bpe`) budget
+  * with this count instead.
+  *
+  * Algorithm: per whitespace word, GREEDY LEFT-TO-RIGHT INCREMENTAL
+  * MATCH against the fixed PREFIX-CLOSED vocabulary [[Subword.Vocab]] —
+  * the buffer extends with the next character while `buffer + c` is a
+  * vocab member, else the buffer is emitted as one token and restarts
+  * at `c`; single characters are always tokens of last resort. This is
+  * how a trained BPE/WordPiece merge table is APPLIED greedily at
+  * tokenization time, with the merge structure expressed as the closure
+  * of each unit's prefixes (a unit is reachable only through its
+  * prefix chain — "window" via wi→win→wind→windo→window — exactly a
+  * merge sequence; the table is [[Subword.BaseUnits]], the repo's
+  * literal "merge table"). Prefix-closure makes the viability test a
+  * plain membership test, which is what keeps the DuckDB oracle an
+  * exact mirror: a `list_reduce` character fold carrying (count,
+  * buffer) with `list_contains(VOCAB, buf || c)` ([[Subword.duckDoc]]).
+  *
+  * Determinism/portability: pure function of the string and the literal
+  * vocab — no trained state, no RNG, identical on every engine,
+  * partitioning-independent. ASCII corpus assumed (the testdata is
+  * printable ASCII; Java chars and DuckDB grapheme split agree there).
+  * Codegen emits one static call per document (the split + fold loops
+  * live in [[Subword.count]]), staying inside whole-stage codegen. */
+case class SubwordTokens(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "subword_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Subword.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Subword.count($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Subword {
+  import org.apache.spark.sql.{Column, GraftShims}
+
+  def apply(c: Column): Column =
+    GraftShims.column(SubwordTokens(GraftShims.expression(c)))
+
+  /** The merge table: multi-character subword units a greedy pass can
+    * emit. Common English bigrams/suffixes plus corpus-domain words —
+    * linguistic quality is NOT load-bearing (the operators only need a
+    * deterministic, portable, sub-whitespace token measure); the fixed
+    * literal table is the contract. Prefixes are closed over in
+    * [[Vocab]] so every unit is reachable through its merge chain. */
+  val BaseUnits: Seq[String] = Seq(
+    // frequent English units
+    "the", "and", "ing", "ion", "tion", "ation", "ent", "ers", "est",
+    "ed", "es", "er", "an", "in", "on", "at", "en", "or", "ar", "al",
+    "it", "is", "of", "to", "ou", "le", "st", "ll", "ch", "sh", "th",
+    "wh", "qu", "re", "ra", "ro", "li", "ne", "se", "ma", "me", "ur",
+    "ce", "de", "co", "pa", "ge", "nt", "us", "be", "wi", "fo", "pr",
+    "ke", "wo", "ba", "sp", "gr", "sc", "pl", "fi", "bi", "di", "va",
+    "ow", "ig", "ag", "nd", "rt", "ey", "ate", "all", "ast", "ash",
+    "ine", "low", "ort", "can", "der",
+    // corpus-domain words (documents.parquet vocabulary)
+    "value", "spark", "batch", "group", "sort", "hash", "scan",
+    "filter", "query", "window", "column", "order", "small", "fast",
+    "slow", "line", "key", "big", "agg", "part", "join", "shuffle",
+    "merge", "cache", "table", "index")
+
+  /** Prefix closure of [[BaseUnits]] (every prefix of length ≥ 2),
+    * sorted — membership in this set IS the greedy extension test. */
+  val Vocab: Seq[String] =
+    BaseUnits.flatMap(u => (2 to u.length).map(u.substring(0, _)))
+      .distinct.sorted
+
+  private val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](Vocab.size * 2)
+    Vocab.foreach(s.add)
+    s
+  }
+
+  /** Java regex `\s` membership — the `toks` splitter's classes
+    * (DuckDB's RE2 `\s` lacks U+000B, which the corpus never holds). */
+  private def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+      c == '\f' || c == '\r'
+
+  /** Whitespace-split + greedy subword count, one call per document.
+    * Whitespace = Java regex `\s` classes, matching the engine's
+    * `toks` splitter (and DuckDB's `\s+` on this ASCII corpus). */
+  def count(text: UTF8String): Long = {
+    val s = text.toString
+    val n = s.length
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      if (isSpace(s.charAt(i))) {
+        i += 1
+      } else {
+        var j = i + 1
+        while (j < n && !isSpace(s.charAt(j))) j += 1
+        total += countWord(s, i, j)
+        i = j
+      }
+    }
+    total
+  }
+
+  /** Greedy fold over one word: extend the buffer while `buf + c` is a
+    * vocab member, else emit and restart at `c`. */
+  private def countWord(s: String, from: Int, until: Int): Long = {
+    var cnt = 0L
+    var bufStart = from
+    var k = from + 1
+    while (k < until) {
+      if (vocabSet.contains(s.substring(bufStart, k + 1))) ()
+      else { cnt += 1; bufStart = k }
+      k += 1
+    }
+    if (bufStart < until) cnt += 1
+    cnt
+  }
+
+  /** The SQL literal list mirroring [[Vocab]]. */
+  val duckVocab: String =
+    Vocab.map(v => s"'$v'").mkString("[", ", ", "]")
+
+  /** DuckDB per-document subword count over token-list expression
+    * `toksExpr` (e.g. [[TextFeatures.duckToks]]) — the EXACT mirror of
+    * [[count]]: per word, a `list_reduce` character fold whose
+    * accumulator is `"<count><US><buffer>"` (US = chr(31), absent from
+    * the printable-ASCII corpus, so the state parse is unambiguous),
+    * then a BIGINT sum over words.
+    *
+    * The fold runs over `w || '~'`: the appended TERMINATOR can never
+    * extend a buffer (the vocab is strictly lowercase letters, so
+    * `buf || '~'` is never a member — the same failed-membership path
+    * the Java loop takes on any non-vocab character), so it forces the
+    * final buffer emission INSIDE the fold and the word's count is one
+    * `split_part` of the result — no scalar subquery in the lambda. A
+    * literal '~' inside a word behaves identically on both engines
+    * (membership fails, buffer restarts). */
+  def duckDoc(toksExpr: String): String = {
+    // no stripMargin anywhere here: the generated SQL is full of `||`
+    // concatenations, and a continuation line starting with `||` loses
+    // a pipe to an OUTER template's margin stripping when embedded —
+    // compose plain single-line pieces instead
+    val us = "chr(31)"
+    def cntOf(a: String) = s"split_part($a, $us, 1)"
+    def bufOf(a: String) = s"split_part($a, $us, 2)"
+    val step =
+      s"CASE WHEN ${bufOf("acc")} != '' " +
+        s"AND list_contains($duckVocab, ${bufOf("acc")} || c) " +
+        s"THEN ${cntOf("acc")} || $us || ${bufOf("acc")} || c " +
+        s"WHEN ${bufOf("acc")} = '' THEN ${cntOf("acc")} || $us || c " +
+        s"ELSE CAST(CAST(${cntOf("acc")} AS BIGINT) + 1 AS VARCHAR) " +
+        s"|| $us || c END"
+    val fold = s"list_reduce(list_prepend('0' || $us, " +
+      s"string_split(w || '~', '')), (acc, c) -> $step)"
+    val word = s"CAST(${cntOf(fold)} AS BIGINT)"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform($toksExpr, w -> $word)), (a, x) -> a + x)"
+  }
+}

@@ -199,14 +199,28 @@ object CorpusOps {
     * extreme per-source volume the same semantics run over bucketed
     * (source, doc_id)-sorted tables with zero extra shuffle
     * (BucketingSpec shows the write path). */
-  def packSequences(s: SparkSession, dir: String): DataFrame = {
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    packSequencesWith(s, dir,
+      size(graft.functions.TextFeatures.toks(lower(col("text")))))
+
+  /** [[packSequences]] budgeting in SUBWORD (BPE-style) tokens instead
+    * of whitespace words (round-5 verdict item 3): training-sequence
+    * budgets are tokenizer budgets, and whitespace counts mis-size
+    * packing by 20-40% on real text. Same packing semantics, same plan
+    * shape — only the per-document token measure changes
+    * ([[graft.functions.Subword]], whose greedy fold the oracle
+    * mirrors as a DuckDB character fold). */
+  def packSequencesBpe(s: SparkSession, dir: String): DataFrame =
+    packSequencesWith(s, dir, graft.functions.Subword(lower(col("text"))))
+
+  private def packSequencesWith(s: SparkSession, dir: String,
+      tokensCol: org.apache.spark.sql.Column): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val placed = Tables(s, dir, "documents")
-      .withColumn("tokens",
-        size(graft.functions.TextFeatures.toks(lower($"text"))))
+      .withColumn("tokens", tokensCol)
       .withColumn("start", coalesce(sum($"tokens").over(w), lit(0L)))
       .withColumn("seq_id", ($"start" / PackBudget).cast("long"))
     val perSeq = placed.groupBy($"source", $"seq_id")
@@ -225,10 +239,16 @@ object CorpusOps {
       .orderBy($"source")
   }
 
-  val packSequencesSql: String = {
-    val toks = graft.functions.TextFeatures.duckToks
+  val packSequencesSql: String =
+    packSequencesSqlWith(s"len(${graft.functions.TextFeatures.duckToks})")
+
+  val packSequencesBpeSql: String =
+    packSequencesSqlWith(
+      graft.functions.Subword.duckDoc(graft.functions.TextFeatures.duckToks))
+
+  private def packSequencesSqlWith(tokensExpr: String): String = {
     s"""WITH t AS (
-       |  SELECT source, doc_id, len($toks) AS tokens FROM documents),
+       |  SELECT source, doc_id, $tokensExpr AS tokens FROM documents),
        |placed AS (
        |  SELECT source, tokens,
        |    coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -282,13 +302,23 @@ object CorpusOps {
   def sourceMix(s: SparkSession, dir: String): DataFrame =
     sourceMixOn(Tables(s, dir, "documents"))
 
+  /** [[sourceMix]] with SUBWORD (BPE-style) token budgets — the measure
+    * a real mix actually balances (round-5 verdict item 3). Rates move
+    * (token totals differ per source) but the keep-decision hash, join
+    * shape, and output schema are unchanged. */
+  def sourceMixBpe(s: SparkSession, dir: String): DataFrame =
+    sourceMixOn(Tables(s, dir, "documents"),
+      graft.functions.Subword(lower(col("text"))))
+
   /** Operator core over any (doc_id, source, text) frame — the spec
     * drives corpora with hand-computed rates through it. */
-  def sourceMixOn(docsIn: DataFrame): DataFrame = {
+  def sourceMixOn(docsIn: DataFrame,
+      tokensCol: org.apache.spark.sql.Column =
+        size(graft.functions.TextFeatures.toks(lower(col("text")))).cast("long"))
+      : DataFrame = {
     import docsIn.sparkSession.implicits._
     val docs = docsIn
-      .withColumn("words",
-        size(graft.functions.TextFeatures.toks(lower($"text"))).cast("long"))
+      .withColumn("words", tokensCol.cast("long"))
     val perSrc = docs.groupBy($"source")
       .agg(sum($"words").as("toks_src"))
     val minTok = perSrc.agg(min($"toks_src").as("min_tok"))
@@ -309,10 +339,16 @@ object CorpusOps {
       .orderBy($"source")
   }
 
-  val sourceMixSql: String = {
-    val toks = graft.functions.TextFeatures.duckToks
+  val sourceMixSql: String =
+    sourceMixSqlWith(s"len(${graft.functions.TextFeatures.duckToks})")
+
+  val sourceMixBpeSql: String =
+    sourceMixSqlWith(
+      graft.functions.Subword.duckDoc(graft.functions.TextFeatures.duckToks))
+
+  private def sourceMixSqlWith(tokensExpr: String): String = {
     s"""WITH d AS (
-       |  SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS words
+       |  SELECT source, doc_id, CAST($tokensExpr AS BIGINT) AS words
        |  FROM documents),
        |per_src AS (
        |  SELECT source, CAST(sum(words) AS BIGINT) AS toks_src
@@ -338,15 +374,19 @@ object CorpusOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_mix" -> (sourceMix(_, _)),
+    "source_mix_bpe" -> (sourceMixBpe(_, _)),
     "decontaminate" -> (decontaminate(_, _)),
     "sample_split" -> (sampleSplit(_, _)),
     "group_sample" -> (groupSample(_, _)),
-    "pack_sequences" -> (packSequences(_, _)))
+    "pack_sequences" -> (packSequences(_, _)),
+    "pack_sequences_bpe" -> (packSequencesBpe(_, _)))
 
   def oracles: Map[String, String] = Map(
     "source_mix" -> sourceMixSql,
+    "source_mix_bpe" -> sourceMixBpeSql,
     "decontaminate" -> decontaminateSql,
     "sample_split" -> sampleSplitSql,
     "group_sample" -> groupSampleSql,
-    "pack_sequences" -> packSequencesSql)
+    "pack_sequences" -> packSequencesSql,
+    "pack_sequences_bpe" -> packSequencesBpeSql)
 }

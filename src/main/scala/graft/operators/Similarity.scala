@@ -28,6 +28,53 @@ import graft.Tables
   */
 object Similarity {
   val NumQueries = 10 // query set = vec_id < 10
+
+  /** Most (session, dir) training artifacts retained at once. */
+  val TrainCacheMaxEntries = 8
+
+  // Trained ANN artifacts (IVF coarse centroids, PQ codebooks + encoded
+  // codes) are PURE DETERMINISTIC functions of the data dir, and a
+  // production ANN index trains ONCE and serves many queries — so the
+  // engine memoizes them per (session, dir, kind) instead of retraining
+  // on every query call (round-5 verdict item 4: the 2.2-3.0 s bench
+  // spreads were the 3+2 sequential training jobs re-running per sweep
+  // and inheriting host scheduler noise). Driver footprint is KB-scale
+  // (NList×dim / M×K×subdim doubles) plus, for PQ, one checkpointed
+  // codes frame (~50× compressed). Same lifecycle discipline as
+  // Dedup.pairCache: stopped sessions purge on next access, LRU-bounded,
+  // eviction drops the entry and leaves any checkpoint blocks to the
+  // ContextCleaner (a still-held frame stays executable).
+  private val trainCache =
+    scala.collection.mutable.LinkedHashMap[(SparkSession, String, String), AnyRef]()
+
+  private def memo[T <: AnyRef](s: SparkSession, dir: String, kind: String)
+      (build: => T): T = trainCache.synchronized {
+    trainCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+    trainCache.get((s, dir, kind)) match {
+      case Some(v) =>
+        trainCache.remove((s, dir, kind))
+        trainCache.put((s, dir, kind), v) // LRU touch
+        v.asInstanceOf[T]
+      case None =>
+        val v = build
+        trainCache.put((s, dir, kind), v)
+        while (trainCache.size > TrainCacheMaxEntries)
+          trainCache.remove(trainCache.head._1)
+        v
+    }
+  }
+
+  /** Test hook: drop all memoized training artifacts. */
+  def clearTrainCache(): Unit =
+    trainCache.synchronized(trainCache.clear())
+
+  /** Force both memoized ANN artifacts — the bench's `ann_train_build`
+    * entry (train-once accounting; see [[trainCache]]). */
+  def trainAnn(s: SparkSession, dir: String): Unit = {
+    ivfCentroids(s, dir)
+    pqModel(s, dir)
+    ()
+  }
   val TopK = 10
 
   /** Embeddings with double vectors and precomputed norms. The cast to
@@ -159,15 +206,23 @@ object Similarity {
   def annIvfExact(s: SparkSession, dir: String): DataFrame =
     annIvfProbing(s, dir, NList)
 
+  /** The memoized IVF coarse quantizer for a data dir — train-once
+    * surface (also what the bench prices under `ann_train_build`). */
+  private[operators] def ivfCentroids(s: SparkSession, dir: String)
+      : Array[(Int, Seq[Double], Double)] =
+    memo(s, dir, "ivf") {
+      // Persist only for the quantizer refinement (QuantizerIters+2
+      // passes), then release: downstream plans build on a fresh scan
+      // so repeated calls don't accumulate cache entries.
+      val cached = embedded(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try coarseCentroids(cached)
+      finally cached.unpersist(blocking = false)
+    }
+
   private def annIvfProbing(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import s.implicits._
-    // Persist only for the quantizer refinement (QuantizerIters+2
-    // passes), then release: the returned plan is built on a fresh scan
-    // so repeated annIvf calls don't accumulate cache entries.
-    val cached = embedded(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = try coarseCentroids(cached)
-      finally cached.unpersist(blocking = false)
+    val cents = ivfCentroids(s, dir)
     val e = embedded(s, dir)
     val lists = e.withColumn("ds", centroidCosines(cents))
       .withColumn("list_id", expr("array_position(ds, array_max(ds)) - 1"))
@@ -320,64 +375,80 @@ object Similarity {
   def annPqExact(s: SparkSession, dir: String): DataFrame =
     annPqReranking(s, dir, Int.MaxValue)
 
+  /** A trained PQ index: per-block codebooks + the checkpointed,
+    * ~50×-compressed codes frame. */
+  private[operators] final case class PqModel(
+      cb: Array[Array[Seq[Double]]], codes: DataFrame, dim: Int)
+
+  /** The memoized PQ training + encode for a data dir — train-once
+    * surface (priced by the bench under `ann_train_build`). */
+  private[operators] def pqModel(s: SparkSession, dir: String): PqModel =
+    memo(s, dir, "pq") {
+      import s.implicits._
+      val cached = embedded(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dim = cached.select(size($"v")).head().getInt(0)
+        require(dim % PqBlocks == 0, s"dim $dim not divisible into $PqBlocks blocks")
+        val subdim = dim / PqBlocks
+
+        // ---- train: deterministic init, then fused per-round refinement
+        val n = cached.count()
+        val initIds = (0 until PqCodes).map(k => k * n / PqCodes)
+        var cb: Array[Array[Seq[Double]]] = {
+          val rows = cached.filter($"vec_id".isin(initIds: _*)).orderBy($"vec_id")
+            .select($"v").collect().map(_.getSeq[Double](0))
+          Array.tabulate(PqBlocks)(b =>
+            rows.map(v => v.slice(b * subdim, (b + 1) * subdim)).toArray
+              .map(_.toSeq))
+        }
+        // per-block argmin via the native [[graft.functions.PqCode]]
+        // expression: ONE codegen call per block with the codeword loop
+        // in compiled bytecode — the composed K-distance-expressions form
+        // made janino compilation the dominant cost of this query (see
+        // PqCode's scaladoc for the measurement)
+        def withCodes(df: DataFrame): DataFrame =
+          df.withColumn("codes", array((0 until PqBlocks).map(b =>
+            graft.functions.PqCode(col("v"), b * subdim, subdim, cb(b))): _*))
+        for (_ <- 1 to PqIters) {
+          val meanAggs = (0 until subdim).map(i => avg($"sv"(i)).as(s"m$i"))
+          val means = withCodes(cached)
+            .select($"v", posexplode($"codes").as(Seq("block", "code")))
+            .withColumn("sv", slice($"v", $"block" * subdim + 1, lit(subdim)))
+            .groupBy($"block", $"code")
+            .agg(meanAggs.head, meanAggs.tail: _*)
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1),
+              (0 until subdim).map(i => r.getDouble(i + 2))))
+          val next = cb.map(_.clone())
+          means.foreach { case (b, k, v) => next(b)(k) = v }
+          cb = next
+        }
+
+        // ---- encode: codes + exact reconstructed norm (disjoint blocks)
+        val normSqTables = cb.map(_.map(c => c.map(x => x * x).sum))
+        val reconNorm = sqrt((0 until PqBlocks).map(b =>
+          element_at(typedlit(normSqTables(b).toSeq), col("codes")(b) + 1))
+          .reduce(_ + _))
+        // localCheckpoint (eager): the codes frame materializes HERE,
+        // while `cached` is still persisted — every downstream plan
+        // (approx scan, shortlist, re-rank) then reads the materialized
+        // codes instead of re-encoding from a re-scanned corpus
+        val codes = withCodes(cached).select($"vec_id", $"codes")
+          .withColumn("vn", reconNorm)
+          .localCheckpoint()
+        PqModel(cb, codes, dim)
+      } finally cached.unpersist(blocking = false)
+    }
+
   private def annPqReranking(s: SparkSession, dir: String, rerank: Int): DataFrame = {
     import s.implicits._
-    val cached = embedded(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val dim = cached.select(size($"v")).head().getInt(0)
-      require(dim % PqBlocks == 0, s"dim $dim not divisible into $PqBlocks blocks")
-      val subdim = dim / PqBlocks
-
-      // ---- train: deterministic init, then fused per-round refinement
-      val n = cached.count()
-      val initIds = (0 until PqCodes).map(k => k * n / PqCodes)
-      var cb: Array[Array[Seq[Double]]] = {
-        val rows = cached.filter($"vec_id".isin(initIds: _*)).orderBy($"vec_id")
-          .select($"v").collect().map(_.getSeq[Double](0))
-        Array.tabulate(PqBlocks)(b =>
-          rows.map(v => v.slice(b * subdim, (b + 1) * subdim)).toArray
-            .map(_.toSeq))
-      }
-      // per-block argmin via the native [[graft.functions.PqCode]]
-      // expression: ONE codegen call per block with the codeword loop
-      // in compiled bytecode — the composed K-distance-expressions form
-      // made janino compilation the dominant cost of this query (see
-      // PqCode's scaladoc for the measurement)
-      def withCodes(df: DataFrame): DataFrame =
-        df.withColumn("codes", array((0 until PqBlocks).map(b =>
-          graft.functions.PqCode(col("v"), b * subdim, subdim, cb(b))): _*))
-      for (_ <- 1 to PqIters) {
-        val meanAggs = (0 until subdim).map(i => avg($"sv"(i)).as(s"m$i"))
-        val means = withCodes(cached)
-          .select($"v", posexplode($"codes").as(Seq("block", "code")))
-          .withColumn("sv", slice($"v", $"block" * subdim + 1, lit(subdim)))
-          .groupBy($"block", $"code")
-          .agg(meanAggs.head, meanAggs.tail: _*)
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1),
-            (0 until subdim).map(i => r.getDouble(i + 2))))
-        val next = cb.map(_.clone())
-        means.foreach { case (b, k, v) => next(b)(k) = v }
-        cb = next
-      }
-
-      // ---- encode: codes + exact reconstructed norm (disjoint blocks)
-      val normSqTables = cb.map(_.map(c => c.map(x => x * x).sum))
-      val reconNorm = sqrt((0 until PqBlocks).map(b =>
-        element_at(typedlit(normSqTables(b).toSeq), col("codes")(b) + 1))
-        .reduce(_ + _))
-      // localCheckpoint (eager): the codes frame materializes HERE,
-      // while `cached` is still persisted — the returned plan (approx
-      // scan, shortlist, re-rank) then reads the materialized codes
-      // instead of re-encoding from a re-scanned corpus on every
-      // execution after the finally-unpersist has already run
-      val codes = withCodes(cached).select($"vec_id", $"codes")
-        .withColumn("vn", reconNorm)
-        .localCheckpoint()
-
+    val model = pqModel(s, dir)
+    val (cb, codes) = (model.cb, model.codes)
+    val subdim = model.dim / PqBlocks
+    locally {
       // ---- query: per-query ADC lookup tables as plan literals
-      val qs = cached.filter($"vec_id" < NumQueries)
+      val qs = embedded(s, dir).filter($"vec_id" < NumQueries)
         .orderBy($"vec_id").select($"vec_id", $"v", $"nrm").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       val scored = qs.map { case (qId, qv, qn) =>
@@ -398,8 +469,7 @@ object Similarity {
         .filter($"rk" <= rerank)
         .select($"q_id", $"vec_id")
 
-      // ---- exact re-rank of the shortlist (fresh pushed-filter scans:
-      // `cached` is released once this plan is returned)
+      // ---- exact re-rank of the shortlist (fresh pushed-filter scans)
       val qVecs = embedded(s, dir).filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
       val cands = candIds
@@ -407,7 +477,7 @@ object Similarity {
         .join(broadcast(qVecs), Seq("q_id"))
         .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"nrm"))
       topk(cands)
-    } finally cached.unpersist(blocking = false)
+    }
   }
 
   // ------------------------------------------------------------ clusters

@@ -137,4 +137,47 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowVolume.isEmpty,
       s"per-document rows must not shuffle (rates broadcast):\n$plan")
   }
+
+  test("subword tokens: greedy prefix-closed matching, hand-checked") {
+    import graft.functions.Subword
+    import org.apache.spark.unsafe.types.UTF8String
+    def cnt(s: String): Long = Subword.count(UTF8String.fromString(s))
+    // vocab words tokenize to one unit via their prefix chain
+    assert(cnt("the") == 1L && cnt("spark") == 1L && cnt("window") == 1L)
+    assert(cnt("the spark") == 2L)
+    // greedy split inside an unknown word: the|spark (thes ∉ vocab)
+    assert(cnt("thespark") == 2L)
+    // no multi-char unit applies → one token per character
+    assert(cnt("zzz") == 3L)
+    // whitespace handling: empty and blank count zero, runs collapse
+    assert(cnt("") == 0L && cnt("  \t\n ") == 0L)
+    assert(cnt(" the\n\nspark ") == 2L)
+    // the vocab is prefix-closed (the greedy viability == membership
+    // equivalence the DuckDB mirror depends on)
+    Subword.Vocab.foreach { v =>
+      (2 until v.length).foreach { l =>
+        assert(Subword.Vocab.contains(v.substring(0, l)),
+          s"prefix ${v.substring(0, l)} of $v missing")
+      }
+    }
+    // subword count is bounded below by the whitespace count (every
+    // word is ≥ 1 token) and above by character count
+    val texts = Seq("batch part spark", "filter group query", "a bb ccc")
+    texts.foreach { t =>
+      val words = t.split("\\s+").count(_.nonEmpty)
+      assert(cnt(t) >= words && cnt(t) <= t.length)
+    }
+  }
+
+  test("subword tokens: column expression matches direct eval on real docs") {
+    import graft.functions.Subword
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = Tables(spark, sf, "documents")
+      .select(col("text"), Subword(lower(col("text"))).as("n")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val want = Subword.count(UTF8String.fromString(r.getString(0).toLowerCase))
+      assert(r.getLong(1) == want)
+    }
+  }
 }

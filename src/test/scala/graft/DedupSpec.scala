@@ -475,6 +475,35 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hot recall $hit/${hotConfident.size}")
   }
 
+  test("dedupEmbeddingOn: crossed-cap recall on REAL embeddings (sf0.01)") {
+    // round-5 verdict item 1: the ≥0.8 recall floor re-asserted on real
+    // data rather than a planted cap=10 toy — cap 50 pushes the four
+    // largest sf0.01 label blocks (59/54/53/52 rows) through the
+    // LSH-routed hot arm while the rest stay exact
+    import spark.implicits._
+    val sf001 = "/root/testdata/sf0.01"
+    val e0 = Tables(spark, sf001, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", graft.functions.DotProduct.norm($"v"))
+    val cap = 50
+    val hotLabels = e0.groupBy($"label").agg(count(lit(1)).as("bn"))
+      .filter($"bn" > cap).select($"label").collect().map(_.getInt(0)).toSet
+    assert(hotLabels.nonEmpty, "cap must cross real blocks for this test")
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Int] =
+      df.join(e0.select($"vec_id".as("a_id"), $"label"), "a_id")
+        .filter($"label".isin(hotLabels.toSeq: _*))
+        .select($"a_id", $"b_id", $"label").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val routed = pairs(Dedup.dedupEmbeddingOn(e0, cap))
+    val exact = pairs(Dedup.dedupEmbeddingOn(e0, Int.MaxValue))
+    assert(exact.nonEmpty, "hot labels must hold true pairs")
+    // precision 1.0: the verify is shared, so routed ⊆ exact
+    assert(routed.keySet.subsetOf(exact.keySet))
+    val recall = routed.size.toDouble / exact.size
+    assert(recall >= 0.8, s"real-data hot-arm recall $recall (${routed.size}/${exact.size})")
+  }
+
   test("pairCache: LRU-bounded; evicted frames stay executable") {
     Dedup.clearPairCache()
     // path variants of the same physical dir give distinct cache keys

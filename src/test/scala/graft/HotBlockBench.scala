@@ -60,29 +60,49 @@ object HotBlockBench {
     }
     def noop(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
+    def dump(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name")
 
-    // alternating sweeps, min per arm (Bench.scala's protocol): sweep 1
-    // absorbs codegen + AQE one-time costs for both plans
+    // sample 1 doubles as the pair-set materialization (parquet write
+    // instead of noop — the recall stage then reads the dumps instead
+    // of re-executing two ~16-minute plans); later samples are pure
+    // noop steady-state. min per arm, Bench.scala's protocol.
     val (routedTimes, exactTimes) = (Array.ofDim[Double](Sweeps), Array.ofDim[Double](Sweeps))
     for (i <- 0 until Sweeps) {
-      routedTimes(i) = timed(noop(Dedup.dedupEmbedding(spark, out)))
-      exactTimes(i) = timed(noop(Dedup.dedupEmbeddingAllPairs(spark, out)))
+      routedTimes(i) = timed {
+        if (i == 0) dump(Dedup.dedupEmbedding(spark, out), "_routed")
+        else noop(Dedup.dedupEmbedding(spark, out))
+      }
+      exactTimes(i) = timed {
+        if (i == 0) dump(Dedup.dedupEmbeddingAllPairs(spark, out), "_exact")
+        else noop(Dedup.dedupEmbeddingAllPairs(spark, out))
+      }
       println(f"[hotbench] sweep ${i + 1}: routed ${routedTimes(i)}%.1f s, exact ${exactTimes(i)}%.1f s")
     }
 
-    // recall on the hot block: routed ⊆ exact (shared verify ⇒ precision
-    // 1.0 — asserted), so recall = |routed_hot| / |exact_hot|
+    // recall on the hot block, BANDED by the exact pair's cosine: the
+    // overall number is dominated by barely-over-threshold pairs, but
+    // the pairs a dedup exists to catch are the high-cosine ones — the
+    // bands make the hot-arm trade measurable instead of averaged away.
+    // routed ⊆ exact (shared verify ⇒ precision 1.0 — asserted).
     val labels = spark.read.parquet(s"$out/embeddings.parquet")
       .select($"vec_id".as("a_id"), $"label")
-    def hotPairs(df: DataFrame): DataFrame =
-      df.join(labels, "a_id").filter($"label" === HotLabel)
-        .select($"a_id", $"b_id")
-    val routedHot = hotPairs(Dedup.dedupEmbedding(spark, out)).cache()
-    val exactHot = hotPairs(Dedup.dedupEmbeddingAllPairs(spark, out)).cache()
+    def hotPairs(name: String): DataFrame =
+      spark.read.parquet(s"$out/$name").join(labels, "a_id")
+        .filter($"label" === HotLabel).select($"a_id", $"b_id", $"cosine")
+    val routedHot = hotPairs("_routed").cache()
+    val exactHot = hotPairs("_exact").cache()
     val (nRouted, nExact) = (routedHot.count(), exactHot.count())
     val leaked = routedHot.join(exactHot, Seq("a_id", "b_id"), "left_anti").count()
     require(leaked == 0, s"precision violated: $leaked routed hot pairs not in exact")
+    def recallAtLeast(tau: Double): Double = {
+      val ex = exactHot.filter($"cosine" >= tau)
+      val hit = ex.join(routedHot.select($"a_id", $"b_id"),
+        Seq("a_id", "b_id"), "left_semi").count()
+      hit.toDouble / math.max(ex.count(), 1L)
+    }
     val recall = nRouted.toDouble / nExact
+    val (recall60, recall90) = (recallAtLeast(0.6), recallAtLeast(0.9))
 
     // pair-verify rate from the exact run → cap for a 60-s block budget
     val pairsExact = spark.read.parquet(s"$out/embeddings.parquet")
@@ -95,7 +115,8 @@ object HotBlockBench {
       f"""{"workload":"sf0.1 x$Replicas%d, one hot label","hot_block_rows":${Replicas * 218}%d,
          |"hot_block_cap":${Dedup.HotBlockCap}%d,"routed_sec":${routedTimes.min}%.1f,
          |"exact_sec":${exactTimes.min}%.1f,"speedup":${exactTimes.min / routedTimes.min}%.2f,
-         |"recall_hot":$recall%.4f,"routed_hot_pairs":$nRouted%d,"exact_hot_pairs":$nExact%d,
+         |"recall_hot":$recall%.4f,"recall_cos60":$recall60%.4f,"recall_cos90":$recall90%.4f,
+         |"routed_hot_pairs":$nRouted%d,"exact_hot_pairs":$nExact%d,
          |"pairs_exact_total":${pairsExact.toLong}%d,"rate_pairs_per_sec":${rate.toLong}%d,
          |"cap_for_60s_block":$capFor60s%d}""".stripMargin.replaceAll("\n", "")
     println(s"[hotbench] $json")

@@ -55,6 +55,10 @@ def cells_equal(x, y) -> bool:
 
 def main(sfdir, outdir):
     con = duckdb.connect()
+    # the sf1-scale oracles (dedup_simhash, kmeans_fit_trace) spill past
+    # DuckDB's default memory governor and die on spill disk without an
+    # explicit ceiling (memory invariant from the round-5 sf1 gate)
+    con.execute("SET memory_limit='100GB'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):

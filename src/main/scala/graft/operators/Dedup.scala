@@ -781,15 +781,17 @@ object Dedup {
     *
     * SIZED FROM MEASUREMENT (round-5 verdict item 1, was a chosen
     * 20,000): HotBlockBench forced a 21,800-row block over the cap at
-    * real volume and measured the exact quadratic at 2.8·10⁵ verified
-    * pairs/s on the 32-thread bench host (sort-merge join fan-out, 64-d
-    * codegen dot + round per pair — dominated by the pair MATERIALIZE,
-    * not the arithmetic). Derivation: a 60 s-per-block exact budget at
-    * that rate gives cap = ⌊√(2 · 60 s · 2.8·10⁵/s)⌋ ≈ 5.8k → 6000.
-    * The 20,000 choice would have cost ~715 s per full block — an order
-    * over budget; the LSH-routed arm measured 19.6× faster than exact
-    * on the crossed block with recall 1.0 at cosine ≥ 0.6 (the dup
-    * band; 0.78 over all ≥ 0.35 pairs) — HOTBLOCK_BENCH.json. */
+    * real volume and measured the exact quadratic at 2.5-2.8·10⁵
+    * verified pairs/s across runs on the 32-thread bench host
+    * (sort-merge join fan-out, 64-d codegen dot + round per pair —
+    * dominated by the pair MATERIALIZE, not the arithmetic).
+    * Derivation: a 60 s-per-block exact budget at that rate gives
+    * cap = ⌊√(2 · 60 s · rate)⌋ ≈ 5.5-5.8k → 6000. The 20,000 choice
+    * would have cost ~700-800 s per full block — an order over budget;
+    * the LSH-routed arm measured 25.8× faster than exact on the
+    * crossed block (40.4 s vs 1041.5 s) with recall 1.0000 at cosine
+    * ≥ 0.6 and ≥ 0.9 (the dup bands; 0.78 over all ≥ 0.35 pairs,
+    * misses confined to the borderline band) — HOTBLOCK_BENCH.json. */
   val HotBlockCap = 6000
 
   /** Embedding-cosine near-dup pairs within label blocks. Sequential

@@ -70,6 +70,8 @@ object Bench {
       operators.Dedup.ngramPairs(spark, sfDir)
       operators.Similarity.clearTrainCache()
       operators.Similarity.trainAnn(spark, sfDir)
+      kmeans.KMeansQueries.clearFitCache()
+      kmeans.KMeansQueries.trainFit(spark, sfDir)
     } catch { case _: Throwable => }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
@@ -103,6 +105,13 @@ object Bench {
       operators.Similarity.clearTrainCache()
       timed("ann_train_build") {
         operators.Similarity.trainAnn(spark, sfDir)
+      }
+      // the contract-chain Lloyd model (kmeans_fit / kmeans_fit_trace
+      // share one trajectory), trained once per sweep under its own
+      // name — same fit-once accounting as the ANN entry above
+      kmeans.KMeansQueries.clearFitCache()
+      timed("kmeans_train_build") {
+        kmeans.KMeansQueries.trainFit(spark, sfDir)
       }
       names.foreach { case (name, fn) =>
         timed(name) { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }

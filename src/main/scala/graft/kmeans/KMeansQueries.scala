@@ -85,17 +85,57 @@ object KMeansQueries {
   private val roundChain: Seq[Centroid] => Seq[Centroid] =
     cs => cs.map(c => Centroid(c.id, r4(c.x), r4(c.y)))
 
+  /** The contract-chain Lloyd model, MEMOIZED per (session, dir) —
+    * [[fit]] and [[fitTrace]] run the SAME [[KMeans.fitLoop]] with the
+    * same hooks and cap, so their shared trajectory is trained once and
+    * both consume it (a model is fit once and read many times; the
+    * duplicated ~70-iteration loop was 8 s × 2 of the sf0.1 bench).
+    * Same lifecycle discipline as [[graft.operators.Similarity]]'s
+    * train cache: stopped sessions purged on access, LRU-bounded at
+    * [[FitCacheMaxEntries]] dirs, [[clearFitCache]] for the bench
+    * protocol (which prices the rebuild as its own `kmeans_train_build`
+    * entry per sweep). The cached value is K driver-side centroids plus
+    * two scalars — no executor storage is pinned. */
+  private[graft] def contractModel(s: SparkSession, dir: String): KMeansModel =
+    fitCache.synchronized {
+      fitCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      fitCache.get((s, dir)) match {
+        case Some(m) =>
+          fitCache.remove((s, dir)); fitCache.put((s, dir), m) // LRU touch
+          m
+        case None =>
+          val m = KMeans.fitLoop(Points.lineitem(s, dir), K, FitTraceCap,
+            KMeans.init, roundChain, KMeans.allclose10k)
+          fitCache.put((s, dir), m)
+          while (fitCache.size > FitCacheMaxEntries)
+            fitCache.remove(fitCache.head._1)
+          m
+      }
+    }
+
+  /** Most dirs a session keeps contract-chain models for at once. */
+  val FitCacheMaxEntries = 4
+
+  private val fitCache =
+    scala.collection.mutable.LinkedHashMap[(SparkSession, String), KMeansModel]()
+
+  /** Drop all memoized models (next [[contractModel]] retrains). */
+  def clearFitCache(): Unit = fitCache.synchronized(fitCache.clear())
+
+  /** Force the memoized model — the bench's `kmeans_train_build` entry. */
+  def trainFit(s: SparkSession, dir: String): Unit = { contractModel(s, dir); () }
+
   /** Full loop to convergence over the CONTRACT chain — hash-gated
     * (round-5 verdict item 2: previously rows-only over the raw chain).
     * Same [[KMeans.fitLoop]] core, hooks, cap, and therefore stopping
-    * point as [[fitTrace]] — one loop definition serves both — plus the
-    * model's cluster sizes: one final assignment pass at the converged
-    * centroids (counts per cid), which the oracle mirrors with the same
-    * LATERAL argmin it uses for the chain ([[KMeansOracle.fitSql]]). */
+    * point as [[fitTrace]] — ONE memoized loop ([[contractModel]])
+    * serves both — plus the model's cluster sizes: one final assignment
+    * pass at the converged centroids (counts per cid), which the oracle
+    * mirrors with the same LATERAL argmin it uses for the chain
+    * ([[KMeansOracle.fitSql]]). */
   def fit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val m = KMeans.fitLoop(Points.lineitem(s, dir), K, FitTraceCap,
-      KMeans.init, roundChain, KMeans.allclose10k)
+    val m = contractModel(s, dir)
     val sizes = KMeans.assign(Points.lineitem(s, dir), m.centroids)
       .groupBy("cid").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -136,8 +176,7 @@ object KMeansQueries {
     * driver. */
   def fitTrace(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val m = KMeans.fitLoop(Points.lineitem(s, dir), K, FitTraceCap,
-      KMeans.init, roundChain, KMeans.allclose10k)
+    val m = contractModel(s, dir)
     m.centroids.map(c => (c.id, r4(c.x), r4(c.y), m.iterations, m.converged))
       .toDF("cid", "x", "y", "n_iter", "converged").orderBy("cid")
   }

@@ -123,4 +123,20 @@ class KMeansSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getInt(3), r.getBoolean(4)))
     assert(fit.toSeq == trace.toSeq)
   }
+
+  test("contract model memoizes per dir and retrains after clear") {
+    val sf = "/root/testdata/sf0.001"
+    KMeansQueries.clearFitCache()
+    val a = KMeansQueries.contractModel(spark, sf)
+    // second call returns the SAME instance (no second Lloyd loop)
+    assert(KMeansQueries.contractModel(spark, sf) eq a)
+    // a different dir is a different model
+    val b = KMeansQueries.contractModel(spark, "/root/testdata/sf0.01")
+    assert(!(b eq a) && b.iterations != a.iterations)
+    // clear forces a retrain to an equal-value, distinct instance
+    KMeansQueries.clearFitCache()
+    val a2 = KMeansQueries.contractModel(spark, sf)
+    assert(!(a2 eq a) && a2.centroids == a.centroids &&
+      a2.iterations == a.iterations && a2.converged == a.converged)
+  }
 }

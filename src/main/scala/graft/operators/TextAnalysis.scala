@@ -716,7 +716,130 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------- BPE trainer
+
+  /** Words entering the merge trainer: top-[[BpeVocabCap]] by (count
+    * DESC, word ASC). BPE training is dictionary-based (Sennrich et
+    * al. 2016): the corpus-scale work is ONE distributed word count,
+    * and the merge loop runs over the bounded dictionary — so the
+    * driver state is ≤ cap rows no matter the corpus size (the same
+    * bounded-collect argument as the K centroids / Misra-Gries
+    * candidates). A production trainer would raise the cap (30k+);
+    * the value is a parameter, the structure is the contract. Words
+    * are restricted to printable ASCII so the character split is
+    * engine-portable (Java UTF-16 chars vs DuckDB code points agree
+    * there; same assumption as [[graft.functions.Subword]]). */
+  val BpeVocabCap = 256
+
+  /** Merge rounds learned — one output row each. */
+  val BpeMerges = 12
+
+  /** One standard-BPE merge pass (list-based, Sennrich et al. 2016
+    * `merge_vocab`): left-to-right, (l, r) merges when the last
+    * emitted symbol is `l` and the next input symbol is `r`; a merged
+    * symbol never re-merges within the same pass (l||r ≠ l since r is
+    * non-empty), so runs behave canonically ('aaaa' + (a,a) →
+    * [aa, aa], NOT the string-replace variant's [aa, a, a]). The
+    * DuckDB mirror is a `list_reduce` fold with a list accumulator
+    * ([[bpeTrainSql]]) — element-for-element the same scan. */
+  private def bpeApply(syms: Vector[String], l: String, r: String): Vector[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+      else acc :+ x
+    }
+
+  /** BPE merge-table TRAINER — learns the merge table that
+    * [[graft.functions.Subword]]-style appliers consume, completing
+    * the tokenizer story (train here, apply in `pack_sequences_bpe` /
+    * `source_mix_bpe`). Two stages: (1) DISTRIBUTED — one corpus scan
+    * to word counts, top-[[BpeVocabCap]] cut (TakeOrdered, bounded
+    * driver traffic); (2) DRIVER — [[BpeMerges]] greedy rounds over
+    * the dictionary: count adjacent symbol pairs weighted by word
+    * count (overlapping, `zip(s, s[1:])` semantics), pick max with
+    * (count DESC, l ASC, r ASC) tie-break, apply via [[bpeApply]].
+    * Every count is an exact integer and the tie-break is total, so
+    * the learned table is bit-deterministic and hash-gated: the
+    * oracle re-derives each round as an unrolled CTE chain (pair
+    * counts → argmax → list_reduce re-segmentation), the same
+    * static-unroll pattern as [[graft.kmeans.KMeansOracle]]. */
+  def bpeTrainOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val dict = docs
+      .select(explode(toks(lower($"text"))).as("w"))
+      .where($"w".rlike("^[!-~]+$"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w").limit(BpeVocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Vector[String], Long)] =
+      dict.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (rank <- 1 to BpeMerges) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for { (syms, n) <- words; w <- syms.sliding(2) if w.size == 2 }
+        pc((w(0), w(1))) = pc.getOrElse((w(0), w(1)), 0L) + n
+      if (pc.nonEmpty) {
+        val ((l, r), cnt) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+        words = words.map { case (syms, n) => (bpeApply(syms, l, r), n) }
+        out += ((rank, l, r, l + r, cnt))
+      }
+    }
+    out.result().toDF("merge_rank", "l_sym", "r_sym", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainOn(Tables(s, dir, "documents"))
+
+  /** The trainer's oracle: [[BpeMerges]] rounds unrolled statically.
+    * `w{i}` = the dictionary re-segmented after i merges (symbol
+    * LISTS), `p{i}` = weighted adjacent-pair counts over `w{i-1}`,
+    * `m{i}` = that round's argmax under the (cnt DESC, l, r) total
+    * order. All multiply-referenced CTEs are AS MATERIALIZED (DuckDB
+    * inlines per reference; the kmeans chain hit exponential
+    * expansion without it). */
+  val bpeTrainSql: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT t.syms[g.i] AS l_sym, t.syms[g.i+1] AS r_sym,
+         |    sum(t.n)::BIGINT AS cnt
+         |  FROM w${r - 1} t,
+         |    LATERAL (SELECT unnest(generate_series(1, len(t.syms)-1)) AS i) g
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (
+         |  SELECT l_sym, r_sym, cnt FROM p$r
+         |  ORDER BY cnt DESC, l_sym, r_sym LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT list_reduce(
+         |      list_transform(t.syms, s -> [s]),
+         |      (acc, x) -> CASE WHEN acc[len(acc)] = m.l_sym
+         |                        AND x[1] = m.r_sym
+         |                  THEN acc[:len(acc)-1] || [m.l_sym || m.r_sym]
+         |                  ELSE acc || x END) AS syms, t.n
+         |  FROM w${r - 1} t, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeMerges).map { r =>
+      if (r == 1)
+        s"""SELECT 1 AS merge_rank, l_sym, r_sym, l_sym||r_sym AS merged,
+           |  cnt AS pair_count FROM m1""".stripMargin
+      else s"SELECT $r, l_sym, r_sym, l_sym||r_sym, cnt FROM m$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH dict AS MATERIALIZED (
+       |  SELECT w, count(*)::BIGINT AS n
+       |  FROM (SELECT unnest($duckToks) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[!-~]+$$')
+       |  GROUP BY w ORDER BY n DESC, w LIMIT $BpeVocabCap),
+       |w0 AS MATERIALIZED (
+       |  SELECT string_split(trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' ')
+       |    AS syms, n FROM dict),
+       |$rounds
+       |SELECT * FROM (
+       |  $union
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train" -> (bpeTrain(_, _)),
     "ngram_novelty" -> (ngramNovelty(_, _)),
     "repetition_score" -> (repetitionScore(_, _)),
     "pii_redact" -> (piiRedact(_, _)),
@@ -732,6 +855,7 @@ object TextAnalysis {
     "tfidf_topk" -> (tfidfTopK(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "bpe_train" -> bpeTrainSql,
     "ngram_novelty" -> ngramNoveltySql,
     "repetition_score" -> repetitionScoreSql,
     "pii_redact" -> piiRedactSql,

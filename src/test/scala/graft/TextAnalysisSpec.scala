@@ -173,6 +173,35 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bpe_train: hand-computed merges, list-based run semantics") {
+    val s = spark
+    import s.implicits._
+    // 'aaaa' ×3 pins the canonical list-based apply: round 1 learns
+    // (a,a) (6 pairs/doc-word × 3 = 18 — overlapping zip counting),
+    // and re-segmentation gives [aa, aa] so round 2 can learn
+    // (aa, aa) cnt 3; the string-replace variant would leave
+    // [aa, a, a] and learn (aa,a)/(a,a) instead
+    val planted = Seq(
+      (1L, "x", "aaaa aaaa aaaa lo lo lo lo"),
+      (2L, "x", "lo low lower"))
+      .toDF("doc_id", "source", "text")
+    val out = operators.TextAnalysis.bpeTrainOn(planted).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // word counts: aaaa:3, lo:5, low:1, lower:1 → round-1 pairs:
+    // (a,a):3·3=9, (l,o):5+1+1=7, (o,w):2, (w,e):1, (e,r):1
+    assert(out(0) == ((1, "a", "a", "aa", 9L)))
+    // after [aa,aa] resegmentation: (aa,aa):3 vs (l,o):7 → (l,o) wins
+    assert(out(1) == ((2, "l", "o", "lo", 7L)))
+    // then (aa,aa):3 beats (lo,w):2
+    assert(out(2) == ((3, "aa", "aa", "aaaa", 3L)))
+    assert(out(3) == ((4, "lo", "w", "low", 2L)))
+    // deterministic under repartitioning (dict cut is a total order)
+    val again = operators.TextAnalysis.bpeTrainOn(planted.repartition(7))
+      .collect().map(r => r.getString(3))
+    assert(again.toSeq == out.map(_._4).toSeq)
+  }
+
   test("lang_id and quality_score plans tokenize once") {
     val sf = "/root/testdata/sf0.001"
     for (q <- Seq("lang_id", "quality_score")) {

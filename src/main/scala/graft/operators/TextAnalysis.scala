@@ -762,14 +762,24 @@ object TextAnalysis {
     * oracle re-derives each round as an unrolled CTE chain (pair
     * counts → argmax → list_reduce re-segmentation), the same
     * static-unroll pattern as [[graft.kmeans.KMeansOracle]]. */
-  def bpeTrainOn(docs: DataFrame): DataFrame = {
+  /** The trainer's one distributed stage: word counts → top-V cut.
+    * orderBy+limit plans as TakeOrderedAndProject (per-partition top-V
+    * merged on the driver — no global sort; PlanShapeSpec asserts),
+    * so driver traffic is ≤ cap rows at any corpus size. */
+  private[graft] def bpeDict(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val dict = docs
+    docs
       .select(explode(toks(lower($"text"))).as("w"))
       .where($"w".rlike("^[!-~]+$"))
       .groupBy($"w").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"w").limit(BpeVocabCap)
+  }
+
+  def bpeTrainOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val dict = bpeDict(docs)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var words: Array[(Vector[String], Long)] =
       dict.map { case (w, n) => (w.map(_.toString).toVector, n) }

@@ -149,6 +149,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bpe_train: dictionary cut is TakeOrderedAndProject, not a global sort") {
+    val dict = operators.TextAnalysis
+      .bpeDict(Tables(spark, sf, "documents"))
+    val plan = dict.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-V cut must plan as TakeOrderedAndProject: $plan")
+    assert(!plan.contains("GlobalSort") && !plan.contains("Sort ["),
+      s"no global sort may precede the cut: $plan")
+  }
+
   test("ann_lsh: the candidate-dedup exchange carries ids only") {
     val plan = SparkEntry.queries("ann_lsh")(spark, sf).queryExecution.executedPlan
     val candExchanges = plan.collect { case e: ShuffleExchangeExec => e }

@@ -77,6 +77,28 @@ object Sinks {
       .option("mode", "DROPMALFORMED")
       .csv(path)
 
+  /** ORC export — the columnar interchange format where the downstream
+    * stack is Hive/Trino-centric. Same shard-count contract as
+    * [[writeJsonl]]. ORC files carry per-stripe min/max statistics
+    * (plus optional per-column bloom filters via `bloomCols`), so
+    * predicate pushdown and column pruning work exactly as with the
+    * internal parquet format — SinksSpec asserts the filter reaches
+    * the ORC scan as a pushed predicate. */
+  def writeOrc(df: DataFrame, path: String, numFiles: Int = 0,
+      bloomCols: Seq[String] = Nil): Unit = {
+    val out = if (numFiles > 0) df.repartition(numFiles) else df
+    val w = out.write.mode(SaveMode.Overwrite)
+    (if (bloomCols.nonEmpty)
+       w.option("orc.bloom.filter.columns", bloomCols.mkString(","))
+     else w).orc(path)
+  }
+
+  /** ORC read — self-describing footer schema like parquet, so no
+    * inference pass and no required-schema contract ([[readJsonl]] /
+    * [[readCsv]] need one only because text formats are schemaless). */
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Range-clustered parquet layout: `repartitionByRange` routes each
     * sort-key range to one output file and `sortWithinPartitions`
     * orders rows inside it, so every file's parquet footer carries a

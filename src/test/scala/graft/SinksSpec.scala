@@ -65,6 +65,29 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read.count() == 2)
   }
 
+  test("ORC: shard export, footer-schema round-trip, filter pushed to scan") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft_orc").toString + "/docs"
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    Sinks.writeOrc(docs, out, numFiles = 2, bloomCols = Seq("lang"))
+    val shards = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".orc"))
+    assert(shards.length == 2, "repartitioned to the requested shard count")
+    val back = Sinks.readOrc(spark, out)
+    assert(back.count() == docs.count())
+    assert(back.select($"doc_id", $"text").except(
+      docs.select($"doc_id", $"text")).isEmpty)
+    // predicate pushdown + column pruning reach the ORC scan
+    val q = back.filter($"lang" === "de").select($"doc_id")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,de)]"),
+      s"filter must push to the ORC scan: $scan")
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"scan must prune to the two referenced columns: $scan")
+    assert(q.count() == docs.filter($"lang" === "de").count())
+  }
+
   test("CSV: quoted round-trip incl. embedded delimiters/newlines, garbage dropped") {
     val s = spark
     import s.implicits._

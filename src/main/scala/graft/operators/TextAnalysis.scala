@@ -776,9 +776,11 @@ object TextAnalysis {
       .orderBy($"n".desc, $"w").limit(BpeVocabCap)
   }
 
-  def bpeTrainOn(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
+  /** The driver-side trainer core: learned merge rows + the dictionary
+    * in its final segmentation. One distributed count ([[bpeDict]]),
+    * then [[BpeMerges]] greedy rounds over ≤ [[BpeVocabCap]] words. */
+  private def bpeCore(docs: DataFrame)
+      : (Seq[(Int, String, String, String, Long)], Seq[(Vector[String], Long)]) = {
     val dict = bpeDict(docs)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var words: Array[(Vector[String], Long)] =
@@ -794,12 +796,38 @@ object TextAnalysis {
         out += ((rank, l, r, l + r, cnt))
       }
     }
-    out.result().toDF("merge_rank", "l_sym", "r_sym", "merged", "pair_count")
+    (out.result(), words.toSeq)
+  }
+
+  def bpeTrainOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    bpeCore(docs)._1
+      .toDF("merge_rank", "l_sym", "r_sym", "merged", "pair_count")
       .orderBy("merge_rank")
   }
 
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeTrainOn(Tables(s, dir, "documents"))
+
+  /** The dictionary AFTER training: each word's learned segmentation
+    * and subword-token count — what a tokenizer ships alongside the
+    * merge table, and the direct view of what the merges bought
+    * (frequent words collapse toward single tokens, rare ones stay
+    * char-split). Same hash gate: the oracle reads the chain's final
+    * `w{[[BpeMerges]]}` and reconstructs the word from its symbols. */
+  def bpeVocabOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    bpeCore(docs)._2
+      .map { case (syms, n) =>
+        (syms.mkString, syms.mkString(" "), syms.size, n) }
+      .toDF("w", "seg", "n_tokens", "n")
+      .orderBy("w")
+  }
+
+  def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    bpeVocabOn(Tables(s, dir, "documents"))
 
   /** The trainer's oracle: [[BpeMerges]] rounds unrolled statically.
     * `w{i}` = the dictionary re-segmented after i merges (symbol
@@ -808,7 +836,9 @@ object TextAnalysis {
     * order. All multiply-referenced CTEs are AS MATERIALIZED (DuckDB
     * inlines per reference; the kmeans chain hit exponential
     * expansion without it). */
-  val bpeTrainSql: String = {
+  /** The shared WITH-chain: dictionary, char-split `w0`, and per-round
+    * `p{i}`/`m{i}`/`w{i}` CTEs (see [[bpeTrainSql]]'s scaladoc). */
+  private val bpeChainSql: String = {
     val rounds = (1 to BpeMerges).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT t.syms[g.i] AS l_sym, t.syms[g.i+1] AS r_sym,
@@ -828,12 +858,6 @@ object TextAnalysis {
          |                  ELSE acc || x END) AS syms, t.n
          |  FROM w${r - 1} t, m$r m)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to BpeMerges).map { r =>
-      if (r == 1)
-        s"""SELECT 1 AS merge_rank, l_sym, r_sym, l_sym||r_sym AS merged,
-           |  cnt AS pair_count FROM m1""".stripMargin
-      else s"SELECT $r, l_sym, r_sym, l_sym||r_sym, cnt FROM m$r"
-    }.mkString("\n  UNION ALL ")
     s"""WITH dict AS MATERIALIZED (
        |  SELECT w, count(*)::BIGINT AS n
        |  FROM (SELECT unnest($duckToks) AS w FROM documents)
@@ -842,14 +866,31 @@ object TextAnalysis {
        |w0 AS MATERIALIZED (
        |  SELECT string_split(trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' ')
        |    AS syms, n FROM dict),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val union = (1 to BpeMerges).map { r =>
+      if (r == 1)
+        s"""SELECT 1 AS merge_rank, l_sym, r_sym, l_sym||r_sym AS merged,
+           |  cnt AS pair_count FROM m1""".stripMargin
+      else s"SELECT $r, l_sym, r_sym, l_sym||r_sym, cnt FROM m$r"
+    }.mkString("\n  UNION ALL ")
+    s"""$bpeChainSql
        |SELECT * FROM (
        |  $union
        |) ORDER BY merge_rank""".stripMargin
   }
 
+  val bpeVocabSql: String =
+    s"""$bpeChainSql
+       |SELECT array_to_string(syms, '') AS w, array_to_string(syms, ' ') AS seg,
+       |  len(syms)::INT AS n_tokens, n
+       |FROM w$BpeMerges ORDER BY w""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> (bpeTrain(_, _)),
+    "bpe_vocab" -> (bpeVocab(_, _)),
     "ngram_novelty" -> (ngramNovelty(_, _)),
     "repetition_score" -> (repetitionScore(_, _)),
     "pii_redact" -> (piiRedact(_, _)),
@@ -866,6 +907,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "bpe_train" -> bpeTrainSql,
+    "bpe_vocab" -> bpeVocabSql,
     "ngram_novelty" -> ngramNoveltySql,
     "repetition_score" -> repetitionScoreSql,
     "pii_redact" -> piiRedactSql,

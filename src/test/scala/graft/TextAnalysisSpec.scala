@@ -202,6 +202,27 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.toSeq == out.map(_._4).toSeq)
   }
 
+  test("bpe_vocab: final segmentation reflects the learned merges") {
+    val s = spark
+    import s.implicits._
+    val planted = Seq(
+      (1L, "x", "aaaa aaaa aaaa lo lo lo lo"),
+      (2L, "x", "lo low lower"))
+      .toDF("doc_id", "source", "text")
+    // same corpus as the trainer test: merges (a,a), (l,o), (aa,aa),
+    // (lo,w) land within the 12 rounds, so the dictionary segments as
+    val out = operators.TextAnalysis.bpeVocabOn(planted).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(out("aaaa")._1 == "aaaa" && out("aaaa")._2 == 1)
+    assert(out("lo") == (("lo", 1, 5L)))
+    assert(out("low") == (("low", 1, 1L)))
+    // 'lower': low + e + r unless (low,e)/(e,r) merges fire first —
+    // with counts 1 they can; just assert prefix + token arithmetic
+    assert(out("lower")._1.replace(" ", "") == "lower")
+    assert(out("lower")._2 == out("lower")._1.count(_ == ' ') + 1)
+  }
+
   test("lang_id and quality_score plans tokenize once") {
     val sf = "/root/testdata/sf0.001"
     for (q <- Seq("lang_id", "quality_score")) {

@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB correctness compare.
 
-Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out [only,names]
 
 For each <name> dir in outDir: read spark parquet result, run oracle_sql.json
 [name] in DuckDB with the sf tables registered as views, sort columns by name,
 sort rows, round-trip to strings, compare.  Not the driver's exact code, but
 the same contract (row/schema/value match).
+
+The optional 3rd arg restricts to a comma-separated name list (local fast
+loop / targeted sf1 re-checks).  Per-query progress streams to STDERR as
+each oracle finishes — the sf1 gate runs >1 h and is otherwise opaque.
 """
 import sys, json, glob, os, math
 import duckdb
@@ -53,7 +57,8 @@ def cells_equal(x, y) -> bool:
             return False
     return str(x) == str(y)
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, only=None):
+    import time
     con = duckdb.connect()
     # the sf1-scale oracles (dedup_simhash, kmeans_fit_trace) spill past
     # DuckDB's default memory governor and die on spill disk without an
@@ -72,8 +77,9 @@ def main(sfdir, outdir):
         results[name] = "MISSING OUTPUT (query failed in Verify?)" 
     for name in sorted(os.listdir(outdir)):
         d = os.path.join(outdir, name)
-        if not os.path.isdir(d):
+        if not os.path.isdir(d) or (only and name not in only):
             continue
+        t0 = time.time()
         files = glob.glob(f"{d}/*.parquet")
         spark_df = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetchdf()
@@ -100,6 +106,8 @@ def main(sfdir, outdir):
                 results[name] = "VALUE MISMATCH " + " | ".join(diffs)
             else:
                 results[name] = f"OK ({len(a_str)} rows)"
+        print(f"[..] {name}: {results[name]} ({time.time()-t0:.1f}s)",
+              file=sys.stderr, flush=True)
     bad = 0
     for k, v in sorted(results.items()):
         flag = "PASS" if v.startswith(("OK", "rows-only")) else "FAIL"
@@ -109,4 +117,5 @@ def main(sfdir, outdir):
     sys.exit(1 if bad else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None)

@@ -21,9 +21,23 @@ object KMeansOracle {
     * ([[KMeansQueries.iterated]]) rounds identically. */
   def centroidChain(pointsSql: String, k: Int, iters: Int): String = {
     // pids need not be unique (the testdata has duplicate rows), so the
-    // assignment is a per-row LATERAL argmin, not a row_number-per-pid
-    // trick; init ordering includes (x, y) so ties on pid stay
-    // deterministic across engines.
+    // assignment must be per point ROW. K is known at generation time,
+    // so the K centroids are PIVOTED into one wide row (cp{i}: x1..xK,
+    // y1..yK) cross-joined in, and the argmin is pure vectorized scalar
+    // arithmetic: d1..dK inline, `least(d1..dK)` for the minimum, and a
+    // first-match CASE chain for the id — `least` returns one of its
+    // inputs bitwise, so `CASE WHEN d1 = md THEN 1 WHEN d2 = md ...`
+    // picks the SMALLEST cid among exact ties, the contract tie-break.
+    // Two rejected forms, both computing identical rows: a LATERAL
+    // `ORDER BY dist LIMIT 1` (DuckDB flattens the dependent join into
+    // a points×K materialization per stage — at sf1 the 70-stage fit
+    // chain spilled >80 GB of temp and died on disk) and a
+    // list-of-structs lambda argmin (no spill, but per-row struct
+    // allocation ran the sf1 pair past 90 CPU-minutes). The pivoted
+    // scalar form was verified row-identical to both on sf0.01 before
+    // the switch. Same distance expression, same operand order, so the
+    // doubles are bit-identical across all three forms. init ordering
+    // includes (x, y) so ties on pid stay deterministic across engines.
     // pts and every c{i} are referenced several times (c{i} by the next
     // assignment, the next coalesce, and — in the fitTrace chain — the
     // convergence flags and the final union); MATERIALIZED stops DuckDB
@@ -37,11 +51,9 @@ object KMeansOracle {
          |  FROM (SELECT pid, x, y FROM pts ORDER BY pid, x, y LIMIT $k))""".stripMargin
     val steps = (1 to iters).map { i =>
       val prev = s"c${i - 1}"
-      s"""a$i AS (
-         |  SELECT p.x, p.y, l.cid FROM pts p, LATERAL (
-         |    SELECT c.cid FROM $prev c
-         |    ORDER BY (p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y), c.cid
-         |    LIMIT 1) l),
+      s"""cp$i AS (${pivotK(prev, k)}),
+         |a$i AS (
+         |${argminK(s"cp$i", k)}),
          |m$i AS (
          |  SELECT cid, avg(x) AS ax, avg(y) AS ay, count(*) AS n
          |  FROM a$i GROUP BY cid),
@@ -51,6 +63,33 @@ object KMeansOracle {
          |  FROM $prev i LEFT JOIN m$i m USING (cid))""".stripMargin
     }
     (init +: steps).mkString(",\n")
+  }
+
+  /** One-row pivot of `src(cid, x, y)` — cids are exactly 1..k by
+    * construction (row_number init, preserved by every boundary's LEFT
+    * JOIN) — into columns x1..xk / y1..yk. */
+  private def pivotK(src: String, k: Int): String =
+    "SELECT " + (1 to k).map(j =>
+      s"max(CASE WHEN cid = $j THEN x END) AS x$j, " +
+        s"max(CASE WHEN cid = $j THEN y END) AS y$j").mkString(", ") +
+      s" FROM $src"
+
+  /** Per-point-row nearest-centroid pick against the pivoted one-row
+    * centroid CTE `cp`: inline d1..dk, `least` for the minimum, and a
+    * first-match CASE chain for the id (`least` returns one of its
+    * inputs bitwise, so exact distance ties resolve to the smallest
+    * cid — the contract tie-break). Emits rows (x, y, cid). */
+  private def argminK(cp: String, k: Int): String = {
+    val ds = (1 to k).map(j =>
+      s"(p.x-cp.x$j)*(p.x-cp.x$j)+(p.y-cp.y$j)*(p.y-cp.y$j) AS d$j")
+      .mkString(",\n      ")
+    val md = (1 to k).map(j => s"d$j").mkString(", ")
+    val cid = (1 to k).map(j => s"WHEN d$j = md THEN $j").mkString(" ")
+    s"""  SELECT x, y, CAST(CASE $cid END AS INT) AS cid FROM (
+       |    SELECT p.x, p.y,
+       |      $ds,
+       |      least($md) AS md
+       |    FROM pts p, $cp cp)""".stripMargin
   }
 
   def initSql(pointsSql: String, k: Int): String =
@@ -87,18 +126,18 @@ object KMeansOracle {
        |FROM sel ORDER BY cid""".stripMargin
 
   /** [[KMeansQueries.fit]]'s oracle — the [[fitTraceSql]] pieces plus
-    * the model's cluster sizes: one final LATERAL-argmin assignment of
+    * the model's cluster sizes: one final list-argmin assignment of
     * every point to the picked (converged) centroids, counted per cid —
     * the same extra pass the Spark query runs after its shared
     * [[KMeans.fitLoop]] core. Empty clusters keep size 0 via the LEFT
     * JOIN coalesce, mirroring the Spark side's getOrElse(0). */
   def fitSql(pointsSql: String, k: Int, cap: Int): String =
     s"""WITH ${tracePieces(pointsSql, k, cap)},
+       |selp AS (${pivotK("sel", k)}),
        |fa AS (
-       |  SELECT l.cid, count(*) AS n FROM pts p, LATERAL (
-       |    SELECT c.cid FROM sel c
-       |    ORDER BY (p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y), c.cid
-       |    LIMIT 1) l GROUP BY l.cid)
+       |  SELECT cid, count(*) AS n FROM (
+       |${argminK("selp", k)})
+       |  GROUP BY cid)
        |SELECT s.cid, round(s.x, 4) AS x, round(s.y, 4) AS y,
        |  CAST(coalesce(f.n, 0) AS BIGINT) AS size,
        |  CAST(s.n AS INT) AS n_iter, s.converged AS converged

@@ -480,6 +480,90 @@ object Similarity {
     }
   }
 
+  // ------------------------------------------------------------- IVF+PQ
+
+  /** IVF+PQ composite — the production layout for ANN over a corpus
+    * that cannot be brute-force scanned per query (the IVFADC scheme
+    * of Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): the IVF coarse index bounds the scan to
+    * `nprobe` inverted lists, PQ codes score the survivors in the
+    * compressed domain (per-query ADC lookup tables), and an exact
+    * re-rank of the shortlist restores true cosines. Both trained
+    * artifacts are the MEMOIZED ones the standalone operators use
+    * ([[ivfCentroids]], [[pqModel]]) — one index, trained once, serves
+    * every probe shape, and the bench prices training under
+    * `ann_train_build`.
+    *
+    * Scale shape: the fact side is the ~50×-compressed codes frame
+    * joined to a slim `(vec_id, list_id)` routing projection — full
+    * vectors are read only by the routing scan and the pushed-filter
+    * shortlist re-rank. Per-query ADC tables (M×K doubles) and probe
+    * sets are plan LITERALS, so candidate scoring is one codegen'd
+    * pass over the codes with no vector shuffle anywhere. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    annIvfPqWith(s, dir, NProbe, PqRerank)
+
+  /** The composite EXACTNESS ANCHOR: nprobe = nlist makes routing a
+    * no-op (every list probed) and rerank ≥ corpus makes the ADC
+    * shortlist the whole corpus, so the output is brute force by
+    * construction — oracle-checked against [[annBruteForceSql]] while
+    * still exercising routing, the codes join, ADC scoring, and the
+    * re-rank. The production shape ([[annIvfPq]]) stays rows-only with
+    * its recall spec, like the other approximate defaults. */
+  def annIvfPqExact(s: SparkSession, dir: String): DataFrame =
+    annIvfPqWith(s, dir, NList, Int.MaxValue)
+
+  private def annIvfPqWith(s: SparkSession, dir: String,
+      nprobe: Int, rerank: Int): DataFrame = {
+    import s.implicits._
+    val cents = ivfCentroids(s, dir)
+    val model = pqModel(s, dir)
+    val (cb, subdim) = (model.cb, model.dim / PqBlocks)
+    // slim routing projection: ids only, vectors stay in the scan
+    val lists = embedded(s, dir)
+      .withColumn("ds", centroidCosines(cents))
+      .withColumn("list_id",
+        expr("CAST(array_position(ds, array_max(ds)) - 1 AS INT)"))
+      .select($"vec_id", $"list_id")
+    val coded = model.codes.join(lists, Seq("vec_id"))
+    // query side: probe sets + ADC tables, driver-computed literals
+    // (queries and centroids are already K-row driver state). The
+    // probe ranking mirrors [[annIvfProbing]]'s (cos DESC, list_id)
+    // sort, with the same left-to-right dot fold → identical doubles.
+    val qs = embedded(s, dir).filter($"vec_id" < NumQueries)
+      .orderBy($"vec_id").select($"vec_id", $"v", $"nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val scored = qs.map { case (qId, qv, qn) =>
+      val probe = cents.map { case (lid, cv, cn) =>
+        (-cv.zip(qv).map { case (x, y) => x * y }.sum / (qn * cn), lid)
+      }.sorted.take(nprobe).map(_._2).toSeq
+      val tables = Array.tabulate(PqBlocks) { b =>
+        cb(b).map(c => c.zip(qv.slice(b * subdim, (b + 1) * subdim))
+          .map { case (x, y) => x * y }.sum).toSeq
+      }
+      val approxDot = (0 until PqBlocks).map(b =>
+        element_at(typedlit(tables(b)), col("codes")(b) + 1)).reduce(_ + _)
+      struct(lit(qId).as("q_id"), typedlit(probe).as("probe"),
+        (approxDot / (lit(qn) * col("vn"))).as("approx"))
+    }
+    val approx = coded
+      .select($"vec_id", $"list_id", explode(array(scored: _*)).as("qa"))
+      .filter(array_contains($"qa.probe", $"list_id") && $"vec_id" =!= $"qa.q_id")
+      .select($"vec_id", $"qa.q_id".as("q_id"), $"qa.approx".as("approx"))
+    val w = Window.partitionBy($"q_id").orderBy($"approx".desc, $"vec_id")
+    val candIds = approx.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= rerank)
+      .select($"q_id", $"vec_id")
+    // exact re-rank of the shortlist (fresh pushed-filter scans)
+    val qVecs = embedded(s, dir).filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val cands = candIds
+      .join(embedded(s, dir).select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("q_id"))
+      .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"nrm"))
+    topk(cands)
+  }
+
   // ------------------------------------------------------------ clusters
 
   /** Number of deterministic cluster seeds. */
@@ -577,6 +661,8 @@ object Similarity {
     "ann_ivf_exact" -> (annIvfExact(_, _)),
     "ann_pq" -> (annPq(_, _)),
     "ann_pq_exact" -> (annPqExact(_, _)),
+    "ann_ivf_pq" -> (annIvfPq(_, _)),
+    "ann_ivf_pq_exact" -> (annIvfPqExact(_, _)),
     "ann_lsh" -> (annLsh(_, _)),
     "ann_lsh_exact" -> (annLshExact(_, _)))
 
@@ -588,5 +674,6 @@ object Similarity {
     // zero new SQL
     "ann_ivf_exact" -> annBruteForceSql,
     "ann_pq_exact" -> annBruteForceSql,
+    "ann_ivf_pq_exact" -> annBruteForceSql,
     "ann_lsh_exact" -> annBruteForceSql)
 }

@@ -102,6 +102,32 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5)
   }
 
+  test("IVF+PQ composite recall@10 vs brute force, reported cosines exact") {
+    val out = Similarity.annIvfPq(spark, sf)
+    val approx = neighborSets(out)
+    val recall = exact.map { case (q, ns) =>
+      ns.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / ns.size
+    }.sum / exact.size
+    info(f"IVF+PQ recall@10 = $recall%.3f (nprobe=${Similarity.NProbe}/${Similarity.NList}, rerank=${Similarity.PqRerank})")
+    // routing loss compounds with compressed-domain loss, so the floor
+    // sits at the product of the family floors (0.9 × 0.7)
+    assert(recall >= 0.6)
+    // the exact re-rank means every REPORTED cosine is the true one
+    val exactCos = Similarity.annBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    out.collect().foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(r.getDouble(3) == c, s"cosine must be exact for ${(r.getLong(0), r.getLong(1))}")
+      }
+    }
+  }
+
+  test("IVF+PQ exactness anchor: nprobe=nlist + full rerank reproduces brute force") {
+    val bf = Similarity.annBruteForce(spark, sf).collect().map(_.toSeq).toSeq
+    val anchor = Similarity.annIvfPqExact(spark, sf).collect().map(_.toSeq).toSeq
+    assert(anchor == bf)
+  }
+
   test("LSH exactness anchor: 0 planes reproduces brute force") {
     val bf = Similarity.annBruteForce(spark, sf).collect().map(_.toSeq).toSeq
     val anchor = Similarity.annLshExact(spark, sf).collect().map(_.toSeq).toSeq

@@ -469,10 +469,16 @@ object Similarity {
         .filter($"rk" <= rerank)
         .select($"q_id", $"vec_id")
 
-      // ---- exact re-rank of the shortlist (fresh pushed-filter scans)
+      // ---- exact re-rank of the shortlist: at production depths the
+      // shortlist is queries×rerank bare ids — BROADCAST it so the
+      // re-rank probes the corpus scan shuffle-free and full vectors
+      // never enter an exchange; the anchor's corpus-sized shortlist
+      // keeps the shuffled join
+      val shortlist =
+        if (rerank == Int.MaxValue) candIds else broadcast(candIds)
       val qVecs = embedded(s, dir).filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
-      val cands = candIds
+      val cands = shortlist
         .join(embedded(s, dir).select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
         .join(broadcast(qVecs), Seq("q_id"))
         .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"nrm"))
@@ -554,10 +560,17 @@ object Similarity {
     val candIds = approx.withColumn("rk", row_number().over(w))
       .filter($"rk" <= rerank)
       .select($"q_id", $"vec_id")
-    // exact re-rank of the shortlist (fresh pushed-filter scans)
+    // exact re-rank of the shortlist: at production depths the
+    // shortlist is queries×rerank rows of bare ids — BROADCAST it so
+    // the re-rank is a shuffle-free probe of the corpus scan and full
+    // vectors never enter an exchange (plan-asserted in
+    // PlanShapeSpec). The exactness anchor's corpus-sized shortlist
+    // keeps the shuffled join.
+    val shortlist =
+      if (rerank == Int.MaxValue) candIds else broadcast(candIds)
     val qVecs = embedded(s, dir).filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
-    val cands = candIds
+    val cands = shortlist
       .join(embedded(s, dir).select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
       .join(broadcast(qVecs), Seq("q_id"))
       .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"nrm"))

@@ -149,6 +149,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ann_ivf_pq: no exchange carries full vectors") {
+    // the composite's contract: vectors are read only by the routing
+    // scan and the re-rank probe — every shuffle moves codes, slim
+    // routing ids, or scalar scores; the bounded shortlist broadcasts
+    val plan = SparkEntry.queries("ann_ivf_pq")(spark, sf)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val fields = e.child.schema.fieldNames.toSet
+      assert(!fields.contains("v") && !fields.contains("qv"),
+        s"no shuffle may carry full vectors, got $fields")
+    }
+  }
+
   test("bpe_train: dictionary cut is TakeOrderedAndProject, not a global sort") {
     val dict = operators.TextAnalysis
       .bpeDict(Tables(spark, sf, "documents"))

@@ -27,7 +27,8 @@ object SparkEntry {
     operators.CorpusOps.queries ++
     operators.EventAnalytics.queries ++
     operators.BloomPrune.queries ++
-    operators.Warehouse.queries ++ Map(
+    operators.Warehouse.queries ++
+    operators.LangModel.queries ++ Map(
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "lineitem")
@@ -57,7 +58,8 @@ object SparkEntry {
     operators.CorpusOps.oracles ++
     operators.EventAnalytics.oracles ++
     operators.BloomPrune.oracles ++
-    operators.Warehouse.oracles ++ Map(
+    operators.Warehouse.oracles ++
+    operators.LangModel.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Log2Fixed, PolyHash}
+import graft.functions.TextFeatures.{duckToks, toks}
+
+/** Model-based corpus filtering — the two scoring stages a training-data
+  * pipeline runs after dedup (CCNet, Wenzek et al. 2020; the reference
+  * engine has no text surface at all, its only scoring is the K-Means
+  * distance in mapper.py:58-66):
+  *
+  *  1. an n-gram language model scoring every document's cross-entropy
+  *     (perplexity filtering — keep/bucket docs by how "wiki-like" they
+  *     are), here a bigram add-1 model TRAINED ON THE CORPUS ITSELF in
+  *     one pass, and
+  *  2. a hashed-feature linear classifier (fastText-style quality
+  *     scorer) with a fixed literal weight vector.
+  *
+  * Both are exactly reproducible in DuckDB — every count is an integer,
+  * the classifier margin is an integer, and the LM's log2 is
+  * [[graft.functions.Log2Fixed]] (shift-and-square fixed point, no libm
+  * call anywhere) — so unlike real-world perplexity filters these are
+  * hash-gated end to end, per-document.
+  *
+  * Scale design (100 TB): the vocabulary is a TakeOrderedAndProject cut
+  * to [[LmVocab]] rows broadcast to the token scan; the bigram model is
+  * BOUNDED BY CONSTRUCTION at (|vocab|+2)² rows regardless of corpus
+  * size — both of a smoothed bigram's words collapse to the vocab ∪
+  * {&lt;s&gt;, &lt;unk&gt;} closed set — so the trained model broadcasts
+  * too and scoring is one shuffle-free map-side join over the event
+  * scan. [[Log2Fixed]] runs once per DISTINCT smoothed bigram (≤ 264k),
+  * not once per token; the per-document reduction is a BIGINT sum —
+  * order-independent, no float accumulation anywhere. The only wide
+  * exchanges are the token-count partial aggregate and the per-document
+  * lag window (the sessionize pattern: hash-partition by doc_id).
+  */
+object LangModel {
+
+  /** Vocabulary cut — everything rarer maps to `<unk>`. */
+  val LmVocab = 512
+
+  /** Rows reported by the model dump / score queries. */
+  val TopBigrams = 50
+  val TopDocs = 100
+
+  /** (doc_id, pos, w): lowercased whitespace tokens with their 1-based
+    * document position (the lag window's sort key). */
+  private def tokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", posexplode(toks(lower($"text"))))
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("w"))
+  }
+
+  /** Top-[[LmVocab]] words by (count desc, word) — deterministic cut. */
+  private def vocabOf(tok: DataFrame): DataFrame = {
+    import tok.sparkSession.implicits._
+    tok.groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w").limit(LmVocab).select($"w")
+  }
+
+  /** Scored events (doc_id, w1, w2): each token conditioned on its
+    * predecessor (or `<s>` at position 1), both mapped through the
+    * vocabulary (OOV → `<unk>`). */
+  private def eventsOf(tok: DataFrame, vocab: DataFrame): DataFrame = {
+    import tok.sparkSession.implicits._
+    val mapped = tok
+      .join(broadcast(vocab.withColumn("hit", lit(1))), Seq("w"), "left")
+      .select($"doc_id", $"pos",
+        when($"hit".isNotNull, $"w").otherwise(lit("<unk>")).as("wm"))
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    mapped.select($"doc_id",
+      lag($"wm", 1, "<s>").over(byPos).as("w1"), $"wm".as("w2"))
+  }
+
+  /** The trained model: one row per observed smoothed bigram with its
+    * count `n2`, add-1 numerator `a`, context denominator `b`
+    * (context count + |vocab|+1), and fixed-point cost `lbits`. */
+  private def modelOf(events: DataFrame, vocab: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val c2 = events.groupBy($"w1", $"w2").agg(count(lit(1)).as("n2"))
+    val c1 = c2.groupBy($"w1").agg(sum($"n2").as("n1"))
+    val vt = vocab.agg((count(lit(1)) + 1).as("vtot"))
+    c2.join(c1, "w1").crossJoin(broadcast(vt))
+      .select($"w1", $"w2", $"n2",
+        ($"n2" + 1).as("a"), ($"n1" + $"vtot").as("b"))
+      .withColumn("lbits", Log2Fixed($"a", $"b"))
+  }
+
+  /** Shared DuckDB CTE chain ending in the model table `lt`. */
+  private def duckModel: String =
+    s"""tt AS (SELECT doc_id, $duckToks AS tk FROM documents),
+       |tok AS (
+       |  SELECT doc_id, pos, tk[pos] AS w
+       |  FROM tt, unnest(range(1, len(tk) + 1)) AS u(pos)),
+       |vocab AS (
+       |  SELECT w FROM (
+       |    SELECT w, count(*) AS n FROM tok GROUP BY w
+       |    ORDER BY n DESC, w LIMIT $LmVocab)),
+       |m AS (
+       |  SELECT t.doc_id, t.pos,
+       |    CASE WHEN v.w IS NULL THEN '<unk>' ELSE t.w END AS wm
+       |  FROM tok t LEFT JOIN vocab v ON t.w = v.w),
+       |ev AS (
+       |  SELECT c.doc_id, coalesce(p.wm, '<s>') AS w1, c.wm AS w2
+       |  FROM m c LEFT JOIN m p
+       |    ON p.doc_id = c.doc_id AND p.pos = c.pos - 1),
+       |c2 AS (SELECT w1, w2, count(*) AS n2 FROM ev GROUP BY w1, w2),
+       |c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+       |ab AS (
+       |  SELECT c2.w1, c2.w2, n2, n2 + 1 AS a,
+       |    n1 + (SELECT count(*) + 1 FROM vocab) AS b
+       |  FROM c2 JOIN c1 ON c2.w1 = c1.w1),
+       |lt AS (${Log2Fixed.duckUnroll("SELECT * FROM ab")})""".stripMargin
+
+  /** The LM head: the [[TopBigrams]] most frequent smoothed bigrams with
+    * their integer counts and fixed-point costs — gates the trainer AND
+    * the no-libm logarithm directly under the hash compare. */
+  def lmBigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = tokens(s, dir)
+    val vocab = vocabOf(tok)
+    modelOf(eventsOf(tok, vocab), vocab)
+      .orderBy($"n2".desc, $"w1", $"w2").limit(TopBigrams)
+  }
+
+  val lmBigramsSql: String =
+    s"""WITH $duckModel
+       |SELECT w1, w2, CAST(n2 AS BIGINT) AS n2, CAST(a AS BIGINT) AS a,
+       |  CAST(b AS BIGINT) AS b, CAST(lbits AS BIGINT) AS lbits
+       |FROM lt ORDER BY n2 DESC, w1, w2 LIMIT $TopBigrams""".stripMargin
+
+  /** Per-document cross-entropy under the corpus bigram model, in bits
+    * per token (fixed-point, one exact final division): the perplexity
+    * filter's ranking — the [[TopDocs]] most surprising documents
+    * surface first (the ones a CCNet-style pipeline drops or buckets
+    * last). `bits_sum` is the exact integer Σ lbits over the document's
+    * events, so the hash gate covers the score itself, not a float
+    * echo of it. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = tokens(s, dir)
+    val vocab = vocabOf(tok)
+    val events = eventsOf(tok, vocab)
+    val model = modelOf(events, vocab)
+    events
+      // bounded model (≤ (LmVocab+2)² rows) → broadcast: scoring joins
+      // map-side against the event scan, no shuffle of the corpus
+      .join(broadcast(model.select($"w1", $"w2", $"lbits")), Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_events"), sum($"lbits").as("bits_sum"))
+      .select($"doc_id", $"n_events", $"bits_sum",
+        round($"bits_sum".cast("double") /
+          ($"n_events" * lit(Log2Fixed.Scale)).cast("double"), 4).as("xent"))
+      .orderBy($"xent".desc, $"doc_id").limit(TopDocs)
+  }
+
+  val lmScoreSql: String =
+    s"""WITH $duckModel,
+       |sc AS (
+       |  SELECT e.doc_id, count(*) AS n_events,
+       |    CAST(sum(lbits) AS BIGINT) AS bits_sum
+       |  FROM ev e JOIN lt ON e.w1 = lt.w1 AND e.w2 = lt.w2
+       |  GROUP BY e.doc_id)
+       |SELECT doc_id, CAST(n_events AS BIGINT) AS n_events, bits_sum,
+       |  round(CAST(bits_sum AS DOUBLE) /
+       |    CAST(n_events * ${Log2Fixed.Scale} AS DOUBLE), 4) AS xent
+       |FROM sc ORDER BY xent DESC, doc_id LIMIT $TopDocs""".stripMargin
+
+  /** Hashed-feature buckets of the linear quality scorer. */
+  val ClfBuckets = 64
+
+  /** The fixed literal weight vector — derived from the bucket index by
+    * a Weyl-style integer recurrence so both engines inline the same 64
+    * literals; integer weights keep the margin exact. (A production
+    * pipeline would load trained weights; the PLUMBING — hashed
+    * features, broadcast weights, one-scan scoring — is what's real
+    * here, per the multimodal-stub convention.) */
+  val ClfWeights: Seq[Long] =
+    (0 until ClfBuckets).map(j => (j * 2654435761L) % 2001L - 1000L)
+
+  /** fastText-style linear quality classifier: every token hashes to one
+    * of [[ClfBuckets]] weight buckets ([[PolyHash]] — the engine's
+    * portable feature hash), a document's margin is the integer sum of
+    * its tokens' weights, keep = margin > 0. Reported per language:
+    * docs, keeps, exact margin sum, mean margin. One codegen'd corpus
+    * scan + one fixed-width aggregate; the weight table is a literal
+    * array lookup inside the scan (no join at all). Zero-token
+    * documents score margin 0 (kept = false). */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val margins = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        aggregate(
+          transform(toks(lower($"text")),
+            w => element_at(typedlit(ClfWeights),
+              (pmod(PolyHash(w), lit(ClfBuckets)) + 1).cast("int"))),
+          lit(0L), (acc, x) => acc + x).as("margin"))
+    margins.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"margin" > 0, 1L).otherwise(0L)).as("n_keep"),
+        sum($"margin").as("sum_margin"),
+        round(sum($"margin").cast("double") /
+          count(lit(1)).cast("double"), 4).as("avg_margin"))
+      .orderBy($"lang")
+  }
+
+  val qualityClassifierSql: String = {
+    val wl = ClfWeights.mkString("[", ", ", "]")
+    s"""WITH mg AS (
+       |  SELECT doc_id, lang,
+       |    CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($duckToks,
+       |        w -> ($wl)[CAST(${PolyHash.duckSql("w")} % $ClfBuckets
+       |                    AS INT) + 1])),
+       |      (acc, x) -> acc + x), 0) AS BIGINT) AS margin
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep,
+       |  CAST(sum(margin) AS BIGINT) AS sum_margin,
+       |  round(CAST(sum(margin) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+       |    AS avg_margin
+       |FROM mg GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_bigrams" -> (lmBigrams(_, _)),
+    "lm_score" -> (lmScore(_, _)),
+    "quality_classifier" -> (qualityClassifier(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "lm_bigrams" -> lmBigramsSql,
+    "lm_score" -> lmScoreSql,
+    "quality_classifier" -> qualityClassifierSql)
+}

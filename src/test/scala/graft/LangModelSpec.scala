@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.Log2Fixed
+import graft.operators.LangModel
+
+/** The LM filter's determinism rests on [[Log2Fixed]] never touching
+  * libm — these pin (a) the algorithm's accuracy against the double
+  * log it replaces, (b) the exact truncation semantics the DuckDB
+  * unroll mirrors, and (c) the scoring plan's scale shape (bounded
+  * model broadcast, no corpus-side shuffle join). */
+class LangModelSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("Log2Fixed within one fixed-point ulp of -log2(a/b), never below") {
+    val rng = new scala.util.Random(7)
+    val cases = Seq.tabulate(5000) { _ =>
+      val b = 1L + rng.nextInt(1 << 24)
+      val a = 1L + (rng.nextLong().abs % b)
+      (a, b)
+    } ++ Seq((1L, 1L), (1L, 2L), (1L, 1L << 24), ((1L << 24) - 1, 1L << 24))
+    for ((a, b) <- cases) {
+      val got = Log2Fixed.bits(a, b)
+      val want = -math.log(a.toDouble / b) / math.log(2.0) * Log2Fixed.Scale
+      // frac bits truncate toward zero, so the fixed-point value can
+      // only round the COST up: got ∈ [want, want + 1)
+      assert(got >= want - 1e-6 && got < want + 1.0 + 1e-6,
+        s"bits($a, $b) = $got, continuous = $want")
+    }
+  }
+
+  test("Log2Fixed is monotone in the probability it scores") {
+    // a/b decreasing => cost non-decreasing (the filter ranks by it)
+    val b = 1000003L
+    val costs = Seq(1000003L, 500000L, 10000L, 100L, 5L, 1L)
+      .map(a => Log2Fixed.bits(a, b))
+    assert(costs == costs.sorted, s"not monotone: $costs")
+  }
+
+  test("lm_score: model stays bounded and scoring join is broadcast") {
+    val df = LangModel.lmScore(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"scoring join must broadcast the bounded model, got:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == LangModel.TopDocs)
+    // xent = bits_sum / (n_events * 2^16) exactly, and every event was
+    // scored (a lost join row would deflate n_events below the token
+    // count the window produced)
+    for (r <- rows) {
+      val (n, bits, xent) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0 && bits > 0)
+      assert(math.abs(xent - bits.toDouble / (n * Log2Fixed.Scale)) < 5e-5)
+    }
+  }
+
+  test("quality_classifier: zero-token documents count, margin 0") {
+    val s = spark
+    import s.implicits._
+    val out = LangModel.qualityClassifier(spark, "/root/testdata/sf0.001")
+    assert(out.columns.toSeq ==
+      Seq("lang", "n_docs", "n_keep", "sum_margin", "avg_margin"))
+    val total = out.agg(sum($"n_docs")).as[Long].head()
+    val nDocs = Tables(spark, "/root/testdata/sf0.001", "documents").count()
+    assert(total == nDocs, "every document must be scored, token-less included")
+  }
+}

@@ -915,6 +915,67 @@ object Dedup {
        |WHERE cosine >= $CosineTau
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    * find near-dup pairs INSIDE each cluster — the blocking key comes
+    * from the data itself (nearest literal seed by cosine,
+    * [[Similarity.clusterAssigned]]) instead of a metadata label, so
+    * semantically-near duplicates that straddle label blocks still
+    * meet. Everything downstream of the assignment is
+    * [[dedupEmbeddingOn]] verbatim with cluster id as the label:
+    * same exact verify, same [[HotBlockCap]] routing for a cluster
+    * that captures a super-linear share of the corpus (K-Means
+    * clusters skew exactly that way — the guard matters MORE here
+    * than for metadata blocks). Assignment is one codegen'd scan
+    * against K literal seeds (no shuffle carries vectors); the pair
+    * stage shuffles ids by cluster. Test-scale clusters sit under the
+    * cap, so the oracle sees the pure exact path (the crossed regime
+    * is DedupSpec's planted-hot-label territory). */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dedupEmbeddingOn(
+      Similarity.clusterAssigned(s, dir)
+        .select($"vec_id", $"cluster_seed".as("label"), $"v", $"nrm"),
+      HotBlockCap)
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(v, x -> x*x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, v AS sv, nrm AS snrm FROM n
+       |  ORDER BY ${graft.functions.PolyHash.duckSql(
+            "CAST(vec_id AS VARCHAR) || '#seed'")}, vec_id
+       |  LIMIT ${Similarity.ClusterK}),
+       |scored AS (
+       |  SELECT c.vec_id, s.seed_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(c.v) + 1), i -> c.v[i] * s.sv[i])),
+       |      (acc, x) -> acc + x) / (c.nrm * s.snrm) AS cos
+       |  FROM n c CROSS JOIN seeds s),
+       |best AS (
+       |  SELECT vec_id, seed_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, seed_id) AS rk
+       |    FROM scored)
+       |  WHERE rk = 1)
+       |SELECT a_id, b_id, cosine FROM (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+       |      (acc, x) -> acc + x) / (a.nrm * b.nrm), 4) AS cosine
+       |  FROM n a JOIN best ba ON a.vec_id = ba.vec_id
+       |  JOIN best bb ON ba.seed_id = bb.seed_id AND ba.vec_id < bb.vec_id
+       |  JOIN n b ON b.vec_id = bb.vec_id)
+       |WHERE cosine >= $CosineTau
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** Sub-quadratic embedding dedup — the 100-TB path [[dedupEmbedding]]
     * is the exactness baseline for: candidate pairs share a random-
     * hyperplane LSH bucket (same [[Similarity.Tables_]] × 8-bucket
@@ -1422,6 +1483,7 @@ object Dedup {
     "dedup_minhash" -> (dedupMinHash(_, _)),
     "dedup_simhash" -> (dedupSimHash(_, _)),
     "dedup_embedding" -> (dedupEmbedding(_, _)),
+    "dedup_semantic" -> (dedupSemantic(_, _)),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh(_, _)),
     "dedup_embedding_lsh_exact" -> (dedupEmbeddingLshExact(_, _)),
     "dedup_survivors" -> (dedupSurvivors(_, _)))
@@ -1437,6 +1499,7 @@ object Dedup {
     "dedup_minhash" -> dedupMinHashSql,
     "dedup_simhash" -> dedupSimHashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_semantic" -> dedupSemanticSql,
     // the exactness anchor degenerates to the exact operator by
     // construction (0 planes ⇒ all same-label pairs) — same oracle
     "dedup_embedding_lsh_exact" -> dedupEmbeddingSql,

@@ -608,6 +608,18 @@ object Similarity {
     * across engines because both fold left-to-right over doubles. */
   def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    clusterAssigned(s, dir)
+      .groupBy($"cluster_seed")
+      .agg(count(lit(1)).as("n_members"), round(avg($"cos"), 4).as("avg_cos"))
+      .orderBy($"cluster_seed")
+  }
+
+  /** The assignment half of [[embeddingClusters]], exposed row-wise:
+    * (vec_id, label, v, nrm, cluster_seed, cos). This is the blocking
+    * key [[graft.operators.Dedup.dedupSemantic]] deduplicates within —
+    * SemDeDup's "cluster, then dedup inside each cluster" shape. */
+  private[operators] def clusterAssigned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val emb = embedded(s, dir)
     val seeds = emb
       .withColumn("h", graft.functions.PolyHash(
@@ -631,9 +643,7 @@ object Similarity {
       when($"cluster_seed" === sid, col(s"c_$sid")).otherwise(els)
     }
     tagged.withColumn("cos", chosenCos)
-      .groupBy($"cluster_seed")
-      .agg(count(lit(1)).as("n_members"), round(avg($"cos"), 4).as("avg_cos"))
-      .orderBy($"cluster_seed")
+      .select($"vec_id", $"label", $"v", $"nrm", $"cluster_seed", $"cos")
   }
 
   val embeddingClustersSql: String =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{PolyHash, SimHash64, WordNgrams, WordNgramHashes, TextFeatures => TF}
@@ -976,6 +977,106 @@ object Dedup {
        |WHERE cosine >= $CosineTau
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Seed length (tokens) for repeated-span detection: a match of
+    * [[SpanK]] consecutive tokens starts a span; runs of overlapping
+    * seed matches merge into maximal spans. */
+  val SpanK = 8
+
+  /** Occurrence cap per seed hash — an 8-gram repeated more than this
+    * many times across the corpus is boilerplate (licence headers,
+    * navigation chrome) whose position pairs would square; capped
+    * grams drop from seeding (the [[NgramDfCap]] trade, documented
+    * recall cost on ultra-viral spans only). */
+  val SpanOccCap = 64L
+
+  val TopSpans = 50
+
+  /** Cross-document repeated SPANS (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * regime): the longest token runs appearing verbatim in two
+    * different documents. Doc-level Jaccard ([[dedupNgram]]) misses a
+    * long quotation inside two otherwise-different documents; this
+    * operator finds the quotation itself.
+    *
+    * Where the paper builds a corpus-wide suffix array (a single-node
+    * data structure), the distributed shape is seed-and-extend — the
+    * same maximal-run merge, reorganized into three bounded stages:
+    * positioned [[SpanK]]-token seed hashes (62-bit dual-base packs,
+    * collision odds ~n²/2^63) in one codegen'd scan; an occurrence-
+    * capped self-join on the seed hash (posting-list discipline); and
+    * a gaps-and-islands merge per (a, b, diagonal) — consecutive seed
+    * positions on one diagonal are one maximal span of
+    * run + [[SpanK]] − 1 tokens. The merge window partitions by
+    * (pair, diagonal): state is one row number, no quadratic anywhere,
+    * and every stage keys on hashes/ids only — no text shuffles.
+    * Within-document repetition is [[TextAnalysis.repetitionScore]]'s
+    * territory; this operator is strictly cross-document (a < b). */
+  def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    dedupSpansOn(Tables(s, dir, "documents"), SpanOccCap)
+
+  /** [[dedupSpans]] over an explicit (doc_id, text) frame with an
+    * explicit occurrence cap — spec surface. */
+  def dedupSpansOn(docs: DataFrame, occCap: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val g = docs
+      .select($"doc_id",
+        posexplode(TF.wordNgrams(TF.toks(lower($"text")), SpanK)))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
+        (graft.functions.PolyHash($"col") +
+          graft.functions.PolyHash($"col", 131) * lit(2147483648L)).as("gh"))
+    val rareHashes = g.groupBy($"gh").agg(count(lit(1)).as("occ"))
+      .filter($"occ" <= occCap).select($"gh")
+    val r = g.join(rareHashes, "gh")
+    val m = r.as("a").join(r.as("b"),
+        $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+        $"a.pos".as("pa"), $"b.pos".as("pb"))
+      .withColumn("diag", $"pa" - $"pb")
+    val byDiag = Window.partitionBy($"a_id", $"b_id", $"diag").orderBy($"pa")
+    m.withColumn("isl", $"pa" - row_number().over(byDiag))
+      .groupBy($"a_id", $"b_id", $"diag", $"isl")
+      .agg(min($"pa").as("a_start"), min($"pb").as("b_start"),
+        (count(lit(1)) + lit(SpanK - 1)).as("span_toks"))
+      .select($"a_id", $"b_id", $"a_start", $"b_start", $"span_toks")
+      .orderBy($"span_toks".desc, $"a_id", $"b_id", $"a_start", $"b_start")
+      .limit(TopSpans)
+  }
+
+  val dedupSpansSql: String =
+    s"""WITH tt AS (SELECT doc_id, ${TF.duckToks} AS tk FROM documents),
+       |gr AS (
+       |  SELECT doc_id, pos,
+       |    ${graft.functions.WordNgramHashes.duckSql("gram")} AS gh
+       |  FROM (
+       |    SELECT doc_id, pos,
+       |      ${(0 until SpanK).map(j =>
+                if (j == 0) "tk[pos]" else s"tk[pos + $j]")
+                .mkString(" || ' ' || ")} AS gram
+       |    FROM tt, unnest(range(1, len(tk) - ${SpanK - 2})) AS u(pos)
+       |    WHERE len(tk) >= $SpanK)),
+       |rare AS (
+       |  SELECT gr.* FROM gr JOIN (
+       |    SELECT gh FROM (SELECT gh, count(*) AS occ FROM gr GROUP BY gh)
+       |    WHERE occ <= $SpanOccCap) o USING (gh)),
+       |m AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa, b.pos AS pb,
+       |    a.pos - b.pos AS diag
+       |  FROM rare a JOIN rare b
+       |    ON a.gh = b.gh AND a.doc_id < b.doc_id),
+       |i AS (
+       |  SELECT *, pa - row_number() OVER (
+       |    PARTITION BY a_id, b_id, diag ORDER BY pa) AS isl
+       |  FROM m),
+       |sp AS (
+       |  SELECT a_id, b_id, min(pa) AS a_start, min(pb) AS b_start,
+       |    CAST(count(*) + ${SpanK - 1} AS BIGINT) AS span_toks
+       |  FROM i GROUP BY a_id, b_id, diag, isl)
+       |SELECT a_id, b_id, CAST(a_start AS BIGINT) AS a_start,
+       |  CAST(b_start AS BIGINT) AS b_start, span_toks
+       |FROM sp
+       |ORDER BY span_toks DESC, a_id, b_id, a_start, b_start
+       |LIMIT $TopSpans""".stripMargin
+
   /** Sub-quadratic embedding dedup — the 100-TB path [[dedupEmbedding]]
     * is the exactness baseline for: candidate pairs share a random-
     * hyperplane LSH bucket (same [[Similarity.Tables_]] × 8-bucket
@@ -1484,6 +1585,7 @@ object Dedup {
     "dedup_simhash" -> (dedupSimHash(_, _)),
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "dedup_semantic" -> (dedupSemantic(_, _)),
+    "dedup_spans" -> (dedupSpans(_, _)),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh(_, _)),
     "dedup_embedding_lsh_exact" -> (dedupEmbeddingLshExact(_, _)),
     "dedup_survivors" -> (dedupSurvivors(_, _)))
@@ -1500,6 +1602,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimHashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "dedup_spans" -> dedupSpansSql,
     // the exactness anchor degenerates to the exact operator by
     // construction (0 planes ⇒ all same-label pairs) — same oracle
     "dedup_embedding_lsh_exact" -> dedupEmbeddingSql,

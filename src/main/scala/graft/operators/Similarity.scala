@@ -142,6 +142,53 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
 
+  /** Hard-negative mining — the contrastive-training data op (a
+    * retrieval/embedding model trains on `(query, positive, HARD
+    * negative)` triples, and the hard negatives are exactly the
+    * highest-cosine vectors that are NOT the query's class): per query
+    * vector, the top-k most similar vectors with a DIFFERENT label.
+    * Same broadcast-query/one-scan/window shape as [[annBruteForce]] —
+    * the label predicate rides inside the codegen'd scan, so mining
+    * negatives costs the same one corpus pass as mining neighbors; at
+    * 100 TB the scan parallelizes per-partition with zero vector
+    * shuffle (ids+cos into the final k-row-per-query TakeOrdered). */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embedded(s, dir)
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"v".as("qv"), $"nrm".as("qn"))
+    val cands = e.join(broadcast(q), $"label" =!= $"q_label")
+      .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"nrm"))
+    topk(cands)
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(v, x -> x*x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cos
+       |  FROM n q JOIN n c ON c.label != q.label
+       |  WHERE q.vec_id < $NumQueries),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, n_id) AS INT) AS rk
+       |  FROM scored)
+       |SELECT q_id, n_id, rk, round(cos, 4) AS cosine
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+
   // ------------------------------------------------------------------ IVF
 
   val NList = 16
@@ -680,6 +727,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_clusters" -> (embeddingClusters(_, _)),
     "ann_bruteforce" -> (annBruteForce(_, _)),
+    "hard_negatives" -> (hardNegatives(_, _)),
     "ann_ivf" -> (annIvf(_, _)),
     "ann_ivf_exact" -> (annIvfExact(_, _)),
     "ann_pq" -> (annPq(_, _)),
@@ -692,6 +740,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "embedding_clusters" -> embeddingClustersSql,
     "ann_bruteforce" -> annBruteForceSql,
+    "hard_negatives" -> hardNegativesSql,
     // the exactness anchors degrade to brute force by construction
     // (nprobe = nlist / rerank ≥ corpus / 0 planes) — same oracle,
     // zero new SQL

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.Dedup
+
+/** Planted-span checks for the cross-document repeated-span detector:
+  * the islands merge must report the exact maximal run, spans on
+  * different diagonals must not fuse, and the occurrence cap must
+  * drop boilerplate seeds. */
+class DedupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def words(prefix: String, n: Int): Seq[String] =
+    (1 to n).map(i => s"$prefix$i")
+
+  test("a planted 20-token shared run reports one maximal span") {
+    val s = spark
+    import s.implicits._
+    val shared = words("q", 20)
+    // doc 1 carries the quote at token 6, doc 2 at token 11 — all
+    // surrounding filler is unique so only the quote seeds matches
+    val d1 = (words("a", 5) ++ shared ++ words("b", 5)).mkString(" ")
+    val d2 = (words("c", 10) ++ shared ++ words("d", 7)).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val out = Dedup.dedupSpansOn(docs, Dedup.SpanOccCap).collect()
+    assert(out.length == 1, out.mkString("; "))
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getLong(2) == 6L && r.getLong(3) == 11L, s"starts: $r")
+    assert(r.getLong(4) == 20L, s"span length: $r")
+  }
+
+  test("two occurrences in one document yield two diagonals, not a fused run") {
+    val s = spark
+    import s.implicits._
+    val quote = words("z", Dedup.SpanK) // exactly one seed long
+    val d1 = (quote ++ words("x", 4) ++ quote).mkString(" ")
+    val d2 = (words("y", 3) ++ quote).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val out = Dedup.dedupSpansOn(docs, Dedup.SpanOccCap)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the quote sits at doc-1 positions 1 and 13, doc-2 position 4:
+    // two separate spans of exactly SpanK tokens
+    assert(out.toSet == Set((1L, 4L, Dedup.SpanK.toLong),
+      (13L, 4L, Dedup.SpanK.toLong)), out.mkString("; "))
+  }
+
+  test("seeds over the occurrence cap stop seeding spans") {
+    val s = spark
+    import s.implicits._
+    val viral = words("v", Dedup.SpanK).mkString(" ")
+    // the viral 8-gram appears in every doc; cap 3 < 4 occurrences
+    val docs = (1L to 4L).map(i => (i, s"u${i}a u${i}b $viral u${i}c"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupSpansOn(docs, occCap = 3).count() == 0)
+    // and with a permissive cap the pairs all appear (4 choose 2)
+    assert(Dedup.dedupSpansOn(docs, occCap = 64).count() == 6)
+  }
+}

@@ -1014,23 +1014,45 @@ object Dedup {
   def dedupSpans(s: SparkSession, dir: String): DataFrame =
     dedupSpansOn(Tables(s, dir, "documents"), SpanOccCap)
 
+  /** Bits reserved for the token position in a packed (doc, pos)
+    * posting: supports documents to 2M tokens and doc ids to 2^41. */
+  private val SpanPosBits = 21
+
   /** [[dedupSpans]] over an explicit (doc_id, text) frame with an
-    * explicit occurrence cap — spec surface. */
+    * explicit occurrence cap — spec surface.
+    *
+    * Posting-list formulation (the [[ngramCandidates]] discipline — an
+    * inverted-index self-join re-evaluates the gram explode per join
+    * leg, measured 3× slower there): ONE gram scan, ONE shuffle keyed
+    * by seed hash. Each hash group gathers its occurrences as packed
+    * `doc_id·2^21 + pos` longs via the bounded
+    * [[graft.functions.BoundedCollect]] (buffer ≤ cap+1 longs per
+    * group under any skew), under-cap groups expand to cross-document
+    * position pairs in one codegen'd higher-order filter; over-cap
+    * (boilerplate) groups drop — exactly the occ-filter semantics the
+    * oracle's self-join form states. */
   def dedupSpansOn(docs: DataFrame, occCap: Long): DataFrame = {
     import docs.sparkSession.implicits._
+    val pack = 1L << SpanPosBits
     val g = docs
       .select($"doc_id",
         posexplode(TF.wordNgrams(TF.toks(lower($"text")), SpanK)))
-      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
+      .select(($"doc_id" * lit(pack) + ($"pos" + 1)).as("pk"),
         (graft.functions.PolyHash($"col") +
           graft.functions.PolyHash($"col", 131) * lit(2147483648L)).as("gh"))
-    val rareHashes = g.groupBy($"gh").agg(count(lit(1)).as("occ"))
-      .filter($"occ" <= occCap).select($"gh")
-    val r = g.join(rareHashes, "gh")
-    val m = r.as("a").join(r.as("b"),
-        $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
-        $"a.pos".as("pa"), $"b.pos".as("pb"))
+    val lim = if (occCap >= Int.MaxValue) Int.MaxValue else (occCap + 1).toInt
+    val m = g.groupBy($"gh")
+      .agg(graft.functions.BoundedCollect($"pk", lim).as("pks"),
+        count(lit(1)).as("occ"))
+      .filter($"occ" <= occCap)
+      .select(explode(expr(
+        "filter(flatten(transform(pks, a -> transform(pks, b -> " +
+          "struct(a AS pa, b AS pb)))), " +
+          s"p -> shiftright(p.pa, $SpanPosBits) < shiftright(p.pb, $SpanPosBits))")).as("p"))
+      .select(shiftright($"p.pa", SpanPosBits).as("a_id"),
+        shiftright($"p.pb", SpanPosBits).as("b_id"),
+        $"p.pa".bitwiseAND(pack - 1).as("pa"),
+        $"p.pb".bitwiseAND(pack - 1).as("pb"))
       .withColumn("diag", $"pa" - $"pb")
     val byDiag = Window.partitionBy($"a_id", $"b_id", $"diag").orderBy($"pa")
     m.withColumn("isl", $"pa" - row_number().over(byDiag))

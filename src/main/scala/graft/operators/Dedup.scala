@@ -1033,6 +1033,15 @@ object Dedup {
     * oracle's self-join form states. */
   def dedupSpansOn(docs: DataFrame, occCap: Long): DataFrame = {
     import docs.sparkSession.implicits._
+    spansAll(docs, occCap)
+      .orderBy($"span_toks".desc, $"a_id", $"b_id", $"a_start", $"b_start")
+      .limit(TopSpans)
+  }
+
+  /** Every maximal cross-document span (pre-ranking) — shared by the
+    * find ([[dedupSpansOn]]) and act ([[spanRedactOn]]) halves. */
+  private def spansAll(docs: DataFrame, occCap: Long): DataFrame = {
+    import docs.sparkSession.implicits._
     val pack = 1L << SpanPosBits
     val g = docs
       .select($"doc_id",
@@ -1060,12 +1069,58 @@ object Dedup {
       .agg(min($"pa").as("a_start"), min($"pb").as("b_start"),
         (count(lit(1)) + lit(SpanK - 1)).as("span_toks"))
       .select($"a_id", $"b_id", $"a_start", $"b_start", $"span_toks")
-      .orderBy($"span_toks".desc, $"a_id", $"b_id", $"a_start", $"b_start")
-      .limit(TopSpans)
   }
 
-  val dedupSpansSql: String =
-    s"""WITH tt AS (SELECT doc_id, ${TF.duckToks} AS tk FROM documents),
+  /** Rows reported by [[spanRedact]]. */
+  val TopRedacted = 100
+
+  /** The ACT half of the span story ([[dedupSpans]] finds, this cuts —
+    * Lee et al. 2022 remove the repeated span, not the document): every
+    * maximal shared span marks its HIGHER-id side for removal (the
+    * keep-first discipline of the dedup family), per-document token
+    * intervals merge (strict-overlap islands under one window), and the
+    * report prices the cut: distinct merged spans, tokens dropped,
+    * tokens kept per affected document. Interval state is bounded by
+    * found spans, not corpus size; the merge window partitions by
+    * document. */
+  def spanRedact(s: SparkSession, dir: String): DataFrame =
+    spanRedactOn(Tables(s, dir, "documents"), SpanOccCap)
+
+  /** [[spanRedact]] over an explicit frame — spec surface. */
+  def spanRedactOn(docs: DataFrame, occCap: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val iv = spansAll(docs, occCap)
+      .select($"b_id".as("doc_id"), $"b_start".as("st"),
+        ($"b_start" + $"span_toks" - 1).as("en"))
+      .distinct() // the same (doc, interval) arrives once per a-side
+    val byStart = Window.partitionBy($"doc_id").orderBy($"st", $"en")
+    val prevMax = max($"en").over(
+      byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = iv
+      .withColumn("nf", when(prevMax.isNull || $"st" > prevMax, 1L)
+        .otherwise(0L))
+      .withColumn("isl", sum($"nf").over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"st").as("st"), max($"en").as("en"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"en" - $"st" + 1).as("tokens_dropped"))
+    val ntok = docs.select($"doc_id",
+      size(TF.toks(lower($"text"))).cast("long").as("n_tokens"))
+    merged.join(ntok, "doc_id")
+      .select($"doc_id", $"n_spans", $"tokens_dropped",
+        ($"n_tokens" - $"tokens_dropped").as("tokens_kept"))
+      .orderBy($"tokens_dropped".desc, $"doc_id")
+      .limit(TopRedacted)
+  }
+
+  /** Shared CTE chain ending in `sp` (all maximal spans) — the oracle
+    * twin of [[spansAll]]; stated as a plain inverted-index self-join
+    * with an occurrence filter (value-identical to the posting-list
+    * plan, which exists for shuffle shape, not semantics). */
+  private val duckSpansChain: String =
+    s"""tt AS (SELECT doc_id, ${TF.duckToks} AS tk FROM documents),
        |gr AS (
        |  SELECT doc_id, pos,
        |    ${graft.functions.WordNgramHashes.duckSql("gram")} AS gh
@@ -1092,12 +1147,44 @@ object Dedup {
        |sp AS (
        |  SELECT a_id, b_id, min(pa) AS a_start, min(pb) AS b_start,
        |    CAST(count(*) + ${SpanK - 1} AS BIGINT) AS span_toks
-       |  FROM i GROUP BY a_id, b_id, diag, isl)
+       |  FROM i GROUP BY a_id, b_id, diag, isl)""".stripMargin
+
+  val dedupSpansSql: String =
+    s"""WITH $duckSpansChain
        |SELECT a_id, b_id, CAST(a_start AS BIGINT) AS a_start,
        |  CAST(b_start AS BIGINT) AS b_start, span_toks
        |FROM sp
        |ORDER BY span_toks DESC, a_id, b_id, a_start, b_start
        |LIMIT $TopSpans""".stripMargin
+
+  val spanRedactSql: String =
+    s"""WITH $duckSpansChain,
+       |iv AS (
+       |  SELECT DISTINCT b_id AS doc_id, b_start AS st,
+       |    b_start + span_toks - 1 AS en
+       |  FROM sp),
+       |w1 AS (
+       |  SELECT *, max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM iv),
+       |w2 AS (
+       |  SELECT *, sum(CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY st, en
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM w1),
+       |mg AS (
+       |  SELECT doc_id, isl, min(st) AS st, max(en) AS en
+       |  FROM w2 GROUP BY doc_id, isl),
+       |ag AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(en - st + 1) AS BIGINT) AS tokens_dropped
+       |  FROM mg GROUP BY doc_id),
+       |nt AS (SELECT doc_id, len(tk) AS n_tokens FROM tt)
+       |SELECT doc_id, n_spans, tokens_dropped,
+       |  CAST(n_tokens - tokens_dropped AS BIGINT) AS tokens_kept
+       |FROM ag JOIN nt USING (doc_id)
+       |ORDER BY tokens_dropped DESC, doc_id
+       |LIMIT $TopRedacted""".stripMargin
 
   /** Sub-quadratic embedding dedup — the 100-TB path [[dedupEmbedding]]
     * is the exactness baseline for: candidate pairs share a random-
@@ -1608,6 +1695,7 @@ object Dedup {
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "dedup_semantic" -> (dedupSemantic(_, _)),
     "dedup_spans" -> (dedupSpans(_, _)),
+    "span_redact" -> (spanRedact(_, _)),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh(_, _)),
     "dedup_embedding_lsh_exact" -> (dedupEmbeddingLshExact(_, _)),
     "dedup_survivors" -> (dedupSurvivors(_, _)))
@@ -1625,6 +1713,7 @@ object Dedup {
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_spans" -> dedupSpansSql,
+    "span_redact" -> spanRedactSql,
     // the exactness anchor degenerates to the exact operator by
     // construction (0 planes ⇒ all same-label pairs) — same oracle
     "dedup_embedding_lsh_exact" -> dedupEmbeddingSql,

@@ -54,6 +54,30 @@ class DedupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
       (13L, 4L, Dedup.SpanK.toLong)), out.mkString("; "))
   }
 
+  test("span_redact merges overlapping intervals on the dropped side") {
+    val s = spark
+    import s.implicits._
+    val q = words("q", 20)
+    val d1 = (words("a", 5) ++ q ++ words("b", 5)).mkString(" ")
+    val d2 = (words("c", 10) ++ q ++ words("d", 7)).mkString(" ")
+    val d3 = (words("x", 4) ++ q ++ words("y", 4)).mkString(" ")
+    // d4 = q8..q20 then y1..y4: shares 13 tokens with d1/d2/d3 and a
+    // LONGER 17-token run with d3 — two distinct overlapping intervals
+    // that must merge to one
+    val d4 = (q.drop(7) ++ words("y", 4)).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanRedactOn(docs, Dedup.SpanOccCap)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 is lowest-id everywhere: never redacted
+    assert(!out.contains(1L))
+    assert(out(2L) == ((1L, 20L, 17L)), s"doc2: ${out.get(2L)}")
+    assert(out(3L) == ((1L, 20L, 8L)), s"doc3: ${out.get(3L)}")
+    // [1,13] (vs d1/d2) and [1,17] (vs d3) merge into one 17-token cut
+    assert(out(4L) == ((1L, 17L, 0L)), s"doc4: ${out.get(4L)}")
+  }
+
   test("seeds over the occurrence cap stop seeding spans") {
     val s = spark
     import s.implicits._

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.PolyHash
+import graft.functions.{Log2Fixed, MarkerCounts, PolyHash}
 
 /** SURVEY.md §2.E — text analysis over the `documents` table: token
   * counting, language-ID heuristic, quality scoring, document
@@ -352,6 +352,101 @@ object TextAnalysis {
        |SELECT source, w, score, rk FROM ranked
        |WHERE rk <= $TfidfTopK
        |ORDER BY source, rk""".stripMargin
+
+  // -------------------------------------------------------------- bm25
+
+  /** BM25 query terms — literals from the synthetic corpus's domain
+    * vocabulary (the retrieval use case scores a FIXED query against
+    * the corpus; a different query re-plans with different literals). */
+  val Bm25Terms: Seq[String] = Seq("dup", "data", "stream", "window", "join")
+  val Bm25TopDocs = 20
+
+  /** BM25 document ranking (k1 = 1.2, b = 0.75, the Lucene idf
+    * variant) for the fixed query — the retrieval scorer over the
+    * corpus, and bit-deterministic in a way textbook BM25 is not:
+    *
+    *  - idf: Lucene's always-positive `ln(1 + (N−df+0.5)/(df+0.5))`
+    *    is `ln` of the exact integer ratio `(2N+2)/(2df+1)`, so
+    *    [[graft.functions.Log2Fixed]] scores it in 2^-16 units with no
+    *    libm call (base-2 instead of e — a constant factor common to
+    *    every term, so the ranking is unchanged);
+    *  - tf normalization: every factor is an integer, an exactly-
+    *    representable literal (1.2 / 2.2 / 0.25 / 0.75 parse to the
+    *    same double in every engine), or a correctly-rounded IEEE
+    *    mul/div — written in one fixed parenthesization mirrored
+    *    verbatim in the oracle;
+    *  - the per-document score sums its ≤ 5 term scores in FIXED
+    *    term order (a literal expression chain, not an aggregation),
+    *    so no reduction order exists to vary.
+    *
+    * One [[MarkerCounts]] tokenize pass computes dl + all five tfs;
+    * corpus stats (N, total tokens, dfs) are one 1-row aggregate
+    * broadcast back — at 100 TB this is one scan + one K-row exchange,
+    * the [[langId]] shape with a ranking head. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mc0 = Tables(s, dir, "documents")
+      .select($"doc_id",
+        MarkerCounts($"text", Bm25Terms.map(Seq(_))).as("mc"))
+    val mc = mc0.select(
+      ($"doc_id" +: $"mc" (0).as("dl") +:
+        Bm25Terms.indices.map(i => $"mc"(i + 1).as(s"tf$i"))): _*)
+    val tot = mc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum($"dl").as("t_toks") +:
+        Bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))): _*)
+    val totIdf = tot.select(
+      ($"n_docs" +: $"t_toks" +: Bm25Terms.indices.map { i =>
+        Log2Fixed(lit(2L) * col(s"df$i") + lit(1L),
+          lit(2L) * $"n_docs" + lit(2L)).as(s"idf$i")
+      }): _*)
+    val j = mc.crossJoin(broadcast(totIdf))
+    def termScore(i: Int): Column =
+      col(s"idf$i").cast("double") * (col(s"tf$i") * lit(2.2) /
+        (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (($"dl" * $"n_docs").cast("double") / $"t_toks".cast("double")))))
+    val score = Bm25Terms.indices.map(termScore).reduceLeft(_ + _)
+    j.select($"doc_id", $"dl",
+        round(score / lit(Log2Fixed.Scale.toDouble), 4).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(Bm25TopDocs)
+  }
+
+  val bm25TopKSql: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, t -> t = '$t')) AS tf$i"
+    }.mkString(",\n       |    ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n       |    ")
+    val abRows = Bm25Terms.indices.map(i =>
+      s"SELECT $i AS ti, 2*df$i + 1 AS a, 2*n_docs + 2 AS b FROM tot")
+      .mkString("\n       |  UNION ALL ")
+    val scoreTerms = Bm25Terms.indices.map { i =>
+      s"(SELECT lbits FROM idf WHERE ti = $i)::DOUBLE * (tf$i * 2.2 / " +
+        s"(tf$i + 1.2 * (0.25 + 0.75 * " +
+        "(CAST(dl * n_docs AS DOUBLE) / CAST(t_toks AS DOUBLE)))))"
+    }.reduceLeft((acc, t) => s"($acc + $t)")
+    s"""WITH mc AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, $duckToks AS toks FROM documents)),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS t_toks,
+       |    $dfCols
+       |  FROM mc),
+       |ab AS (
+       |  $abRows),
+       |idf AS (${Log2Fixed.duckUnroll("SELECT * FROM ab")}),
+       |j AS (SELECT mc.*, tot.n_docs, tot.t_toks FROM mc CROSS JOIN tot)
+       |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       |  round($scoreTerms / ${Log2Fixed.Scale}.0, 4) AS bm25
+       |FROM j
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT $Bm25TopDocs""".stripMargin
+  }
 
   // ---------------------------------------------------------- cardinality
 
@@ -901,6 +996,7 @@ object TextAnalysis {
     "quality_score" -> (qualityScore(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)),
     "vocab_topk" -> (vocabTopK(_, _)),
+    "bm25_topk" -> (bm25TopK(_, _)),
     "word_lift" -> (wordLift(_, _)),
     "heavy_hitters" -> (heavyHitters(_, _)),
     "tfidf_topk" -> (tfidfTopK(_, _)))
@@ -919,6 +1015,7 @@ object TextAnalysis {
     "quality_score" -> qualityScoreSql,
     "doc_fingerprint" -> docFingerprintSql,
     "vocab_topk" -> vocabTopKSql,
+    "bm25_topk" -> bm25TopKSql,
     "word_lift" -> wordLiftSql,
     "heavy_hitters" -> heavyHittersSql)
 }

@@ -43,6 +43,35 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** At-ingest quality gate — the deployment shape of the batch
+    * model-based filters ([[graft.operators.LangModel]]): artifacts
+    * TRAINED in the batch world (the vocabulary cut, the classifier
+    * weight table) ship into the stream job as literals, and scoring
+    * is then PURE per-row expression work — classifier margin
+    * (integer sum over hashed weight buckets), OOV count against the
+    * trained vocabulary, token count, keep flag — no streaming state,
+    * no join, no shuffle; the scan parallelizes per micro-batch
+    * exactly like the batch scan parallelizes per split. Works on a
+    * batch OR streaming docs frame (StreamingSpec asserts
+    * batch-equality on out-of-order micro-batches); a model refresh
+    * is a job restart with new literals, the standard artifact-
+    * rollout story. Inputs: docs (doc_id, text). */
+  def streamingQualityGate(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    import graft.operators.LangModel
+    val ts = graft.functions.TextFeatures.toks(lower(col("text")))
+    val vlit = typedlit(vocab)
+    docs.select(
+      col("doc_id"),
+      aggregate(
+        transform(ts, w => element_at(typedlit(LangModel.ClfWeights),
+          (pmod(graft.functions.PolyHash(w),
+            lit(LangModel.ClfBuckets)) + 1).cast("int"))),
+        lit(0L), (acc, x) => acc + x).as("margin"),
+      size(ts).cast("long").as("n_tokens"),
+      size(filter(ts, w => !array_contains(vlit, w))).cast("long").as("n_oov"))
+      .withColumn("keep", col("margin") > 0)
+  }
+
   /** Stream-stream temporal range join — the at-ingest twin of the
     * batch [[graft.operators.EventAnalytics.clickErrorRange]]: pairs
     * every error with the same user's clicks from the preceding hour,

@@ -181,6 +181,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last(2) == ((10.0, 11.0, 2L))) // (9,9),(11,13) → mean (10,11)
   }
 
+  test("streamingQualityGate: stream scoring equals the batch expression") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val vocab = Seq("alpha", "beta", "gamma")
+    val rows = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha unknown beta"),
+      (3L, ""),                       // zero tokens: margin 0, kept=false
+      (4L, "totally novel words here"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingQualityGate(
+        mem.toDF().toDF("doc_id", "text"), vocab)
+      .writeStream.format("memory").queryName("sqgate")
+      .outputMode("append").start()
+    mem.addData(rows(3), rows(1)) // out of order across batches
+    q.processAllAvailable()
+    mem.addData(rows(0), rows(2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sqgate").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    val batch = StreamOps.streamingQualityGate(
+        rows.toDF("doc_id", "text"), vocab).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(batch(3L) == ((0L, 0L, 0L, false)))
+    assert(batch(2L)._3 == 1L, "one OOV token in doc 2")
+  }
+
   test("streamingDedup: duplicate content dropped across micro-batches") {
     val s = spark
     import s.implicits._

@@ -372,7 +372,55 @@ object CorpusOps {
        |FROM keyed GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** The corpus data card — the (lang × source) ROLLUP summary a
+    * pipeline publishes beside a released dataset (per-cell and
+    * marginal grains in ONE pass; Spark computes all three grains
+    * map-side, the partial-agg discipline of `rollup_agg`): document
+    * and token volume, character volume, and the model-filter outcome
+    * (keep count under [[LangModel.marginOf]]'s integer margin, mean
+    * margin). Every cell is integers + one final division, so the
+    * whole card sits under the hash gate. */
+  def corpusCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextFeatures => TFF}
+    val d = Tables(s, dir, "documents").select(
+      $"lang", $"source", $"n_chars",
+      size(TFF.toks(lower($"text"))).cast("long").as("nt"),
+      LangModel.marginOf($"text").as("margin"))
+    d.rollup($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"nt").as("n_tokens"),
+        sum($"n_chars").as("sum_chars"),
+        sum(when($"margin" > 0, 1L).otherwise(0L)).as("n_keep"),
+        round(sum($"margin").cast("double") /
+          count(lit(1)).cast("double"), 4).as("avg_margin"))
+      .select(coalesce($"lang", lit("ALL")).as("lang"),
+        coalesce($"source", lit("ALL")).as("source"),
+        $"n_docs", $"n_tokens", $"sum_chars", $"n_keep", $"avg_margin")
+      .orderBy($"lang", $"source")
+  }
+
+  val corpusCardSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, source, n_chars,
+       |    len(${graft.functions.TextFeatures.duckToks}) AS nt,
+       |    ${LangModel.duckMargin} AS margin
+       |  FROM documents)
+       |SELECT coalesce(lang, 'ALL') AS lang,
+       |  coalesce(source, 'ALL') AS source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep,
+       |  round(CAST(sum(margin) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+       |    AS avg_margin
+       |FROM d
+       |GROUP BY ROLLUP (lang, source)
+       |ORDER BY lang, source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_card" -> (corpusCard(_, _)),
     "source_mix" -> (sourceMix(_, _)),
     "source_mix_bpe" -> (sourceMixBpe(_, _)),
     "decontaminate" -> (decontaminate(_, _)),
@@ -382,6 +430,7 @@ object CorpusOps {
     "pack_sequences_bpe" -> (packSequencesBpe(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "corpus_card" -> corpusCardSql,
     "source_mix" -> sourceMixSql,
     "source_mix_bpe" -> sourceMixBpeSql,
     "decontaminate" -> decontaminateSql,

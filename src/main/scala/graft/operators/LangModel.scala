@@ -191,15 +191,30 @@ object LangModel {
     * scan + one fixed-width aggregate; the weight table is a literal
     * array lookup inside the scan (no join at all). Zero-token
     * documents score margin 0 (kept = false). */
+  /** The classifier margin of a text column — the integer fold shared
+    * by [[qualityClassifier]], `corpus_card`, and the streaming gate's
+    * scaladoc contract. */
+  def marginOf(text: Column): Column =
+    aggregate(
+      transform(toks(lower(text)),
+        w => element_at(typedlit(ClfWeights),
+          (pmod(PolyHash(w), lit(ClfBuckets)) + 1).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** DuckDB expression computing [[marginOf]] over column `text`. */
+  val duckMargin: String = {
+    val wl = ClfWeights.mkString("[", ", ", "]")
+    s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($duckToks,
+       |        w -> ($wl)[CAST(${PolyHash.duckSql("w")} % $ClfBuckets
+       |                    AS INT) + 1])),
+       |      (acc, x) -> acc + x) AS BIGINT)""".stripMargin
+  }
+
   def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val margins = Tables(s, dir, "documents")
-      .select($"doc_id", $"lang",
-        aggregate(
-          transform(toks(lower($"text")),
-            w => element_at(typedlit(ClfWeights),
-              (pmod(PolyHash(w), lit(ClfBuckets)) + 1).cast("int"))),
-          lit(0L), (acc, x) => acc + x).as("margin"))
+      .select($"doc_id", $"lang", marginOf($"text").as("margin"))
     margins.groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(when($"margin" > 0, 1L).otherwise(0L)).as("n_keep"),
@@ -210,14 +225,8 @@ object LangModel {
   }
 
   val qualityClassifierSql: String = {
-    val wl = ClfWeights.mkString("[", ", ", "]")
     s"""WITH mg AS (
-       |  SELECT doc_id, lang,
-       |    CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform($duckToks,
-       |        w -> ($wl)[CAST(${PolyHash.duckSql("w")} % $ClfBuckets
-       |                    AS INT) + 1])),
-       |      (acc, x) -> acc + x), 0) AS BIGINT) AS margin
+       |  SELECT doc_id, lang, $duckMargin AS margin
        |  FROM documents)
        |SELECT lang, count(*) AS n_docs,
        |  CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{BoundedCollect, DotProduct, FrequentWords, PolyHash, SimHash64, WordNgramHashes, WordNgrams}
+import graft.functions.{BoundedCollect, DotProduct, FrequentWords, Log2Fixed, PolyHash, SimHash64, WordNgramHashes, WordNgrams}
 
 /** SQL surface for the engine's native expressions. Register with
   *
@@ -75,6 +75,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("bounded_collect", args, 2)
         BoundedCollect(args.head, intArg(args(1), "bounded_collect limit"))
           .toAggregateExpression()
+      }))
+    ext.injectFunction((FunctionIdentifier("log2_fixed"),
+      info("log2_fixed",
+        "log2_fixed(a, b) - -log2(a/b) in 2^-16 fixed point for 1 <= a <= b, no libm (bit-identical across engines)"),
+      (args: Seq[Expression]) => {
+        arity("log2_fixed", args, 2); Log2Fixed(args.head, args(1))
       }))
     ext.injectFunction((FunctionIdentifier("frequent_words"),
       info("frequent_words",

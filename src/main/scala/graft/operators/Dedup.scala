@@ -1052,11 +1052,22 @@ object Dedup {
     val lim = if (occCap >= Int.MaxValue) Int.MaxValue else (occCap + 1).toInt
     val m = g.groupBy($"gh")
       .agg(graft.functions.BoundedCollect($"pk", lim).as("pks"),
-        count(lit(1)).as("occ"))
-      .filter($"occ" <= occCap)
+        count(lit(1)).as("occ"),
+        min($"pk").as("mnpk"), max($"pk").as("mxpk"))
+      // a gram whose occurrences all sit in ONE document (within-doc
+      // repetition — common) yields no cross-document pair but would
+      // still expand occ² structs; doc(min pk) < doc(max pk) ⟺ ≥ 2
+      // distinct docs, and the filter runs before any expansion
+      .filter($"occ" <= occCap &&
+        shiftright($"mnpk", SpanPosBits) < shiftright($"mxpk", SpanPosBits))
+      // upper-triangle expansion over the SORTED postings: each element
+      // pairs only with its successors (occ²/2 structs, not occ²), and
+      // the cross-doc filter keeps a<b pairs — sorting makes successor
+      // order = ascending pk, so doc(a) <= doc(b) holds positionally
+      .withColumn("pks", array_sort($"pks"))
       .select(explode(expr(
-        "filter(flatten(transform(pks, a -> transform(pks, b -> " +
-          "struct(a AS pa, b AS pb)))), " +
+        "filter(flatten(transform(pks, (a, i) -> transform(" +
+          "slice(pks, i + 2, size(pks)), b -> struct(a AS pa, b AS pb)))), " +
           s"p -> shiftright(p.pa, $SpanPosBits) < shiftright(p.pb, $SpanPosBits))")).as("p"))
       .select(shiftright($"p.pa", SpanPosBits).as("a_id"),
         shiftright($"p.pb", SpanPosBits).as("b_id"),

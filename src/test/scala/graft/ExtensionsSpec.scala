@@ -29,13 +29,15 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  poly_hash('a', 131) AS h131,
         |  word_ngrams('x y z w', 3) AS g,
         |  simhash64(array('x', 'y')) AS sh,
-        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp""".stripMargin)
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |  log2_fixed(1L, 2L) AS lf""".stripMargin)
       .head()
     assert(r.getLong(0) == 'a'.toLong)
     assert(r.getLong(1) == 'a'.toLong)
     assert(r.getSeq[String](2) == Seq("x y z", "y z w"))
     assert(r.getLong(3) >= 0L)
     assert(r.getDouble(4) == 11.0)
+    assert(r.getLong(5) == 65536L, "-log2(1/2) = exactly one bit")
   }
 
   test("word_ngram_hashes / bounded_collect from SQL") {

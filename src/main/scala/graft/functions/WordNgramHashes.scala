@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `transform(WordNgrams(text, n), g -> PolyHash(g,31) | PolyHash(g,131) << 31)`
   * — asserted in DedupSpec — without materializing a single gram string.
   */
-case class WordNgramHashes(child: Expression, n: Int)
+case class WordNgramHashes(child: Expression, n: Int,
+    sortedDistinct: Boolean = true)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   require(n >= 1, "n-gram size must be >= 1")
@@ -39,10 +40,11 @@ case class WordNgramHashes(child: Expression, n: Int)
   override def prettyName: String = "word_ngram_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    WordNgramHashes.compute(input.asInstanceOf[UTF8String], n)
+    WordNgramHashes.compute(input.asInstanceOf[UTF8String], n, sortedDistinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgramHashes.compute($c, $n)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordNgramHashes.compute($c, $n, $sortedDistinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -53,8 +55,14 @@ object WordNgramHashes {
 
   /** One pass: tokenize, hash each n-gram with both bases over its code
     * points (tokens joined by a single space, like [[WordNgrams]]),
-    * return the sorted distinct packed hashes. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+    * return the sorted distinct packed hashes — or, with
+    * `sortedDistinct = false`, every gram's hash in POSITION order
+    * (index i = the gram starting at token i; duplicates kept), the
+    * representation the span pipeline explodes: positions survive, and
+    * no gram string is ever materialized (the composed
+    * wordNgrams→PolyHash form spent ~4 s/sweep at sf0.1 allocating and
+    * re-decoding gram strings). */
+  def compute(text: UTF8String, n: Int, sortedDistinct: Boolean = true): ArrayData = {
     val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val m = toks.length - n + 1
@@ -82,6 +90,12 @@ object WordNgramHashes {
       hs(i) = h31 | (h131 << 31)
       i += 1
     }
+    if (!sortedDistinct) {
+      val outPos = new Array[Any](m)
+      i = 0
+      while (i < m) { outPos(i) = hs(i); i += 1 }
+      return new GenericArrayData(outPos)
+    }
     java.util.Arrays.sort(hs)
     // in-place dedup of the sorted array
     var w = 0
@@ -99,6 +113,12 @@ object WordNgramHashes {
   /** Column API: sorted distinct 62-bit n-gram hashes of a text column. */
   def apply(text: Column, n: Int): Column =
     GraftShims.column(WordNgramHashes(GraftShims.expression(text), n))
+
+  /** Column API: every gram's hash in position order, duplicates kept
+    * (element i = the gram starting at token i). */
+  def positional(text: Column, n: Int): Column =
+    GraftShims.column(
+      WordNgramHashes(GraftShims.expression(text), n, sortedDistinct = false))
 
   /** DuckDB SQL producing the identical packed hash for a gram string
     * expression (for oracles): h31 + h131 · 2^31. */

@@ -1043,12 +1043,15 @@ object Dedup {
   private def spansAll(docs: DataFrame, occCap: Long): DataFrame = {
     import docs.sparkSession.implicits._
     val pack = 1L << SpanPosBits
+    // positional one-pass hashing: no gram string is ever built (the
+    // composed wordNgrams→dual-PolyHash form spent ~4 s/sweep at sf0.1
+    // on gram-string allocation + re-decode; same hashes either way,
+    // pinned by the WordNgramHashes parity assert in DedupSpec)
     val g = docs
       .select($"doc_id",
-        posexplode(TF.wordNgrams(TF.toks(lower($"text")), SpanK)))
+        posexplode(WordNgramHashes.positional($"text", SpanK)))
       .select(($"doc_id" * lit(pack) + ($"pos" + 1)).as("pk"),
-        (graft.functions.PolyHash($"col") +
-          graft.functions.PolyHash($"col", 131) * lit(2147483648L)).as("gh"))
+        $"col".as("gh"))
     val lim = if (occCap >= Int.MaxValue) Int.MaxValue else (occCap + 1).toInt
     val m = g.groupBy($"gh")
       .agg(graft.functions.BoundedCollect($"pk", lim).as("pks"),

@@ -143,6 +143,14 @@ object LangModel {
     * echo of it. */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    docScores(s, dir).orderBy($"xent".desc, $"doc_id").limit(TopDocs)
+  }
+
+  /** Every document's (n_events, bits_sum, xent) under the corpus
+    * model — shared by [[lmScore]] (ranking head) and [[lmBuckets]]
+    * (the tercile split). */
+  private def docScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val tok = tokens(s, dir)
     val vocab = vocabOf(tok)
     val events = eventsOf(tok, vocab)
@@ -156,7 +164,6 @@ object LangModel {
       .select($"doc_id", $"n_events", $"bits_sum",
         round($"bits_sum".cast("double") /
           ($"n_events" * lit(Log2Fixed.Scale)).cast("double"), 4).as("xent"))
-      .orderBy($"xent".desc, $"doc_id").limit(TopDocs)
   }
 
   val lmScoreSql: String =
@@ -170,6 +177,52 @@ object LangModel {
        |  round(CAST(bits_sum AS DOUBLE) /
        |    CAST(n_events * ${Log2Fixed.Scale} AS DOUBLE), 4) AS xent
        |FROM sc ORDER BY xent DESC, doc_id LIMIT $TopDocs""".stripMargin
+
+  /** CCNet's corpus split: head (most fluent under the model), middle,
+    * tail — downstream pipelines train on head+middle or
+    * temperature-mix by bucket. Per-document cross-entropy terciles
+    * with a deterministic (xent, doc_id) tie-break; the report is one
+    * row per bucket (volume + xent range). The global NTILE is the
+    * operator's definition (an exact percentile cut, the
+    * `quantile_bins` precedent — a 100-TB deployment would cut at
+    * approx-percentile thresholds instead, trading the oracle's
+    * exactness; both plans share every stage up to the 3-row agg). */
+  def lmBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byXent = Window.orderBy($"xent", $"doc_id")
+    docScores(s, dir)
+      .withColumn("bucket", ntile(3).over(byXent))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_events").as("n_events"),
+        sum($"bits_sum").as("bits_sum"),
+        round(min($"xent"), 4).as("min_xent"),
+        round(max($"xent"), 4).as("max_xent"))
+      .orderBy($"bucket")
+  }
+
+  val lmBucketsSql: String =
+    s"""WITH $duckModel,
+       |sc AS (
+       |  SELECT e.doc_id, count(*) AS n_events,
+       |    CAST(sum(lbits) AS BIGINT) AS bits_sum
+       |  FROM ev e JOIN lt ON e.w1 = lt.w1 AND e.w2 = lt.w2
+       |  GROUP BY e.doc_id),
+       |xs AS (
+       |  SELECT doc_id, n_events, bits_sum,
+       |    round(CAST(bits_sum AS DOUBLE) /
+       |      CAST(n_events * ${Log2Fixed.Scale} AS DOUBLE), 4) AS xent
+       |  FROM sc),
+       |bk AS (
+       |  SELECT *, CAST(ntile(3) OVER (ORDER BY xent, doc_id) AS INT)
+       |    AS bucket
+       |  FROM xs)
+       |SELECT bucket, count(*) AS n_docs,
+       |  CAST(sum(n_events) AS BIGINT) AS n_events,
+       |  CAST(sum(bits_sum) AS BIGINT) AS bits_sum,
+       |  round(min(xent), 4) AS min_xent,
+       |  round(max(xent), 4) AS max_xent
+       |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
 
   /** Hashed-feature buckets of the linear quality scorer. */
   val ClfBuckets = 64
@@ -240,10 +293,12 @@ object LangModel {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_bigrams" -> (lmBigrams(_, _)),
     "lm_score" -> (lmScore(_, _)),
+    "lm_buckets" -> (lmBuckets(_, _)),
     "quality_classifier" -> (qualityClassifier(_, _)))
 
   def oracles: Map[String, String] = Map(
     "lm_bigrams" -> lmBigramsSql,
     "lm_score" -> lmScoreSql,
+    "lm_buckets" -> lmBucketsSql,
     "quality_classifier" -> qualityClassifierSql)
 }

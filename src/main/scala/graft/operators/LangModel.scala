@@ -178,6 +178,111 @@ object LangModel {
        |    CAST(n_events * ${Log2Fixed.Scale} AS DOUBLE), 4) AS xent
        |FROM sc ORDER BY xent DESC, doc_id LIMIT $TopDocs""".stripMargin
 
+  /** Cross-domain scoring — the REFERENCE-corpus semantic CCNet
+    * actually deploys (train the LM on a clean reference domain, score
+    * everything by distance from it; in-domain [[lmScore]] is the
+    * self-trained variant): the model trains ONLY on the
+    * lexicographically-first source (deterministic pick, no config),
+    * and every source is reported by its corpus-level cross-entropy
+    * under that model — the domain-distance table a mix designer reads.
+    *
+    * Scoring off-domain text forces the case the in-domain scorer
+    * never hits: bigrams ABSENT from the training counts. Add-1
+    * smoothing assigns them `-log2(1 / (C(w1) + V))`, computed by the
+    * same no-libm [[Log2Fixed]] from the broadcast CONTEXT table
+    * (≤ |vocab|+2 rows; an unseen context costs `-log2(1/V)`), so the
+    * unseen-mass path is exactly as hash-gated as the seen path.
+    * Source-level entropy divides the integer bit/event sums ONCE per
+    * source — no float accumulates anywhere. */
+  def lmDomain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val trainSrc = docs.agg(min($"source").as("train_source"))
+    val tok = tokens(s, dir)
+    val trainIds = docs.crossJoin(broadcast(trainSrc))
+      .filter($"source" === $"train_source").select($"doc_id")
+    val trainTok = tok.join(broadcast(trainIds), "doc_id")
+    val vocab = vocabOf(trainTok)
+    val allEvents = eventsOf(tok, vocab)
+    val trainEvents = eventsOf(trainTok, vocab)
+    val model = modelOf(trainEvents, vocab)
+    val vt = vocab.agg((count(lit(1)) + 1).as("vtot"))
+    // context table: every train context's smoothed denominator (b is
+    // constant per w1; min = that constant, deterministically)
+    val ctx = model.groupBy($"w1").agg(min($"b").as("cb"))
+    val scored = allEvents
+      .join(broadcast(model.select($"w1", $"w2", $"lbits")),
+        Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .crossJoin(broadcast(vt))
+      .withColumn("eb",
+        coalesce($"lbits", Log2Fixed(lit(1L), coalesce($"cb", $"vtot"))))
+    scored
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("ne"), sum($"eb").as("bs"))
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ne").as("n_events"),
+        sum($"bs").as("bits_sum"),
+        round(sum($"bs").cast("double") /
+          (sum($"ne") * lit(Log2Fixed.Scale)).cast("double"), 4).as("xent"))
+      .orderBy($"source")
+  }
+
+  val lmDomainSql: String =
+    s"""WITH tt AS (SELECT doc_id, $duckToks AS tk FROM documents),
+       |tok AS (
+       |  SELECT doc_id, pos, tk[pos] AS w
+       |  FROM tt, unnest(range(1, len(tk) + 1)) AS u(pos)),
+       |tr AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE source = (SELECT min(source) FROM documents)),
+       |ttok AS (SELECT tok.* FROM tok JOIN tr USING (doc_id)),
+       |vocab AS (
+       |  SELECT w FROM (
+       |    SELECT w, count(*) AS n FROM ttok GROUP BY w
+       |    ORDER BY n DESC, w LIMIT $LmVocab)),
+       |m AS (
+       |  SELECT t.doc_id, t.pos,
+       |    CASE WHEN v.w IS NULL THEN '<unk>' ELSE t.w END AS wm
+       |  FROM tok t LEFT JOIN vocab v ON t.w = v.w),
+       |ev AS (
+       |  SELECT c.doc_id, coalesce(p.wm, '<s>') AS w1, c.wm AS w2
+       |  FROM m c LEFT JOIN m p
+       |    ON p.doc_id = c.doc_id AND p.pos = c.pos - 1),
+       |tev AS (SELECT ev.* FROM ev JOIN tr USING (doc_id)),
+       |c2 AS (SELECT w1, w2, count(*) AS n2 FROM tev GROUP BY w1, w2),
+       |c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+       |ab AS (
+       |  SELECT c2.w1, c2.w2, n2, n2 + 1 AS a,
+       |    n1 + (SELECT count(*) + 1 FROM vocab) AS b
+       |  FROM c2 JOIN c1 ON c2.w1 = c1.w1),
+       |lt AS (${Log2Fixed.duckUnroll("SELECT * FROM ab")}),
+       |ctx AS (SELECT w1, min(b) AS cb FROM lt GROUP BY w1),
+       |fb AS (${Log2Fixed.duckUnroll(
+            s"""SELECT w1, 1 AS a, cb AS b FROM ctx
+               |  UNION ALL SELECT '<novel-ctx>' AS w1, 1 AS a,
+               |    (SELECT count(*) + 1 FROM vocab) AS b""".stripMargin)}),
+       |sc AS (
+       |  SELECT e.doc_id, count(*) AS ne,
+       |    CAST(sum(coalesce(lt.lbits,
+       |      coalesce(fbc.lbits,
+       |        (SELECT lbits FROM fb WHERE w1 = '<novel-ctx>'))))
+       |      AS BIGINT) AS bs
+       |  FROM ev e
+       |  LEFT JOIN lt ON e.w1 = lt.w1 AND e.w2 = lt.w2
+       |  LEFT JOIN (SELECT w1, lbits FROM fb WHERE w1 != '<novel-ctx>') fbc
+       |    ON e.w1 = fbc.w1
+       |  GROUP BY e.doc_id)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(ne) AS BIGINT) AS n_events,
+       |  CAST(sum(bs) AS BIGINT) AS bits_sum,
+       |  round(CAST(sum(bs) AS DOUBLE) /
+       |    CAST(sum(ne) * ${Log2Fixed.Scale} AS DOUBLE), 4) AS xent
+       |FROM sc JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** CCNet's corpus split: head (most fluent under the model), middle,
     * tail — downstream pipelines train on head+middle or
     * temperature-mix by bucket. Per-document cross-entropy terciles
@@ -294,11 +399,13 @@ object LangModel {
     "lm_bigrams" -> (lmBigrams(_, _)),
     "lm_score" -> (lmScore(_, _)),
     "lm_buckets" -> (lmBuckets(_, _)),
+    "lm_domain" -> (lmDomain(_, _)),
     "quality_classifier" -> (qualityClassifier(_, _)))
 
   def oracles: Map[String, String] = Map(
     "lm_bigrams" -> lmBigramsSql,
     "lm_score" -> lmScoreSql,
     "lm_buckets" -> lmBucketsSql,
+    "lm_domain" -> lmDomainSql,
     "quality_classifier" -> qualityClassifierSql)
 }

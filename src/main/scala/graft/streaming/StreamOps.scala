@@ -72,6 +72,26 @@ object StreamOps {
       .withColumn("keep", col("margin") > 0)
   }
 
+  /** At-ingest decontamination — the STREAM-STATIC JOIN shape (each
+    * output row derives from one stream row plus a static table, so
+    * the join is stateless and append-safe): an incoming document's
+    * distinct n-gram hashes join the static benchmark gram set, and
+    * every match emits a flagged (doc_id, source, gh) row BEFORE the
+    * document enters the corpus — the deployment counterpart of the
+    * batch [[graft.operators.CorpusOps.decontaminateOn]], which scans
+    * the corpus after the fact. The static side broadcasts under every
+    * micro-batch; per-document dedup of multi-gram matches is the
+    * consumer's compaction (a gram-level match log is what an audit
+    * wants anyway). StreamingSpec asserts the flagged DOCUMENT set
+    * equals the batch operator's on the same rows. Inputs: docs
+    * (doc_id, source, text) batch or stream; bench (gh) static. */
+  def streamingDecontaminate(docs: DataFrame, bench: DataFrame): DataFrame =
+    docs
+      .withColumn("gh", explode(graft.functions.WordNgramHashes(
+        col("text"), graft.operators.CorpusOps.DecontamN)))
+      .join(broadcast(bench), Seq("gh"))
+      .select(col("doc_id"), col("source"), col("gh"))
+
   /** Stream-stream temporal range join — the at-ingest twin of the
     * batch [[graft.operators.EventAnalytics.clickErrorRange]]: pairs
     * every error with the same user's clicks from the preceding hour,

@@ -213,6 +213,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch(2L)._3 == 1L, "one OOV token in doc 2")
   }
 
+  test("streamingDecontaminate: stream-static join flags the batch set") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val benchText = "alpha beta gamma delta epsilon zeta"
+    val corpus = Seq(
+      (10L, "web", s"intro words then $benchText afterwards"), // contaminated
+      (11L, "web", "totally unrelated content with no overlap at all here"),
+      (12L, "books", benchText))                               // contaminated
+    // static side: the benchmark's distinct gram hashes
+    val bench = Seq((1L, graft.operators.CorpusOps.BenchmarkSource, benchText))
+      .toDF("doc_id", "source", "text")
+      .select(explode(graft.functions.WordNgramHashes(
+        $"text", graft.operators.CorpusOps.DecontamN)).as("gh"))
+      .distinct()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamOps.streamingDecontaminate(
+        mem.toDF().toDF("doc_id", "source", "text"), bench)
+      .writeStream.format("memory").queryName("sdecon")
+      .outputMode("append").start()
+    mem.addData(corpus(0), corpus(1))
+    q.processAllAvailable()
+    mem.addData(corpus(2))
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("sdecon").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch twin over the union of benchmark + corpus rows
+    val batch = graft.operators.CorpusOps.decontaminateOn(
+      ((1L, graft.operators.CorpusOps.BenchmarkSource, benchText) +: corpus)
+        .toDF("doc_id", "source", "text"))
+      .filter($"n_contaminated" > 0).select($"source")
+      .collect().map(_.getString(0)).toSet
+    assert(flagged == Set(10L, 12L), s"flagged docs: $flagged")
+    assert(batch == Set("web", "books"), s"batch sources: $batch")
+  }
+
   test("streamingDedup: duplicate content dropped across micro-batches") {
     val s = spark
     import s.implicits._

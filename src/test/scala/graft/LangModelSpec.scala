@@ -64,6 +64,25 @@ class LangModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("new operators are partitioning-invariant") {
+    // the determinism the oracle gate implies but a skewed cluster
+    // would actually test: identical results when the input arrives in
+    // a different number of partitions (no accidental dependence on
+    // row order, partial-agg grouping, or partition count)
+    val dir = "/root/testdata/sf0.001"
+    val base = spark.conf.get("spark.sql.shuffle.partitions")
+    def results() = Seq("lm_score", "lm_buckets", "lm_domain", "bm25_topk",
+      "dedup_spans", "span_redact", "corpus_card")
+      .map(q => q -> SparkEntry.queries(q)(spark, dir).collect().toSeq).toMap
+    val before = results()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val after = results()
+      for ((q, rows) <- before)
+        assert(after(q) == rows, s"$q differs under 7 shuffle partitions")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", base)
+  }
+
   test("quality_classifier: zero-token documents count, margin 0") {
     val s = spark
     import s.implicits._

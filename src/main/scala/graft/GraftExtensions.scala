@@ -78,7 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((FunctionIdentifier("log2_fixed"),
       info("log2_fixed",
-        "log2_fixed(a, b) - -log2(a/b) in 2^-16 fixed point for 1 <= a <= b, no libm (bit-identical across engines)"),
+        "log2_fixed(a, b) - -log2(a/b) in 2^-16 fixed point, no libm (bit-identical across engines); contract 1 <= a <= b < 2^50, violations raise"),
       (args: Seq[Expression]) => {
         arity("log2_fixed", args, 2); Log2Fixed(args.head, args(1))
       }))

@@ -56,8 +56,18 @@ object Log2Fixed {
 
   /** The algorithm itself — requires `1 <= a <= b < 2^50` (the LM caller
     * guarantees a = count+1, b = context+vocab). Every float op is an
-    * IEEE-exact multiply/divide on exactly-representable inputs. */
+    * IEEE-exact multiply/divide on exactly-representable inputs.
+    *
+    * Out-of-contract inputs fail LOUDLY: the expression is also the
+    * public `log2_fixed` SQL function ([[graft.GraftExtensions]]), and
+    * without the guard a=0 died on a bare div-by-zero while a>b or
+    * b >= 2^50 silently returned garbage (negative costs / an inexact
+    * mantissa) — the advisor-flagged silent-wrong class. */
   def bits(a: Long, b: Long): Long = {
+    if (a < 1L || a > b || b >= (1L << 50))
+      throw new IllegalArgumentException(
+        s"log2_fixed(a=$a, b=$b): contract is 1 <= a <= b < 2^50 " +
+          "(-log2(a/b) of a probability as an exact integer ratio)")
     val q = (b + a - 1) / a // = ceil(b/a), so 2^e >= q  <=>  a*2^e >= b
     var e = 0
     while ((1L << e) < q) e += 1

@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
 object KMeansQueries {
   val K = 8
 
-  /** Round half-AWAY-FROM-ZERO to 4 decimals — DuckDB `round()`
-    * semantics. Scala's `math.round` rounds half toward +∞ and would
-    * diverge from the oracle on a negative half-tie (latent with the
-    * current non-negative planes, fatal if a plane ever goes negative,
-    * because [[iterated]] feeds rounded centroids into the next
-    * assignment). */
-  private def r4(v: Double): Double =
-    math.signum(v) * (math.round(math.abs(v) * 10000) / 10000.0)
+  /** The 4-decimal contract rounding — ONE definition
+    * ([[graft.functions.Round4]]: half away from zero, DuckDB `round()`
+    * semantics) shared between this driver-side form and the fused
+    * in-plan chain, so the two cannot drift. */
+  private def r4(v: Double): Double = graft.functions.Round4.r4(v)
+
+  /** [[r4]] as the fused chain's in-plan boundary hook. */
+  private val r4col: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    graft.functions.Round4(_)
 
   private def rounded(cs: Seq[Centroid], spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -66,9 +67,10 @@ object KMeansQueries {
     val pts = Points.lineitem(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var cs = KMeans.init(pts, K)
-      for (_ <- 1 to iters)
-        cs = KMeans.step(pts, cs)._1.map(c => Centroid(c.id, r4(c.x), r4(c.y)))
+      // all `iters` cycles fuse into ONE job ([[KMeans.stepsFused]]) —
+      // same chain, one plan compile + submission instead of `iters`
+      val cs = KMeans.stepsFused(pts, KMeans.init(pts, K), iters, r4col)
+        .last._1
       rounded(cs, s)
     } finally pts.unpersist(blocking = false)
   }
@@ -78,12 +80,6 @@ object KMeansQueries {
     val pts = Points.lineitem(s, dir)
     KMeans.cost(pts, KMeans.init(pts, K))
   }
-
-  /** Rounds every step's centroids to the 4-decimal contract boundary —
-    * the CONTRACT chain's postStep hook, mirroring
-    * [[KMeansOracle.centroidChain]]'s per-boundary `round(…, 4)`. */
-  private val roundChain: Seq[Centroid] => Seq[Centroid] =
-    cs => cs.map(c => Centroid(c.id, r4(c.x), r4(c.y)))
 
   /** The contract-chain Lloyd model, MEMOIZED per (session, dir) —
     * [[fit]] and [[fitTrace]] run the SAME [[KMeans.fitLoop]] with the
@@ -105,7 +101,7 @@ object KMeansQueries {
           m
         case None =>
           val m = KMeans.fitLoop(Points.lineitem(s, dir), K, FitTraceCap,
-            KMeans.init, roundChain, KMeans.allclose10k)
+            KMeans.init, r4col, KMeans.allclose10k)
           fitCache.put((s, dir), m)
           while (fitCache.size > FitCacheMaxEntries)
             fitCache.remove(fitCache.head._1)

@@ -885,11 +885,8 @@ object Dedup {
         // buckets/table, which on a block ≫ 8·bucket leaves the
         // quadratic intact inside each bucket
         val maxBn = hotRows.map(_.getLong(1)).max
-        val hotPlanes = math.min(MaxHotPlanes, math.max(Similarity.NPlanes,
-          math.ceil(math.log(maxBn.toDouble / HotTargetBucketRows) /
-            math.log(2)).toInt))
         exact.union(
-          lshCosinePairs(hot, dim, Similarity.Tables_, hotPlanes))
+          lshCosinePairs(hot, dim, Similarity.Tables_, adaptivePlanes(maxBn)))
       }
     pairs
       .filter($"cosine" >= CosineTau)
@@ -1050,7 +1047,16 @@ object Dedup {
     val g = docs
       .select($"doc_id",
         posexplode(WordNgramHashes.positional($"text", SpanK)))
-      .select(($"doc_id" * lit(pack) + ($"pos" + 1)).as("pk"),
+      // the 2^SpanPosBits-token packing limit fails LOUDLY: past it,
+      // pos would silently overflow into the doc_id bits and corrupt
+      // pair detection (round-6 advice) — a when() branch on the
+      // codegen'd scan, free next to the explode it guards
+      .select(when($"pos" + 1 < lit(pack),
+          $"doc_id" * lit(pack) + ($"pos" + 1))
+        .otherwise(raise_error(concat(
+          lit(s"dedup_spans: document exceeds 2^$SpanPosBits tokens " +
+            "(packed doc_id*2^bits+pos key would overflow); doc_id="),
+          $"doc_id".cast("string")))).as("pk"),
         $"col".as("gh"))
     val lim = if (occCap >= Int.MaxValue) Int.MaxValue else (occCap + 1).toInt
     val m = g.groupBy($"gh")
@@ -1210,8 +1216,30 @@ object Dedup {
     * in all L tables — probability falls exponentially with cosine;
     * DedupSpec measures recall vs the exact baseline), exact in
     * precision (every reported cosine is verified). rows-only. */
-  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
-    dedupEmbeddingLshWith(s, dir, Similarity.Tables_, Similarity.NPlanes)
+  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // plane count sized from the largest label block (one tiny agg,
+    // K-row collect) — the fixed ANN-scale NPlanes=3 leaves only 8
+    // buckets per table, which on a 25k-row sf10 block keeps ~b²/8 of
+    // the quadratic alive INSIDE each bucket; ~256-row buckets bound
+    // per-cell fan-out regardless of block size (the hot-arm sizing,
+    // now shared)
+    val maxBn = Similarity.embedded(s, dir)
+      .groupBy($"label").agg(count(lit(1)).as("bn"))
+      .agg(max($"bn")).head().getLong(0)
+    dedupEmbeddingLshWith(s, dir, Similarity.Tables_, adaptivePlanes(maxBn))
+  }
+
+  /** Hot-arm/LSH plane count for a largest block of `maxBn` rows:
+    * ⌈log₂(maxBn/[[HotTargetBucketRows]])⌉ clamped to
+    * [[[Similarity.NPlanes]], [[MaxHotPlanes]]] — ~256-row buckets, so
+    * per-(table,bucket) candidate fan-out stays ~3.3·10⁴ pairs at any
+    * block size while near-identical pairs still collide in ≥ 1 of the
+    * 8 tables with probability ≈ 1 at dup-band cosines. */
+  private def adaptivePlanes(maxBn: Long): Int =
+    math.min(MaxHotPlanes, math.max(Similarity.NPlanes,
+      math.ceil(math.log(maxBn.toDouble / HotTargetBucketRows) /
+        math.log(2)).toInt))
 
   /** The embedding-LSH EXACTNESS ANCHOR (round-4 verdict item 4): one
     * table with ZERO planes puts every vector in bucket 0, so the

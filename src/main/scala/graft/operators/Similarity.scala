@@ -518,21 +518,64 @@ object Similarity {
           cb = next
         }
 
-        // ---- encode: codes + exact reconstructed norm (disjoint blocks)
-        val normSqTables = cb.map(_.map(c => c.map(x => x * x).sum))
-        val reconNorm = sqrt((0 until PqBlocks).map(b =>
-          element_at(typedlit(normSqTables(b).toSeq), col("codes")(b) + 1))
-          .reduce(_ + _))
+        // ---- encode: codes + exact reconstructed norm (disjoint
+        // blocks) — the shared frozen-codebook path ([[encodeWith]]).
         // localCheckpoint (eager): the codes frame materializes HERE,
         // while `cached` is still persisted — every downstream plan
         // (approx scan, shortlist, re-rank) then reads the materialized
         // codes instead of re-encoding from a re-scanned corpus
-        val codes = withCodes(cached).select($"vec_id", $"codes")
-          .withColumn("vn", reconNorm)
-          .localCheckpoint()
+        val codes = encodeWith(cb, subdim, cached).localCheckpoint()
         PqModel(cb, codes, dim)
       } finally cached.unpersist(blocking = false)
     }
+
+  /** ENCODE `e` (vec_id, v) against FROZEN per-block codebooks: M 4-bit
+    * codes + the exact reconstructed norm per vector — shared by the
+    * initial build ([[pqModel]]) and the incremental append
+    * ([[appendAnnIndex]]), so the two paths cannot diverge: appending
+    * vectors one batch at a time produces byte-identical code rows to
+    * encoding them all in the initial pass. */
+  private def encodeWith(cb: Array[Array[Seq[Double]]], subdim: Int,
+      e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val withC = e.withColumn("codes", array((0 until PqBlocks).map(b =>
+      graft.functions.PqCode(col("v"), b * subdim, subdim, cb(b))): _*))
+    val normSqTables = cb.map(_.map(c => c.map(x => x * x).sum))
+    val reconNorm = sqrt((0 until PqBlocks).map(b =>
+      element_at(typedlit(normSqTables(b).toSeq), col("codes")(b) + 1))
+      .reduce(_ + _))
+    withC.select($"vec_id", $"codes").withColumn("vn", reconNorm)
+  }
+
+  /** INCREMENTAL APPEND — the ANN production steady-state (the
+    * `dedup_incremental` pattern applied to the vector index): NEW
+    * vectors are encoded against the FROZEN quantizer artifacts of a
+    * [[saveAnnIndex]] index and only their code rows append to the
+    * persisted codes table. No training pass runs — at 100 TB the
+    * append costs one map-only encode scan over the BATCH (codebook
+    * read is KB-scale), never a corpus pass, and the frozen IVF
+    * centroids need no maintenance at all (list membership is computed
+    * from the centroids at query time, so appended vectors probe
+    * correctly with zero index surgery). Caller contract: `extra`
+    * carries vec_ids not already in the index (same contract as the
+    * batch side of `dedup_incremental`); a re-appended id would shadow
+    * nothing but duplicate candidates. AnnIndexSpec proves append ≡
+    * whole-corpus encode (byte-identical codes through [[encodeWith]])
+    * and that the appended index's recall on the grown corpus matches
+    * a fresh rebuild's. */
+  def appendAnnIndex(s: SparkSession, path: String, extra: DataFrame): Unit = {
+    import s.implicits._
+    val cbRows = s.read.parquet(s"$path/pq_codebook")
+      .select($"block", $"code", $"v", $"dim").collect()
+    val dim = cbRows.head.getInt(3)
+    val cb = Array.tabulate(PqBlocks)(b =>
+      cbRows.filter(_.getInt(0) == b).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2)))
+    val e = extra.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("v"))
+    encodeWith(cb, dim / PqBlocks, e)
+      .write.mode("append").parquet(s"$path/pq_codes")
+  }
 
   private def annPqReranking(s: SparkSession, dir: String, rerank: Int): DataFrame = {
     import s.implicits._

@@ -62,11 +62,10 @@ object StreamOps {
     val vlit = typedlit(vocab)
     docs.select(
       col("doc_id"),
-      aggregate(
-        transform(ts, w => element_at(typedlit(LangModel.ClfWeights),
-          (pmod(graft.functions.PolyHash(w),
-            lit(LangModel.ClfBuckets)) + 1).cast("int"))),
-        lit(0L), (acc, x) => acc + x).as("margin"),
+      // THE shared margin contract (not an inline re-derivation — the
+      // two copies had already started to drift per the round-6 advice);
+      // the duplicated token subexpression collapses under Spark CSE
+      LangModel.marginOf(col("text")).as("margin"),
       size(ts).cast("long").as("n_tokens"),
       size(filter(ts, w => !array_contains(vlit, w))).cast("long").as("n_oov"))
       .withColumn("keep", col("margin") > 0)

@@ -39,6 +39,22 @@ class DedupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(4) == 20L, s"span length: $r")
   }
 
+  test("a document past the 2^21-token packing limit fails loudly, not silently") {
+    val s = spark
+    import s.implicits._
+    // pos would otherwise overflow into the doc_id bits of the packed
+    // posting key and silently corrupt pair detection (round-6 advice)
+    val huge = Array.fill((1 << 21) + 8)("w").mkString(" ")
+    val docs = Seq((1L, huge), (2L, "w w w w w w w w w")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.dedupSpansOn(docs, Dedup.SpanOccCap).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("exceeds 2^21 tokens")),
+      s"want the packing-limit error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("two occurrences in one document yield two diagonals, not a fused run") {
     val s = spark
     import s.implicits._

@@ -72,6 +72,7 @@ class LangModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = "/root/testdata/sf0.001"
     val base = spark.conf.get("spark.sql.shuffle.partitions")
     def results() = Seq("lm_score", "lm_buckets", "lm_domain", "bm25_topk",
+      "lm_trigram", "lm_trigram_score",
       "dedup_spans", "span_redact", "corpus_card")
       .map(q => q -> SparkEntry.queries(q)(spark, dir).collect().toSeq).toMap
     val before = results()
@@ -81,6 +82,49 @@ class LangModelSpec extends AnyFunSuite with BeforeAndAfterAll {
       for ((q, rows) <- before)
         assert(after(q) == rows, s"$q differs under 7 shuffle partitions")
     } finally spark.conf.set("spark.sql.shuffle.partitions", base)
+  }
+
+  test("Log2Fixed rejects out-of-contract inputs loudly") {
+    // the public log2_fixed SQL surface must not return garbage: a=0
+    // previously died on a bare div-by-zero, a>b / b>=2^50 silently
+    // returned wrong costs (round-6 advice)
+    for ((a, b) <- Seq((0L, 5L), (-1L, 5L), (3L, 2L), (1L, 1L << 50))) {
+      val e = intercept[IllegalArgumentException](Log2Fixed.bits(a, b))
+      assert(e.getMessage.contains("contract"), s"($a,$b): ${e.getMessage}")
+    }
+    assert(Log2Fixed.bits(1L, (1L << 50) - 1) > 0) // boundary stays legal
+  }
+
+  test("lm_trigram: cost decomposition is exact and interpolation is the sum") {
+    val s = spark
+    import s.implicits._
+    val rows = LangModel.lmTrigram(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n3, a, b) = (r.getLong(r.fieldIndex("n3")),
+        r.getLong(r.fieldIndex("a")), r.getLong(r.fieldIndex("b")))
+      val (l3, l2, ib) = (r.getLong(r.fieldIndex("lbits")),
+        r.getLong(r.fieldIndex("lbits2")), r.getLong(r.fieldIndex("ibits")))
+      assert(a == n3 + 1 && a <= b, "add-1 numerator within contract")
+      assert(l3 == Log2Fixed.bits(a, b), "trigram cost IS the shared algorithm")
+      assert(ib == l3 + l2, "log-linear λ=1/2 interpolation = cost sum")
+      assert(l2 >= 0 && l3 >= 0)
+    }
+  }
+
+  test("lm_trigram_score: every trigram event is scored (self-trained inner join loses none)") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // xent in bits/token must be consistent with the integer sums under
+    // the doubled (two stacked λ=1/2 log-costs) fixed-point scale
+    val out = LangModel.lmTrigramScore(spark, dir).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (n, bits, xent) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0 && bits > 0)
+      assert(math.abs(xent - bits.toDouble / (n * 2 * Log2Fixed.Scale)) < 5e-5)
+    }
   }
 
   test("quality_classifier: zero-token documents count, margin 0") {

@@ -28,7 +28,9 @@ object SparkEntry {
     operators.EventAnalytics.queries ++
     operators.BloomPrune.queries ++
     operators.Warehouse.queries ++
-    operators.LangModel.queries ++ Map(
+    operators.LangModel.queries ++
+    operators.DataSelection.queries ++
+    operators.EntityResolution.queries ++ Map(
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "lineitem")
@@ -59,7 +61,9 @@ object SparkEntry {
     operators.EventAnalytics.oracles ++
     operators.BloomPrune.oracles ++
     operators.Warehouse.oracles ++
-    operators.LangModel.oracles ++ Map(
+    operators.LangModel.oracles ++
+    operators.DataSelection.oracles ++
+    operators.EntityResolution.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

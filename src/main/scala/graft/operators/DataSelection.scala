@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Log2Fixed, WordNgramHashes}
+import graft.functions.TextFeatures.{duckNgrams, duckToks}
+
+/** Targeted data selection by importance resampling — DSIR (Xie et al.,
+  * "Data Selection for Language Models via Importance Resampling",
+  * NeurIPS 2023): score every raw document by how target-domain-like it
+  * is under two hashed-n-gram bag models, then keep the top of the
+  * ranking. This is the mix-curation stage a pretraining pipeline runs
+  * AFTER dedup and quality filtering, when it wants "more like
+  * Wikipedia" without a trained classifier per domain. (The reference
+  * engine — a 482-line K-Means toy, master.py — has no selection
+  * surface at all; this family is part of the 100-TB pipeline mandate.)
+  *
+  * The published estimator: featurize each document as a bag of hashed
+  * bigrams over `Buckets` buckets, fit two smoothed unigram-over-bucket
+  * models — p̂ on the target domain, q̂ on the raw corpus — and weight
+  * each document by `log p̂(x) − log q̂(x) = Σ_f [log2 p̂(f) − log2 q̂(f)]`
+  * over its feature OCCURRENCES (bag, not set — DSIR's feature vector
+  * is a count vector). The target domain here is the
+  * lexicographically-first `source` (the [[LangModel.lmDomain]]
+  * convention: deterministic, no config knob).
+  *
+  * Everything is integer or fixed-point, so the ranking is hash-gated
+  * end to end: bucket counts are BIGINTs, each bucket's two log-costs
+  * come from [[Log2Fixed]] (add-1 smoothing: `-log2((n_f+1)/(N+B))` —
+  * no libm anywhere), and a document's weight is a BIGINT sum of
+  * per-bucket cost differences. DSIR's Gumbel-noise sampling step is
+  * replaced by the deterministic top-share cut (same systematic-vs-
+  * stochastic trade the paper's top-k ablation measures) — a stochastic
+  * draw could never sit under a cross-engine hash gate.
+  *
+  * Scale design (100 TB): the weight table is ≤ [[Buckets]] rows BY
+  * CONSTRUCTION — both models collapse to the same closed bucket set —
+  * so scoring is one broadcast joined, codegen'd corpus scan plus a
+  * per-doc BIGINT aggregate keyed on doc_id; [[Log2Fixed]] runs once
+  * per DISTINCT bucket (≤ 2·[[Buckets]] calls), never per token. The
+  * `b < 2^50` input contract holds to ~10^15 feature occurrences
+  * (≈ 4 PB of text), same headroom as the LM family. The only
+  * corpus-wide exchanges are the two bucket-count partial aggregates
+  * (map-side combined to ≤ [[Buckets]] rows per task) and the per-doc
+  * aggregate. [[dsirSample]]'s global rank is the operator's exact
+  * definition (the `lm_buckets`/`quantile_bins` precedent); a 100-TB
+  * deployment cuts at an approx-quantile weight threshold instead,
+  * sharing every stage up to the cut.
+  */
+object DataSelection {
+
+  /** Hashed-feature buckets (DSIR's hashed n-gram dimensionality). */
+  val Buckets = 1024
+
+  /** Rows reported by the ranking head. */
+  val TopDocs = 100
+
+  /** [[dsirSample]] keeps the top quarter: ceil(n/4) via `(n+3)/4`. */
+  val SelNum = 1L
+  val SelDen = 4L
+
+  /** (doc_id, bucket) — one row per bigram OCCURRENCE (bag semantics:
+    * [[WordNgramHashes.positional]] keeps duplicates, unlike the dedup
+    * family's sorted-distinct sets). */
+  private def featsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+        explode(WordNgramHashes.positional($"text", 2)).as("fh"))
+      .select($"doc_id", pmod($"fh", lit(Buckets.toLong)).as("bucket"))
+  }
+
+  /** The ≤ [[Buckets]]-row weight table: per bucket, target count `tn`,
+    * raw count `rn`, and the fixed-point weight contribution
+    * `wb = lq − lp = log2 p̂(f) − log2 q̂(f)` (positive ⇒ the feature is
+    * target-like). Buckets never observed in the raw corpus never occur
+    * in any document, so the raw-count frame is the complete domain. */
+  private def weightTable(feats: DataFrame, targetIds: DataFrame): DataFrame = {
+    import feats.sparkSession.implicits._
+    val rc = feats.groupBy($"bucket").agg(count(lit(1)).as("rn"))
+    val tc = feats.join(broadcast(targetIds), "doc_id")
+      .groupBy($"bucket").agg(count(lit(1)).as("tn"))
+    val tot = rc.agg(sum($"rn").as("rtot")).crossJoin(
+      tc.agg(coalesce(sum($"tn"), lit(0L)).as("ttot")))
+    rc.join(tc, Seq("bucket"), "left")
+      .withColumn("tn", coalesce($"tn", lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select($"bucket", $"tn", $"rn",
+        (Log2Fixed($"rn" + 1, $"rtot" + Buckets) -
+          Log2Fixed($"tn" + 1, $"ttot" + Buckets)).as("wb"))
+  }
+
+  /** Every document's (source, n_feats, w_bits): the broadcast-joined
+    * scoring scan shared by the ranking head and the selection report.
+    * Documents with < 2 tokens have no features and weight 0 (left
+    * join) — they still count in [[dsirSample]]'s per-source volumes.
+    * Public on a documents-shaped frame (doc_id, text, source,
+    * n_chars) so DataSelectionSpec can drive synthetic corpora. */
+  def weightsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val trainSrc = docs.agg(min($"source").as("train_source"))
+    val targetIds = docs.crossJoin(broadcast(trainSrc))
+      .filter($"source" === $"train_source").select($"doc_id")
+    val feats = featsOf(docs)
+    val perDoc = feats
+      .join(broadcast(weightTable(feats, targetIds)), "bucket")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum($"wb").as("w_bits"))
+    docs.select($"doc_id", $"source", $"n_chars")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"source", $"n_chars",
+        coalesce($"n_feats", lit(0L)).as("n_feats"),
+        coalesce($"w_bits", lit(0L)).as("w_bits"))
+  }
+
+  private def docWeights(s: SparkSession, dir: String): DataFrame =
+    weightsOf(Tables(s, dir, "documents"))
+
+  /** Shared DuckDB CTE chain ending in per-document weights `dw`
+    * (doc_id, source, n_chars, n_feats, w_bits) — the [[docWeights]]
+    * mirror: same grams, same dual-base packed hash, same two
+    * [[Log2Fixed.duckUnroll]] logarithms. */
+  private def duckWeights: String =
+    s"""tt AS (SELECT doc_id, source, n_chars, $duckToks AS tk
+       |  FROM documents),
+       |gr AS (
+       |  SELECT doc_id, unnest(${duckNgrams("tk", 2)}) AS gram FROM tt),
+       |ft AS (
+       |  SELECT doc_id, ${WordNgramHashes.duckSql("gram")} % $Buckets
+       |    AS bucket
+       |  FROM gr),
+       |tgt AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE source = (SELECT min(source) FROM documents)),
+       |rc AS (SELECT bucket, count(*) AS rn FROM ft GROUP BY bucket),
+       |tc AS (
+       |  SELECT bucket, count(*) AS tn
+       |  FROM ft JOIN tgt USING (doc_id) GROUP BY bucket),
+       |wt0 AS (
+       |  SELECT rc.bucket, coalesce(tc.tn, 0) AS tn, rc.rn
+       |  FROM rc LEFT JOIN tc USING (bucket)),
+       |wtp AS (${Log2Fixed.duckUnroll(
+            s"""SELECT bucket, tn, rn, tn + 1 AS a,
+               |    CAST((SELECT sum(tn) FROM wt0) AS BIGINT) + $Buckets AS b
+               |  FROM wt0""".stripMargin)}),
+       |wtq AS (${Log2Fixed.duckUnroll(
+            s"""SELECT bucket, tn, rn, lbits AS lp, rn + 1 AS a,
+               |    CAST((SELECT sum(rn) FROM wt0) AS BIGINT) + $Buckets AS b
+               |  FROM wtp""".stripMargin)}),
+       |wt AS (SELECT bucket, tn, rn, lbits - lp AS wb FROM wtq),
+       |pd AS (
+       |  SELECT f.doc_id, count(*) AS n_feats,
+       |    CAST(sum(wt.wb) AS BIGINT) AS w_bits
+       |  FROM ft f JOIN wt USING (bucket) GROUP BY f.doc_id),
+       |dw AS (
+       |  SELECT d.doc_id, d.source, d.n_chars,
+       |    coalesce(pd.n_feats, 0) AS n_feats,
+       |    coalesce(pd.w_bits, 0) AS w_bits
+       |  FROM documents d LEFT JOIN pd USING (doc_id))""".stripMargin
+
+  /** The ranking head: the [[TopDocs]] most target-like documents with
+    * their exact fixed-point weights — gates the featurizer, both
+    * models, both logarithms, and the ranking itself. `weight` is
+    * bits-per-feature-occurrence (one exact final division). */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docWeights(s, dir)
+      .select($"doc_id", $"source", $"n_feats", $"w_bits",
+        round($"w_bits".cast("double") /
+          (greatest($"n_feats", lit(1L)) * lit(Log2Fixed.Scale))
+            .cast("double"), 4).as("weight"))
+      .orderBy($"w_bits".desc, $"doc_id").limit(TopDocs)
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH $duckWeights
+       |SELECT doc_id, source, CAST(n_feats AS BIGINT) AS n_feats, w_bits,
+       |  round(CAST(w_bits AS DOUBLE) /
+       |    CAST(greatest(n_feats, 1) * ${Log2Fixed.Scale} AS DOUBLE), 4)
+       |    AS weight
+       |FROM dw ORDER BY w_bits DESC, doc_id LIMIT $TopDocs""".stripMargin
+
+  /** The selection report: rank every document by weight, keep the top
+    * ceil(n·[[SelNum]]/[[SelDen]]), and report the resulting mix per
+    * source — total volume, selected volume, selected chars, and the
+    * selected documents' exact weight mass. The target domain should
+    * dominate its own selection and pull in its nearest neighbors: the
+    * table a mix designer reads to see what DSIR would actually feed
+    * the trainer. */
+  def dsirSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byW = Window.orderBy($"w_bits".desc, $"doc_id")
+    val n = Window.partitionBy()
+    docWeights(s, dir)
+      .withColumn("rk", row_number().over(byW))
+      .withColumn("sel",
+        $"rk" <= (count(lit(1)).over(n) * lit(SelNum) + lit(SelDen - 1)) / lit(SelDen))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"sel", 1L).otherwise(0L)).as("n_sel"),
+        sum(when($"sel", $"n_chars").otherwise(0L)).as("sel_chars"),
+        sum(when($"sel", $"w_bits").otherwise(0L)).as("sel_w_bits"))
+      .orderBy($"source")
+  }
+
+  val dsirSampleSql: String =
+    s"""WITH $duckWeights,
+       |rk AS (
+       |  SELECT *, row_number() OVER (ORDER BY w_bits DESC, doc_id) AS rk,
+       |    count(*) OVER () AS nn
+       |  FROM dw),
+       |sel AS (
+       |  SELECT *, rk <= (nn * $SelNum + ${SelDen - 1}) // $SelDen AS sel
+       |  FROM rk)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+       |  CAST(sum(CASE WHEN sel THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS sel_chars,
+       |  CAST(sum(CASE WHEN sel THEN w_bits ELSE 0 END) AS BIGINT)
+       |    AS sel_w_bits
+       |FROM sel GROUP BY source ORDER BY source""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_weights" -> (dsirWeights(_, _)),
+    "dsir_sample" -> (dsirSample(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "dsir_weights" -> dsirWeightsSql,
+    "dsir_sample" -> dsirSampleSql)
+}

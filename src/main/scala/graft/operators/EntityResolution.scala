@@ -1,0 +1,364 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Entity resolution / record linkage over the customer master — the
+  * classic warehouse dedup problem (Fellegi–Sunter record linkage;
+  * blocking surveyed in Christen, "A Survey of Indexing Techniques for
+  * Scalable Record Linkage", TKDE 2012): find records that are the SAME
+  * real-world entity under small typographical variation, cluster them,
+  * and measure the identity graph. (The reference engine — the K-Means
+  * toy, master.py — has no string surface at all; this family is
+  * warehouse-side 100-TB pipeline machinery, the `scd2`/`cdc` module's
+  * natural sibling.)
+  *
+  * The match rule: two customers link when they share `c_nationkey`,
+  * their names have EQUAL length, and the names are within edit
+  * distance [[MaxEd]] = 1 — for equal-length strings, edit distance ≤ 1
+  * is exactly Hamming distance ≤ 1 (a single length-preserving edit is
+  * a substitution), which makes the blocking EXACT, not heuristic:
+  *
+  *   - block P: (nation, length, name minus its last 5 chars)
+  *   - block S: (nation, length, last 5 chars of name)
+  *
+  * A single substitution lands either in the last 5 characters (block P
+  * agrees) or before them (block S agrees), so the OR of the two passes
+  * has 100% recall at Hamming ≤ 1 — the multi-pass blocking pattern
+  * every production linkage system runs, here with a provable recall
+  * floor. Candidates are verified with `levenshtein` (identical
+  * Wagner–Fischer semantics in Spark and DuckDB, asserted in
+  * EntityResolutionSpec), so the emitted distance is the real edit
+  * distance, not the blocking approximation.
+  *
+  * Scale design (100 TB): no all-pairs stage anywhere — candidates come
+  * from two hash-partitioned self-joins keyed on the block keys, and a
+  * block whose population exceeds [[BlockCap]] is DROPPED ENTIRELY
+  * (both engines, deterministically) rather than allowed to go
+  * quadratic: an over-cap block means the blocking key has collapsed
+  * (e.g. a default/placeholder name) and its pairs are link noise, the
+  * standard oversized-block policy (Christen §5; Dedupe.io's block
+  * limits; the dedup family's `NgramDfCap` is the same bound one module
+  * over). With the cap, a block contributes ≤ [[BlockCap]]² pairs and
+  * total work is linear in block count. The verify step ships only
+  * (key, name) pairs; clustering reuses [[Dedup.labelsOf]]'s
+  * O(log diameter) pointer-jumping rounds, and the triangle count joins
+  * the ORIENTED edge list (a<b<c) so each triangle is produced exactly
+  * once — the standard distributed triangle enumeration (Suri & Vassilvitskii,
+  * "Counting Triangles and the Curse of the Last Reducer", WWW 2011).
+  */
+object EntityResolution {
+
+  /** Maximum edit distance for a link (equal-length ⇒ Hamming). */
+  val MaxEd = 1
+
+  /** Blocks larger than this are dropped as degenerate (see scaladoc). */
+  val BlockCap = 4096
+
+  /** Name suffix length the two block keys split on. */
+  val SufLen = 5
+
+  /** The verified edge list: (a_key, b_key, nation, dist), a < b, one
+    * row per linked pair — shared by the pair report, the clustering,
+    * and the triangle census. */
+  def pairsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    linkPairs(Tables(s, dir, "customer")
+      .select($"c_custkey".as("key"), $"c_name".as("name"),
+        $"c_nationkey".as("nation")))
+  }
+
+  /** The two blocking passes, exploded as (pass, key-string) rows —
+    * the shared candidate substrate of [[linkPairs]] (full linkage)
+    * and [[erIncremental]] (probe-only). */
+  private def blockKeys(cust: DataFrame): DataFrame = {
+    import cust.sparkSession.implicits._
+    cust.select($"key", $"name", $"nation",
+      explode(array(
+        concat_ws("", lit("P"), $"nation".cast("string"),
+          length($"name").cast("string"),
+          expr(s"left(name, greatest(length(name) - $SufLen, 0))")),
+        concat_ws("", lit("S"), $"nation".cast("string"),
+          length($"name").cast("string"),
+          expr(s"right(name, $SufLen)"))))
+        .as("bk"))
+  }
+
+  /** The blocking + verify core on a (key, name, nation) frame —
+    * public so EntityResolutionSpec can prove the recall floor and the
+    * oversized-block policy on synthetic masters. */
+  def linkPairs(cust: DataFrame): DataFrame = {
+    import cust.sparkSession.implicits._
+    val keyed = blockKeys(cust)
+    // oversized-block drop: bounded quadratic per block by construction
+    val capped = keyed.join(
+      keyed.groupBy($"bk").agg(count(lit(1)).as("bn"))
+        .filter($"bn" <= BlockCap).select($"bk"),
+      "bk")
+    val a = capped.select($"bk", $"key".as("a_key"), $"name".as("a_name"),
+      $"nation".as("nation"))
+    val b = capped.select($"bk", $"key".as("b_key"), $"name".as("b_name"))
+    a.join(b, Seq("bk"))
+      .filter($"a_key" < $"b_key")
+      .select($"a_key", $"b_key", $"nation", $"a_name", $"b_name")
+      .distinct() // a pair found by both passes counts once
+      .filter(levenshtein($"a_name", $"b_name") <= MaxEd)
+      .select($"a_key", $"b_key", $"nation",
+        levenshtein($"a_name", $"b_name").as("dist"))
+  }
+
+  /** DuckDB mirror of [[blockKeys]]: CTEs `cust` and `keyed`. */
+  private def duckPairsPreamble: String =
+    s"""cust AS (
+       |  SELECT c_custkey AS key, c_name AS name, c_nationkey AS nation
+       |  FROM customer),
+       |keyed AS (
+       |  SELECT key, name, nation,
+       |    unnest(['P' || chr(1) || nation || chr(1) || length(name) ||
+       |              chr(1) || left(name, greatest(length(name) - $SufLen, 0)),
+       |            'S' || chr(1) || nation || chr(1) || length(name) ||
+       |              chr(1) || right(name, $SufLen)])
+       |      AS bk
+       |  FROM cust)""".stripMargin
+
+  /** DuckDB CTE chain ending in the verified edge list `pairs`
+    * (a_key, b_key, nation, dist) — the [[pairsOf]] mirror. */
+  private def duckPairs: String =
+    s"""$duckPairsPreamble,
+       |capped AS (
+       |  SELECT k.* FROM keyed k
+       |  JOIN (SELECT bk FROM keyed GROUP BY bk
+       |        HAVING count(*) <= $BlockCap) ok USING (bk)),
+       |cand AS (
+       |  SELECT DISTINCT a.key AS a_key, b.key AS b_key, a.nation,
+       |    a.name AS a_name, b.name AS b_name
+       |  FROM capped a JOIN capped b
+       |    ON a.bk = b.bk AND a.key < b.key),
+       |pairs AS (
+       |  SELECT a_key, b_key, nation,
+       |    levenshtein(a_name, b_name) AS dist
+       |  FROM cand WHERE levenshtein(a_name, b_name) <= $MaxEd)""".stripMargin
+
+  /** Per-nation link census: pair count, distance mass, and key-sum
+    * checksums — hash-gates the full edge list without shipping every
+    * pair through the compare. */
+  def erPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pairsOf(s, dir)
+      .groupBy($"nation")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"dist").as("sum_dist"),
+        sum($"a_key").as("a_sum"),
+        sum($"b_key").as("b_sum"))
+      .orderBy($"nation")
+  }
+
+  val erPairsSql: String =
+    s"""WITH $duckPairs
+       |SELECT nation, count(*) AS n_pairs,
+       |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+       |  CAST(sum(a_key) AS BIGINT) AS a_sum,
+       |  CAST(sum(b_key) AS BIGINT) AS b_sum
+       |FROM pairs GROUP BY nation ORDER BY nation""".stripMargin
+
+  /** Entity clusters: connected components of the link graph (the
+    * transitive closure every master-data system materializes — A≈B≈C
+    * is ONE customer even if (A,C) was never directly linked). Reuses
+    * [[Dedup.labelsOf]]'s pointer-jumping fixpoint; one row per
+    * multi-record entity: representative (min key) + member count. */
+  def erClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.componentsOf(
+      pairsOf(s, dir).select($"a_key".as("a_id"), $"b_key".as("b_id")))
+      .select($"component".as("entity"), $"n_members")
+      .orderBy($"entity")
+  }
+
+  val erClustersSql: String =
+    s"""WITH RECURSIVE $duckPairs,
+       |edges AS (
+       |  SELECT a_key AS src, b_key AS dst FROM pairs
+       |  UNION SELECT b_key, a_key FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |walk(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
+       |comp AS (SELECT id, min(lab) AS entity FROM walk GROUP BY id)
+       |SELECT entity, count(*) AS n_members
+       |FROM comp GROUP BY entity ORDER BY entity""".stripMargin
+
+  /** The steady-state probe path ([[Dedup]]'s `dedup_incremental`
+    * pattern applied to MDM): a batch of NEW records is matched against
+    * the EXISTING master's blocking index — candidates only ever cross
+    * batch × master, never master × master — and every new record is
+    * classified linked (≥ 1 verified master match; the lowest matching
+    * master key reported, the merge target) or fresh (a genuinely new
+    * entity). The batch is the deterministic `key % 7 == 3` slice so
+    * the oracle reproduces the split; within-batch linkage is
+    * [[linkPairs]] on the batch by composition and out of scope here.
+    * The [[BlockCap]] policy applies to the MASTER index (built once,
+    * the capped artifact a production pipeline materializes). */
+  def erIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+      .select($"c_custkey".as("key"), $"c_name".as("name"),
+        $"c_nationkey".as("nation"))
+    val isNew = pmod($"key", lit(7L)) === 3L
+    val batch = blockKeys(cust.filter(isNew))
+    val masterK = blockKeys(cust.filter(!isNew))
+    val cappedM = masterK.join(
+      masterK.groupBy($"bk").agg(count(lit(1)).as("bn"))
+        .filter($"bn" <= BlockCap).select($"bk"),
+      "bk")
+    val matches = batch.select($"bk", $"key", $"name", $"nation")
+      .join(cappedM.select($"bk", $"key".as("m_key"), $"name".as("m_name")),
+        Seq("bk"))
+      .select($"key", $"name", $"nation", $"m_key", $"m_name").distinct()
+      .filter(levenshtein($"name", $"m_name") <= MaxEd)
+      .groupBy($"key").agg(min($"m_key").as("merge_into"))
+    cust.filter(isNew)
+      .join(matches, Seq("key"), "left")
+      .groupBy($"nation")
+      .agg(count(lit(1)).as("n_new"),
+        count($"merge_into").as("n_linked"),
+        (count(lit(1)) - count($"merge_into")).as("n_fresh"),
+        coalesce(sum($"merge_into"), lit(0L)).as("m_sum"))
+      .orderBy($"nation")
+  }
+
+  val erIncrementalSql: String =
+    s"""WITH $duckPairsPreamble,
+       |batch AS (SELECT * FROM keyed WHERE key % 7 = 3),
+       |masterk AS (SELECT * FROM keyed WHERE key % 7 != 3),
+       |cappedm AS (
+       |  SELECT m.* FROM masterk m
+       |  JOIN (SELECT bk FROM masterk GROUP BY bk
+       |        HAVING count(*) <= $BlockCap) ok USING (bk)),
+       |matches AS (
+       |  SELECT key, min(m_key) AS merge_into FROM (
+       |    SELECT DISTINCT b.key, b.name, m.key AS m_key, m.name AS m_name
+       |    FROM batch b JOIN cappedm m USING (bk))
+       |  WHERE levenshtein(name, m_name) <= $MaxEd
+       |  GROUP BY key)
+       |SELECT nation, count(*) AS n_new,
+       |  count(merge_into) AS n_linked,
+       |  count(*) - count(merge_into) AS n_fresh,
+       |  CAST(coalesce(sum(merge_into), 0) AS BIGINT) AS m_sum
+       |FROM cust c
+       |LEFT JOIN matches USING (key)
+       |WHERE key % 7 = 3
+       |GROUP BY nation ORDER BY nation""".stripMargin
+
+  /** Golden-record construction (survivorship): for every multi-record
+    * entity, the attributes the master record keeps — here the
+    * deterministic rule set "name and segment of the lowest key
+    * (`min_by`, unique-key tie-break), maximum account balance, summed
+    * balance" — the MDM step after clustering that every warehouse
+    * ships downstream instead of the raw duplicates. Nation needs no
+    * rule: links require equal nation, so it is constant per entity.
+    * One entity-keyed aggregate over the membership join; the
+    * survivors frame is entity-count-sized at any scale. */
+  def erGolden(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+    val labels = Dedup.labelsOf(
+      pairsOf(s, dir).select($"a_key".as("a_id"), $"b_key".as("b_id")))
+    cust.join(labels.select($"id".as("c_custkey"), $"lab".as("entity")),
+        "c_custkey")
+      .groupBy($"entity")
+      .agg(count(lit(1)).as("n_members"),
+        min_by($"c_name", $"c_custkey").as("g_name"),
+        min_by($"c_mktsegment", $"c_custkey").as("g_segment"),
+        min($"c_nationkey").as("g_nation"),
+        round(max($"c_acctbal"), 4).as("g_acctbal"),
+        round(sum($"c_acctbal"), 4).as("sum_acctbal"))
+      .orderBy($"entity")
+  }
+
+  val erGoldenSql: String =
+    s"""WITH RECURSIVE $duckPairs,
+       |edges AS (
+       |  SELECT a_key AS src, b_key AS dst FROM pairs
+       |  UNION SELECT b_key, a_key FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |walk(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
+       |comp AS (SELECT id, min(lab) AS entity FROM walk GROUP BY id)
+       |SELECT entity, count(*) AS n_members,
+       |  min_by(c_name, c_custkey) AS g_name,
+       |  min_by(c_mktsegment, c_custkey) AS g_segment,
+       |  min(c_nationkey) AS g_nation,
+       |  round(max(c_acctbal), 4) AS g_acctbal,
+       |  round(sum(c_acctbal), 4) AS sum_acctbal
+       |FROM customer JOIN comp ON c_custkey = comp.id
+       |GROUP BY entity ORDER BY entity""".stripMargin
+
+  /** Identity-graph density census: per nation, edges, wedges (2-paths
+    * a&lt;b&lt;c), and triangles — the closure QA a linkage pipeline
+    * reads before trusting transitive merges (a triangle-poor,
+    * wedge-rich graph is chaining through weak links; Suri &
+    * Vassilvitskii 2011). The oriented edge list (a&lt;b always) makes
+    * each wedge and triangle count exactly once with no post-hoc
+    * dedup: wedges join on the shared middle vertex, triangles close
+    * them with a semi-join back to the edge list. */
+  def erTriangles(s: SparkSession, dir: String): DataFrame =
+    trianglesOf(pairsOf(s, dir))
+
+  /** The census core on any (a_key, b_key, nation) edge frame — public
+    * so EntityResolutionSpec can pin known wedge/triangle counts. */
+  def trianglesOf(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val e = pairs.select($"a_key", $"b_key", $"nation")
+    val wedges = e.select($"a_key".as("a"), $"b_key".as("b"), $"nation")
+      .join(e.select($"a_key".as("b"), $"b_key".as("c")), "b")
+    val tris = wedges.join(
+      e.select($"a_key".as("a"), $"b_key".as("c")), Seq("a", "c"),
+      "left_semi")
+    e.groupBy($"nation").agg(count(lit(1)).as("n_edges"))
+      .join(wedges.groupBy($"nation").agg(count(lit(1)).as("n_wedges")),
+        Seq("nation"), "left")
+      .join(tris.groupBy($"nation").agg(count(lit(1)).as("n_triangles")),
+        Seq("nation"), "left")
+      .select($"nation", $"n_edges",
+        coalesce($"n_wedges", lit(0L)).as("n_wedges"),
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"))
+      .orderBy($"nation")
+  }
+
+  val erTrianglesSql: String =
+    s"""WITH $duckPairs,
+       |wedges AS (
+       |  SELECT e1.a_key AS a, e1.b_key AS b, e2.b_key AS c, e1.nation
+       |  FROM pairs e1 JOIN pairs e2 ON e1.b_key = e2.a_key),
+       |tris AS (
+       |  SELECT w.* FROM wedges w
+       |  WHERE EXISTS (SELECT 1 FROM pairs e
+       |                WHERE e.a_key = w.a AND e.b_key = w.c)),
+       |en AS (SELECT nation, count(*) AS n_edges FROM pairs GROUP BY nation),
+       |wn AS (SELECT nation, count(*) AS n_wedges FROM wedges GROUP BY nation),
+       |tn AS (SELECT nation, count(*) AS n_triangles FROM tris GROUP BY nation)
+       |SELECT en.nation, en.n_edges,
+       |  coalesce(wn.n_wedges, 0) AS n_wedges,
+       |  coalesce(tn.n_triangles, 0) AS n_triangles
+       |FROM en LEFT JOIN wn USING (nation) LEFT JOIN tn USING (nation)
+       |ORDER BY en.nation""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_pairs" -> (erPairs(_, _)),
+    "er_clusters" -> (erClusters(_, _)),
+    "er_golden" -> (erGolden(_, _)),
+    "er_incremental" -> (erIncremental(_, _)),
+    "er_triangles" -> (erTriangles(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "er_pairs" -> erPairsSql,
+    "er_clusters" -> erClustersSql,
+    "er_golden" -> erGoldenSql,
+    "er_incremental" -> erIncrementalSql,
+    "er_triangles" -> erTrianglesSql)
+}

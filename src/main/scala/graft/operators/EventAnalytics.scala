@@ -126,6 +126,34 @@ object EventAnalytics {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY flag, status""".stripMargin
 
+  /** OLAP cube: the full grouping-set lattice over (flag, status) —
+    * [[rollupAgg]]'s hierarchy plus the status-only grain a rollup
+    * cannot express. All four grains come out of ONE pass (Spark
+    * expands the grouping sets before the partial aggregate, so
+    * map-side combine covers every grain; no per-grain rescan). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 4).as("sum_qty"),
+        round(sum($"l_extendedprice"), 4).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("flag"),
+        coalesce($"l_linestatus", lit("ALL")).as("status"),
+        $"sum_qty", $"sum_price", $"n")
+      .orderBy($"flag", $"status")
+  }
+
+  val cubeAggSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |  coalesce(l_linestatus, 'ALL') AS status,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_price, count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
   val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** Pivot: daily event counts, one column per event type (fixed value
@@ -807,6 +835,7 @@ object EventAnalytics {
     "funnel" -> (funnel(_, _)),
     "range_join_bucketed" -> (clickErrorRange(_, _)),
     "rollup_agg" -> (rollupAgg(_, _)),
+    "cube_agg" -> (cubeAgg(_, _)),
     "retention_cohorts" -> (retentionCohorts(_, _)),
     "skew_report" -> (skewReport(_, _)),
     "skew_join_salted" -> (skewJoinSalted(_, _)),
@@ -825,6 +854,7 @@ object EventAnalytics {
     "funnel" -> funnelSql,
     "range_join_bucketed" -> clickErrorRangeSql,
     "rollup_agg" -> rollupAggSql,
+    "cube_agg" -> cubeAggSql,
     "retention_cohorts" -> retentionCohortsSql,
     "skew_report" -> skewReportSql,
     "skew_join_salted" -> skewJoinSaltedSql,

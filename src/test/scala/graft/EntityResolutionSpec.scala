@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.EntityResolution
+
+/** Entity-resolution laws (exact values are DuckDB-oracle-checked via
+  * the driver contract; these are the structural guarantees the
+  * blocking scheme claims): the two-pass OR-blocking is EXACT at
+  * Hamming ≤ 1 for equal-length names, the oversized-block policy
+  * drops degenerate keys deterministically, the triangle census counts
+  * each shape exactly once, and Spark's `levenshtein` is the classical
+  * Wagner–Fischer distance the oracle's DuckDB function computes. */
+class EntityResolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def master(rows: Seq[(Long, String, Int)]) = {
+    import spark.implicits._
+    rows.toDF("key", "name", "nation")
+  }
+
+  test("levenshtein is classical edit distance (oracle parity pin)") {
+    import spark.implicits._
+    val got = Seq(("kitten", "sitting"), ("abc", "abxc"), ("abc", "abc"),
+        ("Customer#000000001", "Customer#000000002"),
+        ("Customer#000000001", "Customer#000000011"))
+      .toDF("a", "b").select(levenshtein($"a", $"b")).as[Int].collect()
+    assert(got.toSeq == Seq(3, 1, 0, 1, 1))
+  }
+
+  test("blocking is exact at Hamming <= 1: matches brute force") {
+    import spark.implicits._
+    // random-ish equal-length names over a tiny alphabet so Hamming-1
+    // pairs are dense; several nations so the nation guard is exercised
+    val names = for {
+      i <- 0 until 120
+    } yield {
+      val x = i * 2654435761L % 4096
+      val nm = (0 until 8).map(j => ('a' + ((x >> (j * 3)) & 3)).toChar).mkString
+      (i.toLong, nm, (i % 3))
+    }
+    val got = EntityResolution.linkPairs(master(names))
+      .select($"a_key", $"b_key").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (ak, an, anat) <- names
+      (bk, bn, bnat) <- names
+      if ak < bk && anat == bnat && an.length == bn.length &&
+        an.zip(bn).count { case (x, y) => x != y } <= 1
+    } yield (ak, bk)).toSet
+    assert(got == brute, s"blocking missed ${brute -- got} / invented ${got -- brute}")
+    assert(brute.nonEmpty, "degenerate test: brute-force found no pairs")
+  }
+
+  test("oversized blocks are dropped; under-cap blocks still link") {
+    import spark.implicits._
+    // one degenerate block: BlockCap+1 identical names (a placeholder
+    // value) must produce ZERO pairs, not (cap+1 choose 2)
+    val degenerate = (0 until EntityResolution.BlockCap + 1)
+      .map(i => (i.toLong, "placeholder-name", 1))
+    assert(EntityResolution.linkPairs(master(degenerate)).isEmpty)
+    // while a small clean block links fine
+    val clean = Seq((1L, "alpha-0001", 1), (2L, "alpha-0002", 1))
+    assert(EntityResolution.linkPairs(master(clean)).count() == 1)
+  }
+
+  test("triangle census pins known counts on a hand graph") {
+    import spark.implicits._
+    // edges (1,2),(2,3),(1,3),(3,4): wedges a<b<c = (1,2,3),(1,3,4),
+    // (2,3,4); exactly one closes
+    val e = Seq((1L, 2L, 7), (2L, 3L, 7), (1L, 3L, 7), (3L, 4L, 7))
+      .toDF("a_key", "b_key", "nation")
+    val row = EntityResolution.trianglesOf(e).collect()
+    assert(row.length == 1)
+    assert(row(0).getLong(1) == 4L) // n_edges
+    assert(row(0).getLong(2) == 3L) // n_wedges
+    assert(row(0).getLong(3) == 1L) // n_triangles
+  }
+
+  test("golden records follow the survivorship rules") {
+    import spark.implicits._
+    val golden = EntityResolution.erGolden(spark, sf).collect()
+    assert(golden.nonEmpty)
+    val cust = Tables(spark, sf, "customer")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r).toMap
+    val clusters = EntityResolution.erClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    golden.foreach { r =>
+      val entity = r.getLong(0)
+      // the representative key survives: its name is the golden name
+      assert(r.getString(2) == cust(entity)._2)
+      // cluster cardinality agrees with er_clusters
+      assert(r.getLong(1) == clusters(entity))
+    }
+  }
+
+  test("incremental probe: classification is total, merge targets are masters") {
+    import spark.implicits._
+    val inc = EntityResolution.erIncremental(spark, sf).collect()
+    assert(inc.nonEmpty)
+    inc.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        "every new record is linked XOR fresh")
+    }
+    val nNew = Tables(spark, sf, "customer")
+      .filter(pmod($"c_custkey", lit(7L)) === 3L).count()
+    assert(inc.map(_.getLong(1)).sum == nNew, "the batch slice is covered")
+  }
+
+  test("on testdata: pairs are oriented, intra-nation, within distance") {
+    import spark.implicits._
+    val pairs = EntityResolution.pairsOf(spark, sf).collect()
+    assert(pairs.nonEmpty, "sf0.001 should contain linkable customers")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(3) <= EntityResolution.MaxEd)
+    }
+    // clusters: every multi-record entity has >= 2 members, and total
+    // membership equals the number of distinct linked records
+    val clusters = EntityResolution.erClusters(spark, sf).collect()
+    assert(clusters.forall(_.getLong(1) >= 2))
+    val nodes = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+    assert(clusters.map(_.getLong(1)).sum == nodes.length)
+  }
+}

@@ -56,7 +56,7 @@ object Sf10Gate {
     // BaseSpan; replicas are bit-identical ⇒ cosine 1.0 ≥ CosineTau)
     val expected = emb.groupBy(pmod($"vec_id", lit(BaseSpan)).as("base"))
       .agg(count(lit(1)).as("n"))
-      .agg(sum($"n" * ($"n" - 1) / 2)).head().getLong(0)
+      .agg(sum(expr("n * (n - 1) DIV 2"))).head().getLong(0)
 
     def timedCount(df: org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
       val t0 = System.nanoTime()

@@ -369,7 +369,7 @@ object Dedup {
   /** Release a checkpointed frame's storage NOW rather than waiting for
     * the context cleaner to notice unreachability — localCheckpoint
     * persists its RDD, so unpersisting that RDD frees the blocks. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
     try if (!df.sparkSession.sparkContext.isStopped)
       checkpointRdd(df).foreach(_.unpersist(blocking = false))
     catch { case _: Throwable => () }

@@ -60,15 +60,64 @@ object EntityResolution {
   /** Name suffix length the two block keys split on. */
   val SufLen = 5
 
+  /** Cached (pairs, labels) per (session, dir) — the ER family's
+    * shared-build stage, the [[Dedup]] pair-cache discipline verbatim:
+    * five queries consume the same verified edge list and two of them
+    * the same component fixpoint, so both materialize ONCE
+    * (localCheckpoint / persisted fixpoint) and every query measures
+    * pure consumption; the bench prices the build as its own
+    * `er_link_build` entry. Eviction only drops the map entry (a
+    * returned frame may still be live); [[clearLinkCache]] (bench
+    * protocol, callers provably done) force-releases. */
+  val LinkCacheMaxEntries = 4
+  private val linkCache =
+    scala.collection.mutable.LinkedHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+
   /** The verified edge list: (a_key, b_key, nation, dist), a < b, one
     * row per linked pair — shared by the pair report, the clustering,
     * and the triangle census. */
-  def pairsOf(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    linkPairs(Tables(s, dir, "customer")
-      .select($"c_custkey".as("key"), $"c_name".as("name"),
-        $"c_nationkey".as("nation")))
+  def pairsOf(s: SparkSession, dir: String): DataFrame = linkOf(s, dir)._1
+
+  /** The per-node component labels (id → min reachable key) over the
+    * link graph — shared by [[erClusters]] and [[erGolden]]. */
+  def labelsFor(s: SparkSession, dir: String): DataFrame = linkOf(s, dir)._2
+
+  /** Force-build the shared stage (bench pricing hook). */
+  def linkBuild(s: SparkSession, dir: String): Unit = { linkOf(s, dir); () }
+
+  def clearLinkCache(): Unit = linkCache.synchronized {
+    linkCache.values.foreach { case (pairs, labels) =>
+      Dedup.releaseCheckpoint(pairs)
+      try if (!labels.sparkSession.sparkContext.isStopped)
+        labels.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+    linkCache.clear()
   }
+
+  private def linkOf(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    linkCache.synchronized {
+      import s.implicits._
+      linkCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      linkCache.get((s, dir)) match {
+        case Some(v) =>
+          linkCache.remove((s, dir)); linkCache.put((s, dir), v) // LRU touch
+          v
+        case None =>
+          val pairs = linkPairs(Tables(s, dir, "customer")
+              .select($"c_custkey".as("key"), $"c_name".as("name"),
+                $"c_nationkey".as("nation")))
+            .localCheckpoint() // eager
+          // labelsOf returns an already-materialized persisted frame
+          val labels = Dedup.labelsOf(
+            pairs.select($"a_key".as("a_id"), $"b_key".as("b_id")))
+          val v = (pairs, labels)
+          linkCache.put((s, dir), v)
+          if (linkCache.size > LinkCacheMaxEntries)
+            linkCache.remove(linkCache.head._1) // drop only, never unpersist
+          v
+      }
+    }
 
   /** The two blocking passes, exploded as (pass, key-string) rows —
     * the shared candidate substrate of [[linkPairs]] (full linkage)
@@ -170,9 +219,9 @@ object EntityResolution {
     * multi-record entity: representative (min key) + member count. */
   def erClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.componentsOf(
-      pairsOf(s, dir).select($"a_key".as("a_id"), $"b_key".as("b_id")))
-      .select($"component".as("entity"), $"n_members")
+    labelsFor(s, dir)
+      .groupBy($"lab".as("entity"))
+      .agg(count(lit(1)).as("n_members"))
       .orderBy($"entity")
   }
 
@@ -264,8 +313,7 @@ object EntityResolution {
   def erGolden(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cust = Tables(s, dir, "customer")
-    val labels = Dedup.labelsOf(
-      pairsOf(s, dir).select($"a_key".as("a_id"), $"b_key".as("b_id")))
+    val labels = labelsFor(s, dir)
     cust.join(labels.select($"id".as("c_custkey"), $"lab".as("entity")),
         "c_custkey")
       .groupBy($"entity")

@@ -79,14 +79,16 @@ object DataSelection {
     * in any document, so the raw-count frame is the complete domain. */
   private def weightTable(feats: DataFrame, targetIds: DataFrame): DataFrame = {
     import feats.sparkSession.implicits._
-    val rc = feats.groupBy($"bucket").agg(count(lit(1)).as("rn"))
-    val tc = feats.join(broadcast(targetIds), "doc_id")
-      .groupBy($"bucket").agg(count(lit(1)).as("tn"))
-    val tot = rc.agg(sum($"rn").as("rtot")).crossJoin(
-      tc.agg(coalesce(sum($"tn"), lit(0L)).as("ttot")))
-    rc.join(tc, Seq("bucket"), "left")
-      .withColumn("tn", coalesce($"tn", lit(0L)))
-      .crossJoin(broadcast(tot))
+    // ONE corpus scan builds both models: mark target occurrences with
+    // a broadcast membership join, then a single conditional aggregate
+    // yields raw and target counts per bucket (the map-side combine
+    // collapses each task to <= Buckets rows before the exchange)
+    val counts = feats
+      .join(broadcast(targetIds.withColumn("t", lit(1))), Seq("doc_id"), "left")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("rn"), count($"t").as("tn"))
+    val tot = counts.agg(sum($"rn").as("rtot"), sum($"tn").as("ttot"))
+    counts.crossJoin(broadcast(tot))
       .select($"bucket", $"tn", $"rn",
         (Log2Fixed($"rn" + 1, $"rtot" + Buckets) -
           Log2Fixed($"tn" + 1, $"ttot" + Buckets)).as("wb"))

@@ -346,6 +346,95 @@ object EntityResolution {
        |FROM customer JOIN comp ON c_custkey = comp.id
        |GROUP BY entity ORDER BY entity""".stripMargin
 
+  /** PageRank damping as the exact rational [[PrDampNum]]/[[PrDampDen]]
+    * (0.85), iterations, fixed-point rank scale, and report size. */
+  val PrDampNum = 17L
+  val PrDampDen = 20L
+  val PrIters = 8
+  val PrScale = 1L << 20
+  val PrTop = 20
+
+  /** INTEGER PageRank over the identity graph — hub centrality for
+    * linkage QA: a high-rank record sits at the center of a dense link
+    * neighborhood, the signature of a placeholder/default value
+    * over-linking records (the same pathology [[BlockCap]] guards
+    * blocks against, seen from the graph side). PageRank is THE
+    * canonical distributed graph computation (Page et al. 1999;
+    * Malewicz et al., Pregel, SIGMOD 2010); this one is exactly
+    * reproducible across engines because every step is integer:
+    *
+    *   contrib(j) = r(j) DIV deg(j)                  (integer floor)
+    *   r'(i) = (S·(Den−Num)) DIV Den
+    *         + (Num · Σ_{j∼i} contrib(j)) DIV Den    (damping 17/20)
+    *
+    * — BIGINT sums are order-independent, integer floor-division is
+    * deterministic, so after [[PrIters]] rounds both engines hold the
+    * SAME 64-bit ranks and the oracle hash-gates the whole trajectory
+    * (the float formulation would die on cross-engine summation
+    * order). Rank mass leaks at each floor — bounded by deg·1 units
+    * of 2^-20 per node per round, irrelevant to ordering and
+    * identical on both sides.
+    *
+    * Scale: each round is ONE shuffle join (ranks ⋈ edges on src,
+    * both hash-partitioned by node id) plus a BIGINT aggregate keyed
+    * on dst — the Pregel shape; the node frame persists once, plan
+    * growth is linear in rounds (each round reads the previous ranks
+    * exactly once — no [[Dedup.labelsOf]]-style re-rooting needed).
+    * The oracle unrolls the same [[PrIters]] rounds as CTEs (the
+    * `kmeans_fit_trace` 70-iteration precedent). */
+  def erPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pr = pairsOf(s, dir)
+    val fwd = pr.select($"a_key".as("src"), $"b_key".as("dst"))
+    val edges = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+      .persist()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).persist()
+    var ranks = deg.select($"src".as("id"), $"deg", lit(PrScale).as("rank"))
+    for (_ <- 1 to PrIters) {
+      val inc = ranks
+        .join(edges, ranks("id") === edges("src"))
+        .select($"dst", expr("rank DIV deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("inc"))
+      ranks = deg.select($"src".as("id"), $"deg")
+        .join(inc, $"id" === $"dst", "left")
+        .select($"id", $"deg",
+          (lit(PrScale * (PrDampDen - PrDampNum) / PrDampDen) +
+            expr(s"($PrDampNum * coalesce(inc, CAST(0 AS BIGINT))) DIV $PrDampDen"))
+            .as("rank"))
+    }
+    ranks.orderBy($"rank".desc, $"id")
+      .select($"id", $"deg", $"rank")
+      .limit(PrTop)
+  }
+
+
+  /** The [[erPagerank]] oracle: the same [[PrIters]] integer rounds
+    * unrolled as CTEs (the `kmeans_fit_trace` precedent). */
+  val erPagerankSql: String = {
+    val base = PrScale * (PrDampDen - PrDampNum) / PrDampDen
+    val rounds = (1 to PrIters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst, CAST(sum(r.rank // r.deg) AS BIGINT) AS inc
+         |  FROM r${k - 1} r JOIN edges e ON r.id = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT d.id, d.deg,
+         |    $base + ($PrDampNum * coalesce(c.inc, 0)) // $PrDampDen AS rank
+         |  FROM deg0 d LEFT JOIN c$k c ON d.id = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckPairs,
+       |edges AS (
+       |  SELECT a_key AS src, b_key AS dst FROM pairs
+       |  UNION ALL SELECT b_key, a_key FROM pairs),
+       |deg0 AS (
+       |  SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (
+       |  SELECT id, deg, CAST($PrScale AS BIGINT) AS rank FROM deg0),
+       |$rounds
+       |SELECT id, CAST(deg AS BIGINT) AS deg, CAST(rank AS BIGINT) AS rank
+       |FROM r$PrIters ORDER BY rank DESC, id LIMIT $PrTop""".stripMargin
+  }
+
   /** Identity-graph density census: per nation, edges, wedges (2-paths
     * a&lt;b&lt;c), and triangles — the closure QA a linkage pipeline
     * reads before trusting transitive merges (a triangle-poor,
@@ -401,6 +490,7 @@ object EntityResolution {
     "er_clusters" -> (erClusters(_, _)),
     "er_golden" -> (erGolden(_, _)),
     "er_incremental" -> (erIncremental(_, _)),
+    "er_pagerank" -> (erPagerank(_, _)),
     "er_triangles" -> (erTriangles(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -408,5 +498,6 @@ object EntityResolution {
     "er_clusters" -> erClustersSql,
     "er_golden" -> erGoldenSql,
     "er_incremental" -> erIncrementalSql,
+    "er_pagerank" -> erPagerankSql,
     "er_triangles" -> erTrianglesSql)
 }

@@ -117,6 +117,28 @@ class EntityResolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc.map(_.getLong(1)).sum == nNew, "the batch slice is covered")
   }
 
+  test("integer pagerank: star center outranks leaves, mass is conserved") {
+    import spark.implicits._
+    val top = EntityResolution.erPagerank(spark, sf).collect()
+    assert(top.nonEmpty)
+    // ranks arrive sorted descending with id tie-break
+    top.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) > b.getLong(2) ||
+          (a.getLong(2) == b.getLong(2) && a.getLong(0) < b.getLong(0)))
+      case _ =>
+    }
+    // the top node's degree is at least the median top-20 degree: hub
+    // centrality must correlate with connectivity on this graph
+    val degs = top.map(_.getLong(1)).sorted
+    assert(top.head.getLong(1) >= degs(degs.length / 2))
+    // every rank respects the floor: base share (1-d)*S survives floors
+    val base = EntityResolution.PrScale *
+      (EntityResolution.PrDampDen - EntityResolution.PrDampNum) /
+      EntityResolution.PrDampDen
+    assert(top.forall(_.getLong(2) >= base))
+  }
+
   test("on testdata: pairs are oriented, intra-nation, within distance") {
     import spark.implicits._
     val pairs = EntityResolution.pairsOf(spark, sf).collect()

@@ -100,14 +100,23 @@ object DataSelection {
     * join) — they still count in [[dsirSample]]'s per-source volumes.
     * Public on a documents-shaped frame (doc_id, text, source,
     * n_chars) so DataSelectionSpec can drive synthetic corpora. */
-  def weightsOf(docs: DataFrame): DataFrame = {
+  /** The trained ≤ [[Buckets]]-row weight table for a documents-shaped
+    * frame (target = lexicographically-first source) — the artifact the
+    * streaming gate ([[graft.streaming.StreamOps.streamingDsirGate]])
+    * freezes and scores new documents against. */
+  def bucketWeightsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val trainSrc = docs.agg(min($"source").as("train_source"))
     val targetIds = docs.crossJoin(broadcast(trainSrc))
       .filter($"source" === $"train_source").select($"doc_id")
+    weightTable(featsOf(docs), targetIds)
+  }
+
+  def weightsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val feats = featsOf(docs)
     val perDoc = feats
-      .join(broadcast(weightTable(feats, targetIds)), "bucket")
+      .join(broadcast(bucketWeightsOf(docs)), "bucket")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_feats"), sum($"wb").as("w_bits"))
     docs.select($"doc_id", $"source", $"n_chars")

@@ -71,6 +71,35 @@ object StreamOps {
       .withColumn("keep", col("margin") > 0)
   }
 
+  /** At-ingest DSIR selection — the deployment shape of
+    * [[graft.operators.DataSelection]]: the batch-trained bucket
+    * weight table (≤ [[graft.operators.DataSelection.Buckets]] rows,
+    * the K-row-artifact discipline) is collected into a literal
+    * array, and each incoming document's weight is a PURE per-row
+    * fold over its hashed bigram occurrences — no state, no join, no
+    * shuffle; append-safe by construction. A bucket the training
+    * corpus never saw scores 0 (the neutral log-ratio: the stream is
+    * the one place a truly novel bucket can appear — batch scoring
+    * can't, since the raw model's domain covers every occurring
+    * bucket). keep = weight above zero (more target-like than the raw
+    * corpus). Model refresh = restart with a re-collected table.
+    * Inputs: docs (doc_id, source, text) batch or stream; weights
+    * (bucket, wb) static — [[graft.operators.DataSelection.bucketWeightsOf]]. */
+  def streamingDsirGate(docs: DataFrame, weights: DataFrame): DataFrame = {
+    import graft.operators.DataSelection.Buckets
+    val wMap = weights.select(col("bucket"), col("wb")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val arr: Seq[Long] = (0L until Buckets.toLong).map(wMap.getOrElse(_, 0L))
+    docs.select(
+      col("doc_id"), col("source"),
+      aggregate(
+        transform(graft.functions.WordNgramHashes.positional(col("text"), 2),
+          h => element_at(typedlit(arr),
+            (pmod(h, lit(Buckets.toLong)) + 1).cast("int"))),
+        lit(0L), (acc, x) => acc + x).as("w_bits"))
+      .withColumn("keep", col("w_bits") > 0)
+  }
+
   /** At-ingest decontamination — the STREAM-STATIC JOIN shape (each
     * output row derives from one stream row plus a static table, so
     * the join is stateless and append-safe): an incoming document's

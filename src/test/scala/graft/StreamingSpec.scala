@@ -213,6 +213,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch(2L)._3 == 1L, "one OOV token in doc 2")
   }
 
+  test("streamingDsirGate: stream scores equal the batch weights") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    // train on a small corpus (target = source 'a'), freeze the table
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "a"),
+      (2L, "gamma delta gamma delta", "b"),
+      (3L, "alpha beta gamma", "b"),
+      (4L, "solo", "b"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val weights = operators.DataSelection.bucketWeightsOf(corpus)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamOps.streamingDsirGate(
+        mem.toDF().toDF("doc_id", "text", "source"), weights)
+      .writeStream.format("memory").queryName("dsirgate")
+      .outputMode("append").start()
+    mem.addData((3L, "alpha beta gamma", "b"), (1L, "alpha beta alpha beta alpha beta", "a"))
+    q.processAllAvailable()
+    mem.addData((4L, "solo", "b"), (2L, "gamma delta gamma delta", "b"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsirgate").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val batch = operators.DataSelection.weightsOf(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed(4L) == 0L, "featureless doc scores the neutral 0")
+  }
+
   test("streamingDecontaminate: stream-static join flags the batch set") {
     val s = spark
     import s.implicits._

@@ -30,7 +30,8 @@ object SparkEntry {
     operators.Warehouse.queries ++
     operators.LangModel.queries ++
     operators.DataSelection.queries ++
-    operators.EntityResolution.queries ++ Map(
+    operators.EntityResolution.queries ++
+    operators.TpchExtra.queries ++ Map(
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "lineitem")
@@ -63,7 +64,8 @@ object SparkEntry {
     operators.Warehouse.oracles ++
     operators.LangModel.oracles ++
     operators.DataSelection.oracles ++
-    operators.EntityResolution.oracles ++ Map(
+    operators.EntityResolution.oracles ++
+    operators.TpchExtra.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,324 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.B — the TPC-H completeness wave: the eight remaining
+  * classics expressible over the driver's schema (no `partsupp` table and
+  * no `l_shipmode`/`l_commitdate`/`l_receiptdate`/`p_container` columns,
+  * so Q2/Q9/Q11/Q12/Q16/Q20/Q21 have no faithful form here; each kept
+  * query notes its one-predicate adaptations inline). The reference
+  * engine (master.py:36-41) has a single fixed workload — this family is
+  * the coverage proof that the same loader/shuffle/agg machinery answers
+  * the standard warehouse question set.
+  *
+  * Scale stance (100 TB): same as [[RelationalQueries]] — only region/
+  * nation carry a `broadcast()` hint. `part` SCALES WITH THE FACT TABLE
+  * (TPC-H part = sf·200k rows ≈ lineitem/30 — tens of GB at 100 TB), so
+  * part legs join by partkey shuffle, with AQE free to broadcast the
+  * measured post-filter side at runtime. All predicates live directly on
+  * the scan columns so they push into parquet (q6 is the canary: a
+  * scan-only agg whose three filters must all reach PushedFilters —
+  * TpchExtraSpec asserts it). Single-row results (q6, q14) still
+  * aggregate distributed partials; nothing collects.
+  */
+object TpchExtra {
+
+  /** Q6 — forecast revenue change: pure scan-agg, every predicate
+    * pushable. The whole query is one parquet scan + partial/final agg:
+    * at 100 TB this is the I/O-bound floor, nothing else to optimize. */
+  def q6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 4).as("revenue"))
+  }
+
+  val q6Sql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Q7 — volume shipping between two nations, by direction and year.
+    * nation joins twice under different aliases (supp side / cust side),
+    * both broadcast; the two fact-sized legs (orders, customer) stay
+    * planner-chosen. The nation-pair filter is applied AFTER the
+    * broadcast joins but consists of broadcast-side columns only, so
+    * Catalyst pushes it into the join. */
+  def q7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n1 = Tables(s, dir, "nation").select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    val n2 = Tables(s, dir, "nation").select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(Tables(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sn_key")
+      .join(broadcast(n2), $"c_nationkey" === $"cn_key")
+      .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+        ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Q8 — national market share inside one region for one part type:
+    * share = NATION_3's fraction of ECONOMY-part revenue sold to ASIA
+    * customers, per order year. The share is a conditional-sum ratio
+    * computed inside the same aggregate (one shuffle); part joins by
+    * partkey (fact-scaled side, no hint). p_type is a single word here,
+    * so the classic `p_type = '...'` equality keeps its form. */
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part").filter($"p_type" === "ECONOMY").select("p_partkey"),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "nation")
+        .select($"n_nationkey".as("cn_key"), $"n_regionkey")),
+        $"c_nationkey" === $"cn_key")
+      .join(broadcast(Tables(s, dir, "region").filter($"r_name" === "ASIA")
+        .select("r_regionkey")), $"n_regionkey" === $"r_regionkey")
+      .join(Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables(s, dir, "nation")
+        .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"sn_key")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(round(
+        sum(when($"supp_nation" === "NATION_3", vol).otherwise(lit(0.0))) / sum(vol), 4)
+        .as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  val q8Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  round(sum(CASE WHEN n2.n_name = 'NATION_3'
+      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |    / sum(l_extendedprice * (1.0 - l_discount)), 4) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE p_type = 'ECONOMY'
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1
+      |ORDER BY o_year""".stripMargin
+
+  /** Q10 — top-20 customers by returned-item revenue in a quarter:
+    * the churn-risk report. Fact legs planner-chosen, nation broadcast,
+    * top-20 via the same orderBy+limit contract as q3. */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem").filter($"l_returnflag" === "R")
+      .join(Tables(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "nation").select("n_nationkey", "n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** Q14 — promotion revenue share: 100 · promo revenue / total revenue
+    * for one ship month. Both sums come out of ONE aggregate over the
+    * partkey join (conditional sum, not two scans). */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .join(Tables(s, dir, "part").select("p_partkey", "p_type"),
+        $"l_partkey" === $"p_partkey")
+      .agg(round(lit(100.0) *
+        sum(when($"p_type" === "PROMO", vol).otherwise(lit(0.0))) / sum(vol), 4)
+        .as("promo_share"))
+  }
+
+  val q14Sql: String =
+    """SELECT round(100.0 *
+      |    sum(CASE WHEN p_type = 'PROMO'
+      |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |    / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
+
+  /** Q15 — top supplier by quarterly revenue. The classic uses a view +
+    * `rev = (SELECT max ...)`; float equality across engines is ulp-
+    * fragile, so both sides take the deterministic twin: rank by
+    * (revenue DESC, suppkey) and keep rank 1 — same answer whenever the
+    * max is unique, and a DETERMINISTIC answer when two suppliers tie to
+    * the last bit. One shuffle to the per-supplier agg; the rank-1 pick
+    * is a single-partition window over |suppliers| rows (K-row, fine). */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    val w = Window.orderBy($"rev".desc, $"l_suppkey")
+    rev.join(broadcast(Tables(s, dir, "supplier").select("s_suppkey", "s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"s_suppkey", $"s_name", round($"rev", 4).as("total_rev"))
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, round(rev, 4) AS total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY rev DESC, l_suppkey
+      |LIMIT 1""".stripMargin
+
+  /** Q17 — small-quantity-order revenue: lineitems of one brand's parts
+    * whose quantity is below 20% of that part's average, as a yearly
+    * average (sum/7). The correlated per-part average becomes a
+    * partkey-grouped agg joined back — the filtered brand subset drives
+    * BOTH legs, so the per-part agg runs over the small filtered side,
+    * not all of lineitem. */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brandParts = Tables(s, dir, "part")
+      .filter($"p_brand" === "Brand#23").select("p_partkey")
+    val li = Tables(s, dir, "lineitem")
+      .join(brandParts, $"l_partkey" === $"p_partkey")
+    val avgQty = li.groupBy($"p_partkey".as("ap_key"))
+      .agg(avg($"l_quantity").as("avg_qty"))
+    li.join(avgQty, $"p_partkey" === $"ap_key")
+      .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+      .agg(round(sum($"l_extendedprice") / 7.0, 4).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#23'),
+      |aq AS (
+      |  SELECT l_partkey AS ap_key, avg(l_quantity) AS avg_qty
+      |  FROM li GROUP BY l_partkey)
+      |SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+      |FROM li JOIN aq ON l_partkey = ap_key
+      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
+  /** Q19 — discounted revenue under three OR'd (brand, size, quantity)
+    * baskets. The OR predicate references both sides, so it evaluates in
+    * the partkey join; each disjunct's part-side half (brand + size) also
+    * prunes the part scan via the OR'd union predicate Catalyst derives.
+    * (p_container doesn't exist here; size ranges stand in for it.) */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part").select("p_partkey", "p_brand", "p_size"),
+        $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 25) &&
+          $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#15" && $"p_size".between(1, 35) &&
+          $"l_quantity".between(20, 30)))
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+  }
+
+  val q19Sql: String =
+    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast" -> (q6(_, _)),
+    "q7_volume" -> (q7(_, _)),
+    "q8_mktshare" -> (q8(_, _)),
+    "q10_returns" -> (q10(_, _)),
+    "q14_promo" -> (q14(_, _)),
+    "q15_top_supplier" -> (q15(_, _)),
+    "q17_small_qty" -> (q17(_, _)),
+    "q19_disc_revenue" -> (q19(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q6_forecast" -> q6Sql,
+    "q7_volume" -> q7Sql,
+    "q8_mktshare" -> q8Sql,
+    "q10_returns" -> q10Sql,
+    "q14_promo" -> q14Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q17_small_qty" -> q17Sql,
+    "q19_disc_revenue" -> q19Sql)
+}

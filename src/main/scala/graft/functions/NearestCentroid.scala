@@ -97,97 +97,3 @@ object NearestCentroid {
     GraftShims.column(NearestCentroid(
       GraftShims.expression(x), GraftShims.expression(y), cxs, cys))
 }
-
-/** [[NearestCentroid]] over RUNTIME centroid arrays — the fused-Lloyd
-  * building block ([[graft.kmeans.KMeans.stepsFused]]): when 2–4
-  * iterations compose into ONE DataFrame plan, iteration j+1's centroids
-  * are not driver literals but the (1-row, K-element) output of
-  * iteration j's in-plan aggregate, so the argmin must read its centroid
-  * table from array COLUMNS. Same loop, same strict-< first-wins
-  * tie-break (mapper.py:58-66), same 1-based id — only the table source
-  * differs, and the static variant stays the fast path for
-  * driver-literal centroids (no per-row array header traffic).
-  */
-case class NearestCentroidDyn(x: Expression, y: Expression,
-    cxs: Expression, cys: Expression) extends Expression {
-
-  override def children: Seq[Expression] = Seq(x, y, cxs, cys)
-  override def dataType: DataType = IntegerType
-  override def nullable: Boolean = children.exists(_.nullable)
-
-  override def eval(input: InternalRow): Any = {
-    val xv = x.eval(input)
-    val yv = y.eval(input)
-    val cxv = cxs.eval(input)
-    val cyv = cys.eval(input)
-    if (xv == null || yv == null || cxv == null || cyv == null) null
-    else {
-      val px = xv.asInstanceOf[Double]
-      val py = yv.asInstanceOf[Double]
-      val ax = cxv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val ay = cyv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      var best = 0
-      var bestD = Double.PositiveInfinity
-      var i = 0
-      val n = ax.numElements()
-      while (i < n) {
-        val dx = px - ax.getDouble(i)
-        val dy = py - ay.getDouble(i)
-        val d = dx * dx + dy * dy
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
-      }
-      best + 1
-    }
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val xGen = x.genCode(ctx)
-    val yGen = y.genCode(ctx)
-    val cxGen = cxs.genCode(ctx)
-    val cyGen = cys.genCode(ctx)
-    val i = ctx.freshName("i")
-    val n = ctx.freshName("n")
-    val best = ctx.freshName("best")
-    val bestD = ctx.freshName("bestD")
-    val d = ctx.freshName("d")
-    val dx = ctx.freshName("dx")
-    val dy = ctx.freshName("dy")
-    val code =
-      code"""
-        ${xGen.code}
-        ${yGen.code}
-        ${cxGen.code}
-        ${cyGen.code}
-        boolean ${ev.isNull} = ${xGen.isNull} || ${yGen.isNull} ||
-          ${cxGen.isNull} || ${cyGen.isNull};
-        int ${ev.value} = 0;
-        if (!${ev.isNull}) {
-          int $best = 0;
-          double $bestD = Double.POSITIVE_INFINITY;
-          int $n = ${cxGen.value}.numElements();
-          for (int $i = 0; $i < $n; $i++) {
-            double $dx = ${xGen.value} - ${cxGen.value}.getDouble($i);
-            double $dy = ${yGen.value} - ${cyGen.value}.getDouble($i);
-            double $d = $dx * $dx + $dy * $dy;
-            if ($d < $bestD) { $bestD = $d; $best = $i; }
-          }
-          ${ev.value} = $best + 1;
-        }
-      """
-    ev.copy(code = code)
-  }
-
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): Expression =
-    copy(x = newChildren(0), y = newChildren(1),
-      cxs = newChildren(2), cys = newChildren(3))
-}
-
-object NearestCentroidDyn {
-  /** Column API over array&lt;double&gt; centroid columns. */
-  def apply(x: Column, y: Column, cxs: Column, cys: Column): Column =
-    GraftShims.column(NearestCentroidDyn(
-      GraftShims.expression(x), GraftShims.expression(y),
-      GraftShims.expression(cxs), GraftShims.expression(cys)))
-}

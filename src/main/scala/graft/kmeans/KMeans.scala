@@ -1,6 +1,6 @@
 package graft.kmeans
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.NearestCentroid
@@ -130,8 +130,7 @@ object KMeans {
   def fit(points: DataFrame, k: Int, maxIter: Int = 50,
       atol: Double = DefaultAtol, rtol: Double = DefaultRtol,
       initFn: (DataFrame, Int) => Seq[Centroid] = init): KMeansModel =
-    fitLoop(points, k, maxIter, initFn, (c: Column) => c,
-      converged(_, _, atol, rtol))
+    fitLoop(points, k, maxIter, initFn, identity, converged(_, _, atol, rtol))
 
   /** numpy-allclose on the ROUNDED chain in exact integer
     * ten-thousandths (|Δ10k|·10⁵ ≤ 10⁵ + |new10k| over BIGINTs — the
@@ -147,97 +146,24 @@ object KMeans {
     old.zip(next).forall { case (a, b) => close(a.x, b.x) && close(a.y, b.y) }
   }
 
-  /** Iterations composed into ONE DataFrame plan per driver job by
-    * [[stepsFused]] — each job runs a fresh plan (new centroid
-    * literals), so the per-iteration cost includes analysis + codegen
-    * compilation + job-submission latency; fusing 4 cuts those driver
-    * round-trips 4× while the per-iteration MATH (assign → K-row agg →
-    * round) is unchanged (round-6 verdict item 3: `kmeans_train_build`
-    * was 70 sequential jobs, latency-bound). */
-  val FuseIters = 4
-
-  /** One Lloyd level INSIDE a plan: `prev` is a 1-row frame whose
-    * `cx`/`cy` arrays (K elements, index = cid) hold the current
-    * centroids; the output row appends this level's post-stepped
-    * centroids as `cx_<lvl>`/`cy_<lvl>`/`cn_<lvl>` and rebinds
-    * `cx`/`cy` for the next level. The broadcast of the 1-row aggregate
-    * is the in-plan analogue of the master→mapper centroid broadcast;
-    * each level's aggregate is computed ONCE and feeds both the output
-    * and the next assignment (a union-of-boundaries shape would
-    * re-evaluate the chain per leg and let float-sum order diverge
-    * between the reported and the consumed centroids). */
-  private def levelUp(plane: DataFrame, prev: DataFrame, k: Int, lvl: Int,
-      postCol: Column => Column): DataFrame = {
-    import graft.functions.NearestCentroidDyn
-    val carry = prev.columns.toSeq
-    val assigned = plane.crossJoin(broadcast(prev))
-      .withColumn("__cid",
-        NearestCentroidDyn(col("x"), col("y"), col("cx"), col("cy")))
-    val aggCols = Seq(avg(col("x")).as("__ax"), avg(col("y")).as("__ay"),
-      count(lit(1)).as("__n")) ++ carry.map(c => first(col(c)).as(c))
-    val perCid = assigned.groupBy(col("__cid")).agg(aggCols.head, aggCols.tail: _*)
-    val oneCols = Seq(map_from_entries(collect_list(struct(
-      col("__cid").as("k"),
-      struct(col("__ax").as("ax"), col("__ay").as("ay"),
-        col("__n").as("n")).as("v")))).as("__m")) ++
-      carry.map(c => first(col(c)).as(c))
-    val one = perCid.agg(oneCols.head, oneCols.tail: _*)
-    // empty cluster: no __m entry for that cid → keep the previous
-    // centroid (coalesce), then post-step it with the rest — exactly
-    // the driver loop's `None => c` + postStep order
-    def newArr(field: String, prevArr: String): Column =
-      transform(sequence(lit(1), lit(k)), i => postCol(coalesce(
-        element_at(col("__m"), i).getField(field),
-        element_at(col(prevArr), i))))
-    val newn = transform(sequence(lit(1), lit(k)),
-      i => coalesce(element_at(col("__m"), i).getField("n"), lit(0L)))
-    val keep = carry.filterNot(Set("cx", "cy")).map(col)
-    one.select(keep ++ Seq(
-      newArr("ax", "cx").as(s"cx_$lvl"), newArr("ay", "cy").as(s"cy_$lvl"),
-      newn.as(s"cn_$lvl"),
-      newArr("ax", "cx").as("cx"), newArr("ay", "cy").as("cy")): _*)
-  }
-
-  /** `n` full Lloyd cycles as ONE job: a linear chain of [[levelUp]]
-    * levels collected as a single row holding every boundary's
-    * centroids and cluster sizes. `postCol` is the boundary transform
-    * (identity for the raw chain, [[graft.functions.Round4]] for the
-    * contract chain) applied IN-PLAN, so level j+1 assigns against
-    * exactly the post-stepped centroids the driver decodes for the
-    * convergence test. */
-  def stepsFused(plane: DataFrame, cs: Seq[Centroid], n: Int,
-      postCol: Column => Column): Seq[(Seq[Centroid], Map[Int, Long])] = {
-    val sorted = cs.sortBy(_.id)
-    require(sorted.map(_.id) == (1 to sorted.size),
-      s"centroid ids must be 1..K, got ${sorted.map(_.id)}")
-    var df = plane.sparkSession.range(1).select(
-      typedlit(sorted.map(_.x)).as("cx"), typedlit(sorted.map(_.y)).as("cy"))
-    for (lvl <- 1 to n) df = levelUp(plane, df, sorted.size, lvl, postCol)
-    val row = df.collect().head
-    (1 to n).map { lvl =>
-      val xs = row.getSeq[Double](row.fieldIndex(s"cx_$lvl"))
-      val ys = row.getSeq[Double](row.fieldIndex(s"cy_$lvl"))
-      val ns = row.getSeq[Long](row.fieldIndex(s"cn_$lvl"))
-      (xs.indices.map(i => Centroid(i + 1, xs(i), ys(i))).toSeq,
-        ns.indices.map(i => (i + 1) -> ns(i)).toMap)
-    }
-  }
-
   /** THE Lloyd driver loop — raw ([[fit]]) and contract-chain
     * ([[KMeansQueries.fitTrace]]) runs are this one definition with
-    * different hooks: `postCol` maps each iteration's centroids (as a
-    * column expression inside the fused plan) before they enter the
-    * convergence test and the next assignment (identity for the raw
-    * chain; [[graft.functions.Round4]] for the oracle-checkable
+    * different hooks: `postStep` maps each iteration's centroids before
+    * they enter the convergence test and the next assignment (identity
+    * for the raw chain; 4-decimal rounding for the oracle-checkable
     * contract chain), `convergedFn` compares the previous post-stepped
     * centroids against the new ones.
     *
-    * Iterations run [[FuseIters]]-at-a-time inside one plan
-    * ([[stepsFused]]); the driver tests convergence between collected
-    * boundaries and discards any boundaries past the stopping point
-    * (the trailing fused levels are wasted work ≤ fuse−1 iterations
-    * ONCE per run — driver round-trips drop 4×, the actual cost of the
-    * 70-job loop this replaced).
+    * One [[step]] job per iteration: a scan of the cached plane through
+    * the codegen'd LITERAL-centroid [[NearestCentroid]] argmin into one
+    * map-side-combined K-row aggregate — K rows to the driver, nothing
+    * else. A round-7 experiment fused 2–4 iterations into a single plan
+    * (runtime centroid arrays + a per-level broadcast of the 1-row
+    * aggregate) to cut job-submission latency; measured at sf0.1 it was
+    * 6.4× SLOWER than this loop (the stacked broadcast exchanges and the
+    * array-column argmin cost far more than the ~10 ms/job they saved —
+    * BENCH_r07 vs BENCH_r06), so the per-iteration loop is the
+    * deliberate, measured choice, not a default.
     *
     * The projected (pid, x, y) plane is persisted across iterations —
     * every Lloyd pass re-reads it, and at 100 TB the 3-column
@@ -246,9 +172,8 @@ object KMeans {
     * spills gracefully when the plane outgrows executor memory. */
   def fitLoop(points: DataFrame, k: Int, maxIter: Int,
       initFn: (DataFrame, Int) => Seq[Centroid],
-      postCol: Column => Column,
-      convergedFn: (Seq[Centroid], Seq[Centroid]) => Boolean,
-      fuse: Int = FuseIters): KMeansModel = {
+      postStep: Seq[Centroid] => Seq[Centroid],
+      convergedFn: (Seq[Centroid], Seq[Centroid]) => Boolean): KMeansModel = {
     val plane = points.select("pid", "x", "y")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -262,17 +187,13 @@ object KMeans {
       var iter = 0
       var done = false
       while (iter < maxIter && !done) {
-        val batch = stepsFused(plane, cs, math.min(fuse, maxIter - iter), postCol)
-        var j = 0
-        while (j < batch.length && !done) {
-          val (next, ns) = batch(j)
-          iter += 1
-          done = convergedFn(cs, next)
-          cs = next
-          sizes = ns
-          history += cs
-          j += 1
-        }
+        val (stepped, ns) = step(plane, cs)
+        val next = postStep(stepped)
+        iter += 1
+        done = convergedFn(cs, next)
+        cs = next
+        sizes = ns
+        history += cs
       }
       KMeansModel(cs, sizes, iter, done, history.result())
     } finally plane.unpersist(blocking = false)

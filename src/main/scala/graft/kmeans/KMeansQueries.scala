@@ -10,14 +10,15 @@ object KMeansQueries {
   val K = 8
 
   /** The 4-decimal contract rounding — ONE definition
-    * ([[graft.functions.Round4]]: half away from zero, DuckDB `round()`
-    * semantics) shared between this driver-side form and the fused
-    * in-plan chain, so the two cannot drift. */
+    * ([[graft.functions.Round4.r4]]: half away from zero, DuckDB
+    * `round()` semantics) for every boundary of the contract chain. */
   private def r4(v: Double): Double = graft.functions.Round4.r4(v)
 
-  /** [[r4]] as the fused chain's in-plan boundary hook. */
-  private val r4col: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-    graft.functions.Round4(_)
+  /** Rounds every step's centroids to the 4-decimal contract boundary —
+    * the CONTRACT chain's postStep hook, mirroring
+    * [[KMeansOracle.centroidChain]]'s per-boundary `round(…, 4)`. */
+  private val roundChain: Seq[Centroid] => Seq[Centroid] =
+    cs => cs.map(c => Centroid(c.id, r4(c.x), r4(c.y)))
 
   private def rounded(cs: Seq[Centroid], spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -67,10 +68,8 @@ object KMeansQueries {
     val pts = Points.lineitem(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // all `iters` cycles fuse into ONE job ([[KMeans.stepsFused]]) —
-      // same chain, one plan compile + submission instead of `iters`
-      val cs = KMeans.stepsFused(pts, KMeans.init(pts, K), iters, r4col)
-        .last._1
+      var cs = KMeans.init(pts, K)
+      for (_ <- 1 to iters) cs = roundChain(KMeans.step(pts, cs)._1)
       rounded(cs, s)
     } finally pts.unpersist(blocking = false)
   }
@@ -101,7 +100,7 @@ object KMeansQueries {
           m
         case None =>
           val m = KMeans.fitLoop(Points.lineitem(s, dir), K, FitTraceCap,
-            KMeans.init, r4col, KMeans.allclose10k)
+            KMeans.init, roundChain, KMeans.allclose10k)
           fitCache.put((s, dir), m)
           while (fitCache.size > FitCacheMaxEntries)
             fitCache.remove(fitCache.head._1)

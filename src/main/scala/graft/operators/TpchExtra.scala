@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -209,11 +208,14 @@ object TpchExtra {
 
   /** Q15 — top supplier by quarterly revenue. The classic uses a view +
     * `rev = (SELECT max ...)`; float equality across engines is ulp-
-    * fragile, so both sides take the deterministic twin: rank by
-    * (revenue DESC, suppkey) and keep rank 1 — same answer whenever the
-    * max is unique, and a DETERMINISTIC answer when two suppliers tie to
-    * the last bit. One shuffle to the per-supplier agg; the rank-1 pick
-    * is a single-partition window over |suppliers| rows (K-row, fine). */
+    * fragile, so both sides take the deterministic twin: order by
+    * (revenue DESC, suppkey) and keep the first row — same answer
+    * whenever the max is unique, and a DETERMINISTIC answer when two
+    * suppliers tie to the last bit. `orderBy().limit(1)` compiles to
+    * TakeOrderedAndProject — a per-partition top-1 merged on the driver,
+    * O(1) memory per partition — where a partition-less `row_number`
+    * window would drag every per-supplier aggregate (10M rows at
+    * sf1000) through ONE partition. */
   def q15(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rev = Tables(s, dir, "lineitem")
@@ -221,11 +223,10 @@ object TpchExtra {
         $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
       .groupBy($"l_suppkey")
       .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
-    val w = Window.orderBy($"rev".desc, $"l_suppkey")
     rev.join(broadcast(Tables(s, dir, "supplier").select("s_suppkey", "s_name")),
         $"l_suppkey" === $"s_suppkey")
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" === 1)
+      .orderBy($"rev".desc, $"l_suppkey")
+      .limit(1)
       .select($"s_suppkey", $"s_name", round($"rev", 4).as("total_rev"))
   }
 

@@ -75,29 +75,20 @@ class KMeansSpec extends AnyFunSuite {
     assert(m.history.last == m.centroids)
   }
 
-  test("stepsFused ≡ the sequential step chain, empty clusters kept") {
+  test("multi-step chain: empty cluster survives every iteration") {
     val df = pts((1L, 0.0, 0.0), (2L, 2.0, 0.0), (3L, 10.0, 10.0),
       (4L, 10.2, 10.1), (5L, 0.3, 1.7))
     val cs = Seq(Centroid(1, 1.0, 0.0), Centroid(2, 11.0, 11.0),
       Centroid(3, 500.0, 500.0)) // cluster 3 stays empty every iteration
-    // contract chain: per-boundary Round4, exactly KMeansQueries.iterated's
     var cur = cs
-    val seqBounds = (1 to 3).map { _ =>
+    for (_ <- 1 to 3) {
       val (st, ns) = KMeans.step(df, cur)
+      assert(st(2) == Centroid(3, 500.0, 500.0))
+      assert(ns(3) == 0L)
       cur = st.map(c => Centroid(c.id,
         graft.functions.Round4.r4(c.x), graft.functions.Round4.r4(c.y)))
-      (cur, ns)
     }
-    val fused = KMeans.stepsFused(df, cs, 3, graft.functions.Round4(_))
-    assert(fused == seqBounds,
-      "fused in-plan boundaries must equal the sequential driver chain")
-    // raw chain (identity hook) — the fit() path
-    var rawCur = cs
-    val rawSeq = (1 to 3).map { _ =>
-      val (st, ns) = KMeans.step(df, rawCur); rawCur = st; (st, ns)
-    }
-    val rawFused = KMeans.stepsFused(df, cs, 3, c => c)
-    assert(rawFused == rawSeq)
+    assert(cur.map(_.id) == Seq(1, 2, 3))
   }
 
   test("convergence criterion mirrors np.allclose(atol=1e-4, rtol=1e-5)") {

@@ -434,6 +434,27 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.isEmpty)
   }
 
+  test("labelsOf: distributed fixpoint ≡ local union-find finish") {
+    import spark.implicits._
+    // mixed shapes with interleaved ids so min-roots cross the fixture:
+    // two chains, a star, a triangle with a pendant, an isolated pair
+    val pairs = (Seq((5L, 105L), (105L, 3L), (3L, 99L)) ++ // chain, min 3
+      (0L until 40L).map(i => (200L + i, 201L + i)) ++     // long chain
+      Seq((50L, 61L), (50L, 62L), (50L, 63L)) ++           // star
+      Seq((70L, 71L), (71L, 72L), (70L, 72L), (72L, 73L)) ++
+      Seq((90L, 91L)))
+      .toDF("a_id", "b_id")
+    // localCap = 0 forces the full distributed path-halving fixpoint;
+    // the default path takes the exact local finish — same labels
+    val dist = Dedup.labelsOf(pairs, 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val local = Dedup.labelsOf(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == local)
+    assert(dist(99L) == 3L && dist(240L) == 200L && dist(63L) == 50L &&
+      dist(73L) == 70L && dist(91L) == 90L)
+  }
+
   test("dedup_embedding_lsh_exact: 0 planes reproduces the exact operator") {
     val exact = Dedup.dedupEmbedding(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -40,14 +40,17 @@ class EntityResolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("blocking is exact at Hamming <= 1: matches brute force") {
     import spark.implicits._
-    // random-ish equal-length names over a tiny alphabet so Hamming-1
-    // pairs are dense; several nations so the nation guard is exercised
+    // random-ish names over a tiny alphabet so Hamming-1 pairs are
+    // dense; TWO lengths and nations {1, 11} so the equal-length guard
+    // and the separator'd key (nation=1/len=18 vs nation=11/len=8
+    // style re-split ambiguity) are both exercised
     val names = for {
       i <- 0 until 120
     } yield {
       val x = i * 2654435761L % 4096
-      val nm = (0 until 8).map(j => ('a' + ((x >> (j * 3)) & 3)).toChar).mkString
-      (i.toLong, nm, (i % 3))
+      val len = 7 + (i % 2)
+      val nm = (0 until len).map(j => ('a' + ((x >> (j * 3)) & 3)).toChar).mkString
+      (i.toLong, nm, if (i % 6 < 3) 1 else 11)
     }
     val got = EntityResolution.linkPairs(master(names))
       .select($"a_key", $"b_key").as[(Long, Long)].collect().toSet
@@ -71,6 +74,31 @@ class EntityResolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // while a small clean block links fine
     val clean = Seq((1L, "alpha-0001", 1), (2L, "alpha-0002", 1))
     assert(EntityResolution.linkPairs(master(clean)).count() == 1)
+  }
+
+  test("10x scale-up gate: serial-numbered master drops NO blocks") {
+    import spark.implicits._
+    // the round-7 design bug: the old prefix/suffix split collapsed on
+    // TPC-H-style serial names ("Customer#0000…" is near-constant up
+    // front), crossing BlockCap at ~10x scale and silently dropping
+    // the pass. The chunk-masked keys must (a) drop zero blocks on a
+    // single-nation master 10x past the old cliff and (b) still find
+    // every planted Hamming-1 pair — recall stays exact AT scale.
+    val n = 10000 // one nation, ~2.4x the old per-nation cliff (4096)
+    val master10x = spark.range(n).select(
+      $"id".as("key"),
+      format_string("Customer#%09d", $"id").as("name"),
+      lit(7).as("nation"))
+    assert(EntityResolution.overCapBlocks(master10x).isEmpty,
+      "chunk-masked blocking must not drop blocks on serial names")
+    val pairs = EntityResolution.linkPairs(master10x)
+      .select($"a_key", $"b_key")
+    // planted recall floor: ids k and k+1 with k%10 != 9 differ ONLY
+    // in the final digit -> Hamming 1 -> every such pair must link
+    val planted = spark.range(n - 1).filter($"id" % 10 =!= 9)
+      .select($"id".as("a_key"), ($"id" + 1).as("b_key"))
+    assert(planted.join(pairs, Seq("a_key", "b_key"), "left_anti").isEmpty,
+      "a planted final-digit Hamming-1 pair was missed")
   }
 
   test("triangle census pins known counts on a hand graph") {

@@ -104,19 +104,32 @@ object DataSelection {
     * frame (target = lexicographically-first source) — the artifact the
     * streaming gate ([[graft.streaming.StreamOps.streamingDsirGate]])
     * freezes and scores new documents against. */
-  def bucketWeightsOf(docs: DataFrame): DataFrame = {
+  /** Target-domain membership: the lexicographically-first `source`
+    * (the [[LangModel.lmDomain]] convention — deterministic, no knob). */
+  private def targetIdsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val trainSrc = docs.agg(min($"source").as("train_source"))
-    val targetIds = docs.crossJoin(broadcast(trainSrc))
+    docs.crossJoin(broadcast(trainSrc))
       .filter($"source" === $"train_source").select($"doc_id")
-    weightTable(featsOf(docs), targetIds)
   }
 
+  def bucketWeightsOf(docs: DataFrame): DataFrame =
+    weightTable(featsOf(docs), targetIdsOf(docs))
+
+  /** Scan accounting (the round-7 ADVICE item): ONE `featsOf`
+    * definition feeds both the weight-table aggregate and the per-doc
+    * scoring join below, but the two consumers are separate actions
+    * over a lazy frame, so the corpus is FEATURIZED TWICE per run —
+    * once to fit the models, once to score. That is the honest minimum
+    * for a two-phase estimator without materializing the featurized
+    * corpus; a deployment that must not pay the second featurization
+    * persists `feats` (the subtree is shared, so a single `.persist`
+    * upgrades this to one featurization + one cached re-read). */
   def weightsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val feats = featsOf(docs)
     val perDoc = feats
-      .join(broadcast(bucketWeightsOf(docs)), "bucket")
+      .join(broadcast(weightTable(feats, targetIdsOf(docs))), "bucket")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_feats"), sum($"wb").as("w_bits"))
     docs.select($"doc_id", $"source", $"n_chars")

@@ -154,28 +154,39 @@ object KMeans {
     * contract chain), `convergedFn` compares the previous post-stepped
     * centroids against the new ones.
     *
-    * One [[step]] job per iteration: a scan of the cached plane through
-    * the codegen'd LITERAL-centroid [[NearestCentroid]] argmin into one
-    * map-side-combined K-row aggregate — K rows to the driver, nothing
-    * else. A round-7 experiment fused 2–4 iterations into a single plan
-    * (runtime centroid arrays + a per-level broadcast of the 1-row
-    * aggregate) to cut job-submission latency; measured at sf0.1 it was
-    * 6.4× SLOWER than this loop (the stacked broadcast exchanges and the
-    * array-column argmin cost far more than the ~10 ms/job they saved —
-    * BENCH_r07 vs BENCH_r06), so the per-iteration loop is the
-    * deliberate, measured choice, not a default.
+    * The loop's per-iteration engine is a `treeAggregate` over the
+    * plane PACKED ONCE into per-partition primitive double arrays —
+    * MLlib's own training-loop design, and (with `Dedup.labelsOf`) the
+    * repo's second deliberate RDD use: a 70-iteration fit is pure
+    * sequential-job latency, and a DataFrame [[step]] pays plan
+    * analysis + codegen lookup + a two-stage shuffle job per
+    * iteration (~120 ms × 70 ≈ 8.5 s at sf0.1) where the packed
+    * aggregate pays one single-stage job (~40 ms): same argmin
+    * (strict `<`, first-wins — mapper.py:58-66), same
+    * sum/count-per-cluster math, identical to [[step]] modulo
+    * float-summation order, which the contract chain's 4-decimal
+    * boundary rounding absorbs by design (KMeansSpec pins
+    * loop ≡ step-chain on the contract chain; the hash gates pin it
+    * against DuckDB). A round-7 experiment went the OTHER direction —
+    * fusing iterations into one DataFrame plan — and measured 6.4×
+    * slower (stacked broadcast exchanges, array-column argmin): the
+    * fix for a latency-bound loop is cheaper jobs, not bigger plans.
     *
-    * The projected (pid, x, y) plane is persisted across iterations —
-    * every Lloyd pass re-reads it, and at 100 TB the 3-column
-    * projection is a small fraction of the source table; re-scanning
-    * parquet per iteration would make the loop IO-bound. MEMORY_AND_DISK
-    * spills gracefully when the plane outgrows executor memory. */
+    * Scale shape at 100 TB: the packed plane is 16 bytes/point
+    * cached once (MEMORY_AND_DISK — spills gracefully), each
+    * iteration moves K×partitions partial sums through a depth-2
+    * tree aggregation and K rows to the driver. */
   def fitLoop(points: DataFrame, k: Int, maxIter: Int,
       initFn: (DataFrame, Int) => Seq[Centroid],
       postStep: Seq[Centroid] => Seq[Centroid],
       convergedFn: (Seq[Centroid], Seq[Centroid]) => Boolean): KMeansModel = {
     val plane = points.select("pid", "x", "y")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val packed = plane.select("x", "y").rdd.mapPartitions { rows =>
+      val xs = Array.newBuilder[Double]
+      val ys = Array.newBuilder[Double]
+      rows.foreach { r => xs += r.getDouble(0); ys += r.getDouble(1) }
+      Iterator.single((xs.result(), ys.result()))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // init is NOT post-stepped: the oracle chain's c0 is the raw
       // init (centroidChain rounds only at step boundaries), so the
@@ -187,7 +198,7 @@ object KMeans {
       var iter = 0
       var done = false
       while (iter < maxIter && !done) {
-        val (stepped, ns) = step(plane, cs)
+        val (stepped, ns) = stepPacked(packed, cs)
         val next = postStep(stepped)
         iter += 1
         done = convergedFn(cs, next)
@@ -196,7 +207,52 @@ object KMeans {
         history += cs
       }
       KMeansModel(cs, sizes, iter, done, history.result())
-    } finally plane.unpersist(blocking = false)
+    } finally packed.unpersist(blocking = false)
+  }
+
+  /** One Lloyd cycle over the packed plane — [[step]]'s math on the
+    * [[fitLoop]] substrate: per partition, a tight primitive loop
+    * (argmin with the reference's strict-< first-wins tie-break)
+    * accumulating K sums/counts; partials merge through
+    * `treeAggregate`. Empty cluster keeps the old centroid, exactly
+    * like [[step]]. */
+  private def stepPacked(
+      packed: org.apache.spark.rdd.RDD[(Array[Double], Array[Double])],
+      cs: Seq[Centroid]): (Seq[Centroid], Map[Int, Long]) = {
+    val sorted = cs.sortBy(_.id)
+    val k = sorted.size
+    val cx = sorted.map(_.x).toArray
+    val cy = sorted.map(_.y).toArray
+    val (sx, sy, n) = packed.treeAggregate(
+      (new Array[Double](k), new Array[Double](k), new Array[Long](k)))(
+      seqOp = { case (acc, (xs, ys)) =>
+        val (ax, ay, an) = acc
+        var i = 0
+        while (i < xs.length) {
+          val px = xs(i); val py = ys(i)
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var j = 0
+          while (j < k) {
+            val dx = px - cx(j); val dy = py - cy(j)
+            val d = dx * dx + dy * dy
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          ax(best) += px; ay(best) += py; an(best) += 1L
+          i += 1
+        }
+        acc
+      },
+      combOp = { case ((ax, ay, an), (bx, by, bn)) =>
+        var j = 0
+        while (j < k) { ax(j) += bx(j); ay(j) += by(j); an(j) += bn(j); j += 1 }
+        (ax, ay, an)
+      })
+    val next = sorted.zipWithIndex.map { case (c, j) =>
+      if (n(j) > 0L) Centroid(c.id, sx(j) / n(j), sy(j) / n(j)) else c
+    }
+    (next, sorted.zipWithIndex.map { case (c, j) => c.id -> n(j) }.toMap)
   }
 
   /** Mean squared distance to the assigned centroid (WSSSE/n). */

@@ -75,6 +75,29 @@ class KMeansSpec extends AnyFunSuite {
     assert(m.history.last == m.centroids)
   }
 
+  test("fitLoop ≡ the DataFrame step chain under contract rounding") {
+    // fitLoop's per-iteration engine is the packed-RDD treeAggregate
+    // (stepPacked); this pins its whole trajectory — every boundary,
+    // sizes, iteration count — to the oracle-shaped DataFrame step()
+    // chain with the same 4-decimal contract rounding
+    val df = pts((1L, 0.0, 0.0), (2L, 2.0, 0.0), (3L, 10.0, 10.0),
+      (4L, 10.2, 10.1), (5L, 0.3, 1.7), (6L, -4.5, 2.25))
+    def round(cs: Seq[Centroid]): Seq[Centroid] =
+      cs.map(c => Centroid(c.id,
+        graft.functions.Round4.r4(c.x), graft.functions.Round4.r4(c.y)))
+    val m = KMeans.fitLoop(df, 2, 3, KMeans.init, round, (_, _) => false)
+    var cur = KMeans.init(df, 2)
+    val hist = Seq.newBuilder[Seq[Centroid]]
+    hist += cur
+    var lastSizes = Map.empty[Int, Long]
+    for (_ <- 1 to 3) {
+      val (st, ns) = KMeans.step(df, cur)
+      cur = round(st); hist += cur; lastSizes = ns
+    }
+    assert(m.history == hist.result())
+    assert(m.iterations == 3 && m.centroids == cur && m.sizes == lastSizes)
+  }
+
   test("multi-step chain: empty cluster survives every iteration") {
     val df = pts((1L, 0.0, 0.0), (2L, 2.0, 0.0), (3L, 10.0, 10.0),
       (4L, 10.2, 10.1), (5L, 0.3, 1.7))

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Standing plan audit over EVERY registered query — the structural
+  * scale rules the round verdicts keep re-teaching, enforced as a gate
+  * instead of re-learned per round:
+  *
+  *   1. No partition-less Window: `Window.orderBy(...)` drags the whole
+  *      input through ONE partition (the round-7 `q15_top_supplier`
+  *      finding, and round 3's `skew_report` before it — top-1 picks
+  *      must be `orderBy().limit()` → TakeOrderedAndProject). The two
+  *      allowlisted queries are global ranks BY DEFINITION and document
+  *      their 100-TB approx-cut alternative in their scaladoc
+  *      (`lm_buckets` — CCNet terciles; `dsir_sample` — the top-share
+  *      selection cut).
+  *   2. No unconditioned join unless one side is provably tiny
+  *      (`maxRows` ≤ 64 — the 1-row global-aggregate broadcasts the
+  *      corpus-total patterns use, and the local-relation dimension
+  *      legs of the gap-fill grids): anything else is a latent
+  *      cartesian product.
+  *
+  * Runs on the optimized logical plan at sf0.001 (building a frame
+  * executes the eager driver-loop queries, so the audit doubles as a
+  * smoke pass over the whole registry). */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Global-rank-by-definition queries (documented scale path). */
+  private val globalWindowByDesign = Set("lm_buckets", "dsir_sample")
+
+  test("every registered query: no stray global window, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      val globalWindow = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (globalWindow && !globalWindowByDesign(name))
+        offenders += s"$name: partition-less window"
+      if (!globalWindow && globalWindowByDesign(name))
+        offenders += s"$name: allowlisted but clean — tighten the allowlist"
+      plan.foreach {
+        case j: Join if j.condition.isEmpty =>
+          val bounded = Seq(j.left, j.right).exists(_.maxRows.exists(_ <= 64L))
+          if (!bounded) offenders += s"$name: unconditioned join, unbounded sides"
+        case _ =>
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}

@@ -24,7 +24,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * executes the eager driver-loop queries, so the audit doubles as a
   * smoke pass over the whole registry). */
 class PlanAuditSpec extends AnyFunSuite {
-  lazy val spark = SparkTestSession.spark
+  // own getOrCreate, NOT the shared SparkTestSession lazy val: suites
+  // run sequentially and several stop the then-current session in
+  // afterAll, so a stale object-cached instance can be dead by the
+  // time this (late, long) suite runs — getOrCreate re-creates on a
+  // stopped default
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
   private val sf = "/root/testdata/sf0.001"
 
   /** Global-rank-by-definition queries (documented scale path). */

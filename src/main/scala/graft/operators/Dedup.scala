@@ -714,15 +714,19 @@ object Dedup {
     val keys = fps.select($"doc_id", $"fp",
         explode(array(keyCols: _*)).as("ck"))
       .select($"doc_id", $"fp", $"ck.cid".as("cid"), $"ck.key".as("key"))
+    // verify BEFORE the distinct (the ER linkPairs discipline): the
+    // Hamming filter runs on the streaming join output, so the dedup
+    // exchange sees only VERIFIED pairs (~1/20 of candidates here; at
+    // sf1 the difference is an oracle that finishes vs one that spills
+    // ~100 GB materializing every hot-bucket candidate for DISTINCT).
+    // hamming is a function of the pair, so distinct semantics match.
     keys.as("a").join(keys.as("b"),
         $"a.cid" === $"b.cid" && $"a.key" === $"b.key" &&
         $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
-        $"a.fp".as("afp"), $"b.fp".as("bfp"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(afp ^ bfp)"))
+        expr("bit_count(a.fp ^ b.fp)").as("hamming"))
       .filter($"hamming" <= HammingTau)
-      .select($"a_id", $"b_id", $"hamming")
+      .distinct()
       .orderBy($"a_id", $"b_id")
   }
 
@@ -753,15 +757,12 @@ object Dedup {
        |        ELSE CAST(0 AS BIGINT) END) AS fp
        |  FROM bits GROUP BY doc_id),
        |keys AS (
-       |  $keyRows),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-       |    a.fp AS afp, b.fp AS bfp
-       |  FROM keys a JOIN keys b
-       |    ON a.cid = b.cid AND a.key = b.key AND a.doc_id < b.doc_id)
-       |SELECT a_id, b_id, hamming FROM (
-       |  SELECT a_id, b_id, bit_count(xor(afp, bfp)) AS hamming FROM cand)
-       |WHERE hamming <= $HammingTau
+       |  $keyRows)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  bit_count(xor(a.fp, b.fp)) AS hamming
+       |FROM keys a JOIN keys b
+       |  ON a.cid = b.cid AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $HammingTau
        |ORDER BY a_id, b_id""".stripMargin
   }
 

@@ -742,20 +742,28 @@ object Dedup {
       val key = combo.map(blockExprs).reduce((a, b) => s"($a * 2048 + $b)")
       s"SELECT doc_id, fp, $cid AS cid, $key AS key FROM fp"
     }.mkString("\n  UNION ALL ")
+    // one grouped pass with 62 columnar conditional sums — the earlier
+    // `wh CROSS JOIN range(0, 62)` form exploded the (doc, word) rows
+    // 62× before aggregating (billions of rows at sf1: the oracle
+    // spilled ~90 GB and died on disk); same integer math, order-free
+    val accCols = (0 until 62).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN cnt ELSE -cnt END) AS a$b")
+      .mkString(",\n    ")
+    val fpSum = (0 until 62).map(b =>
+      s"(CASE WHEN a$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(${TF.duckToks}) AS w FROM documents),
        |wh AS (
        |  SELECT doc_id, count(*) AS cnt, ($w31 | ($w131 << 31)) AS h
        |  FROM toks GROUP BY doc_id, w),
-       |bits AS (
-       |  SELECT doc_id, b,
-       |    sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
-       |  FROM wh CROSS JOIN range(0, 62) t(b) GROUP BY doc_id, b),
-       |fp AS (
+       |acc AS (
        |  SELECT doc_id,
-       |    sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
-       |        ELSE CAST(0 AS BIGINT) END) AS fp
-       |  FROM bits GROUP BY doc_id),
+       |    $accCols
+       |  FROM wh GROUP BY doc_id),
+       |fp AS (
+       |  SELECT doc_id, $fpSum AS fp
+       |  FROM acc),
        |keys AS (
        |  $keyRows)
        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,

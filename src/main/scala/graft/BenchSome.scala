@@ -24,10 +24,18 @@ object BenchSome {
       "er_link_build" -> (() => {
         operators.EntityResolution.clearLinkCache()
         operators.EntityResolution.linkBuild(spark, sfDir)
+      }),
+      "dsir_train_build" -> (() => {
+        operators.DataSelection.clearTrainCache()
+        operators.DataSelection.trainWeights(spark, sfDir); ()
       }))
-    val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg")
+    // dedupe: a repeated arg would double-count its sweeps; and a
+    // Sweeps < 1 config would leave every time vector empty and crash
+    // the min/max summary below — fail those loudly up front
+    val names = (if (args.nonEmpty) args.toSeq else Seq("q1_agg")).distinct
     val unknown = names.filterNot(n => builds.contains(n) || SparkEntry.queries.contains(n))
     require(unknown.isEmpty, s"unknown entries: ${unknown.mkString(",")}")
+    require(Bench.Sweeps >= 1, s"Bench.Sweeps must be >= 1, got ${Bench.Sweeps}")
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     for (sweep <- 0 to Bench.Sweeps) { // sweep 0 = untimed warmup

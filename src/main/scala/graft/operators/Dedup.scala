@@ -992,7 +992,11 @@ object Dedup {
     * many times across the corpus is boilerplate (licence headers,
     * navigation chrome) whose position pairs would square; capped
     * grams drop from seeding (the [[NgramDfCap]] trade, documented
-    * recall cost on ultra-viral spans only). */
+    * recall cost on ultra-viral spans only — and OBSERVABLE: the
+    * `dedup_spans` output carries the dropped-seed census as the
+    * `n_dropped_seeds` column, so a corpus where the cap actually
+    * bites announces it in the report instead of silently thinning
+    * recall). */
   val SpanOccCap = 64L
 
   val TopSpans = 50
@@ -1039,14 +1043,33 @@ object Dedup {
     * oracle's self-join form states. */
   def dedupSpansOn(docs: DataFrame, occCap: Long): DataFrame = {
     import docs.sparkSession.implicits._
-    spansAll(docs, occCap)
+    val m0 = seedGroups(docs, occCap)
+    // the occurrence cap's recall trade made OBSERVABLE (the er_pairs
+    // n_dropped_blocks precedent): how many distinct seed grams were
+    // dropped as over-cap boilerplate rides along as a constant column
+    // — non-zero tells the operator's user that ultra-viral spans
+    // (licence headers, chrome) are not in this report. The census leg
+    // shares m0's groupBy exchange with the span leg (identical
+    // aggregate subtree → ReuseExchange: the gram scan and shuffle run
+    // once), and its 1-row result broadcasts.
+    val dropped = m0.filter($"occ" > occCap)
+      .agg(count(lit(1)).as("n_dropped_seeds"))
+    spansFromGroups(m0, occCap)
       .orderBy($"span_toks".desc, $"a_id", $"b_id", $"a_start", $"b_start")
       .limit(TopSpans)
+      .crossJoin(broadcast(dropped))
   }
 
   /** Every maximal cross-document span (pre-ranking) — shared by the
     * find ([[dedupSpansOn]]) and act ([[spanRedactOn]]) halves. */
-  private def spansAll(docs: DataFrame, occCap: Long): DataFrame = {
+  private def spansAll(docs: DataFrame, occCap: Long): DataFrame =
+    spansFromGroups(seedGroups(docs, occCap), occCap)
+
+  /** The one wide stage: positioned seed hashes grouped by gram hash
+    * with bounded postings — UNFILTERED (both the span expansion and
+    * the dropped-seed census consume it, splitting on `occ` afterward
+    * so the exchange is shared). */
+  private def seedGroups(docs: DataFrame, occCap: Long): DataFrame = {
     import docs.sparkSession.implicits._
     val pack = 1L << SpanPosBits
     // positional one-pass hashing: no gram string is ever built (the
@@ -1068,10 +1091,17 @@ object Dedup {
           $"doc_id".cast("string")))).as("pk"),
         $"col".as("gh"))
     val lim = if (occCap >= Int.MaxValue) Int.MaxValue else (occCap + 1).toInt
-    val m = g.groupBy($"gh")
+    g.groupBy($"gh")
       .agg(graft.functions.BoundedCollect($"pk", lim).as("pks"),
         count(lit(1)).as("occ"),
         min($"pk").as("mnpk"), max($"pk").as("mxpk"))
+  }
+
+  /** Seed-pair expansion + diagonal merge over [[seedGroups]] output. */
+  private def spansFromGroups(m0: DataFrame, occCap: Long): DataFrame = {
+    import m0.sparkSession.implicits._
+    val pack = 1L << SpanPosBits
+    val m = m0
       // a gram whose occurrences all sit in ONE document (within-doc
       // repetition — common) yields no cross-document pair but would
       // still expand occ² structs; doc(min pk) < doc(max pk) ⟺ ≥ 2
@@ -1179,12 +1209,17 @@ object Dedup {
        |  FROM i GROUP BY a_id, b_id, diag, isl)""".stripMargin
 
   val dedupSpansSql: String =
-    s"""WITH $duckSpansChain
+    s"""WITH $duckSpansChain,
+       |drp AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_dropped_seeds
+       |  FROM (SELECT gh, count(*) AS occ FROM gr GROUP BY gh)
+       |  WHERE occ > $SpanOccCap)
        |SELECT a_id, b_id, CAST(a_start AS BIGINT) AS a_start,
-       |  CAST(b_start AS BIGINT) AS b_start, span_toks
-       |FROM sp
-       |ORDER BY span_toks DESC, a_id, b_id, a_start, b_start
-       |LIMIT $TopSpans""".stripMargin
+       |  CAST(b_start AS BIGINT) AS b_start, span_toks, n_dropped_seeds
+       |FROM (SELECT * FROM sp
+       |      ORDER BY span_toks DESC, a_id, b_id, a_start, b_start
+       |      LIMIT $TopSpans) CROSS JOIN drp
+       |ORDER BY span_toks DESC, a_id, b_id, a_start, b_start""".stripMargin
 
   val spanRedactSql: String =
     s"""WITH $duckSpansChain,
@@ -1405,10 +1440,12 @@ object Dedup {
     *      round's joins are co-partitioned (narrow), intermediate
     *      results are shared via shuffle-file reuse, and
     *      [[LabelRoundsPerBatch]] rounds run inside ONE action (the
-    *      convergence sum — labels only decrease, so the sum is
-    *      strictly monotone until the fixpoint; an unchanged sum
-    *      across a whole batch ⇒ the fixpoint was reached at or before
-    *      the batch start). The partitioner is sized from the MEASURED
+    *      convergence signature — labels only decrease, so the label
+    *      multiset strictly shrinks until the fixpoint; an unchanged
+    *      (wrapped-sum, mixed-xor) digest PAIR across a whole batch ⇒
+    *      the fixpoint was reached at or before the batch start — two
+    *      independent 64-bit digests so wrapped-sum aliasing alone
+    *      can't fake convergence). The partitioner is sized from the MEASURED
     *      edge count — thousands of partitions for a billion-edge
     *      graph, one for a spec fixture.
     *
@@ -1496,9 +1533,29 @@ object Dedup {
         _.map { case (id, _) => (id, id) }, preservesPartitioning = true)
       val adj = edges.union(selfLoops)
       var labels = selfLoops.persist(Mem)
-      def labelSum(l: org.apache.spark.rdd.RDD[(Long, Long)]): Long =
-        l.values.fold(0L)(_ + _)
-      var prevSum = labelSum(labels)
+      // convergence check: per-node labels only ever decrease (min-
+      // combine), so any change strictly lowers the label sum IN
+      // UNBOUNDED arithmetic — but the sum lives in wrapped 64-bit, so
+      // at very large scale two distinct states could alias to equal
+      // wrapped sums (false convergence = wrong components shipped
+      // silently). Pair the sum with an order-independent XOR checksum:
+      // aliasing now needs a simultaneous collision in two independent
+      // 64-bit digests, and both come out of the ONE fold per batch.
+      def labelSig(l: org.apache.spark.rdd.RDD[(Long, Long)]): (Long, Long) =
+        l.values.mapPartitions { it =>
+          var s = 0L; var x = 0L
+          // mix each label before xor-folding (a raw xor of ids is
+          // blind to any change that swaps two nodes' labels)
+          it.foreach { v =>
+            s += v
+            var z = v + 0x9e3779b97f4a7c15L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            x ^= z ^ (z >>> 31)
+          }
+          Iterator.single((s, x))
+        }.fold((0L, 0L)) { case ((s1, x1), (s2, x2)) => (s1 + s2, x1 ^ x2) }
+      var prevSig = labelSig(labels)
       var result: Option[DataFrame] = None
       var converged = false
       var rounds = 0
@@ -1519,11 +1576,11 @@ object Dedup {
               .partitionBy(part)
           }
           next.persist(Mem)
-          val nextSum = labelSum(next) // ONE action per batch
+          val nextSig = labelSig(next) // ONE action per batch
           labels.unpersist(blocking = false)
           labels = next
-          converged = nextSum == prevSum
-          prevSum = nextSum
+          converged = nextSig == prevSig
+          prevSig = nextSig
           rounds += LabelRoundsPerBatch
           if (converged) result = Some(finish(labels))
           else {

@@ -430,9 +430,10 @@ object LangModel {
     * with a deterministic (xent, doc_id) tie-break; the report is one
     * row per bucket (volume + xent range). The global NTILE is the
     * operator's definition (an exact percentile cut, the
-    * `quantile_bins` precedent — a 100-TB deployment would cut at
-    * approx-percentile thresholds instead, trading the oracle's
-    * exactness; both plans share every stage up to the 3-row agg). */
+    * `quantile_bins` precedent) and this exact form is the ORACLE
+    * BASELINE; the shipped 100-TB path is [[lmBucketsApprox]] —
+    * approx-percentile thresholds, no global window, every stage up to
+    * the cut shared. */
   def lmBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val byXent = Window.orderBy($"xent", $"doc_id")
@@ -469,6 +470,40 @@ object LangModel {
        |  round(min(xent), 4) AS min_xent,
        |  round(max(xent), 4) AS max_xent
        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** The 100-TB twin of [[lmBuckets]]: the same per-document scores and
+    * the same 3-row report, but the tercile cut comes from
+    * `approx_percentile`'s bounded sketch instead of the partition-less
+    * NTILE — the exact form drags every (doc_id, xent) row through ONE
+    * task at 100 TB, while the sketch is O(accuracy) per partition and
+    * merges associatively map-side, leaving the plan with no global
+    * window at all (the [[graft.operators.RelationalQueries.quantilesApprox]]
+    * split, applied to CCNet bucketing). The two cut points broadcast as
+    * a 1-row frame and bucketing is a codegen'd comparison in the
+    * scoring scan. rows-only (the sketch thresholds are
+    * engine-specific); LangModelSpec bounds the per-bucket volume drift
+    * against the exact twin, which stays in the registry as the oracle
+    * baseline. Boundary semantics: NTILE splits ties by (xent, doc_id)
+    * rank, the threshold form puts every tied doc in the lower bucket —
+    * the drift bound covers both effects. */
+  def lmBucketsApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cuts = docScores(s, dir).agg(expr(
+      "approx_percentile(xent, array(CAST(1.0D/3.0D AS DOUBLE), " +
+        "CAST(2.0D/3.0D AS DOUBLE)), 10000)").as("cuts"))
+    docScores(s, dir)
+      .crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when($"xent" <= $"cuts"(0), 1)
+          .when($"xent" <= $"cuts"(1), 2).otherwise(3))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_events").as("n_events"),
+        sum($"bits_sum").as("bits_sum"),
+        round(min($"xent"), 4).as("min_xent"),
+        round(max($"xent"), 4).as("max_xent"))
+      .orderBy($"bucket")
+  }
 
   /** Hashed-feature buckets of the linear quality scorer. */
   val ClfBuckets = 64
@@ -542,6 +577,7 @@ object LangModel {
     "lm_trigram_score" -> (lmTrigramScore(_, _)),
     "lm_score" -> (lmScore(_, _)),
     "lm_buckets" -> (lmBuckets(_, _)),
+    "lm_buckets_approx" -> (lmBucketsApprox(_, _)),
     "lm_domain" -> (lmDomain(_, _)),
     "quality_classifier" -> (qualityClassifier(_, _)))
 

@@ -78,6 +78,58 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sel.map(_._2).sum == (n + DataSelection.SelDen - 1) / DataSelection.SelDen)
   }
 
+  test("trained registry path featurizes the corpus exactly once") {
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    // the generic one-shot surface pays two featurizations (fit +
+    // score); the registry queries train via the memoized table and
+    // must plan exactly ONE gram explode — the dsir_train_build
+    // accounting upgrade is this assertion
+    def generates(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case g: Generate => g }.length
+    DataSelection.clearTrainCache()
+    // generic surface: the fit leg featurizes for the bucket counts AND
+    // for their broadcast total (the counts subtree appears under both
+    // sides of the crossJoin), plus the scoring scan = 3 explodes
+    assert(generates(DataSelection.weightsOf(
+      Tables(spark, sf, "documents"))) >= 2, "generic surface: fit + score")
+    assert(generates(SparkEntry.queries("dsir_weights")(spark, sf)) == 1,
+      "trained path must featurize once")
+    assert(generates(SparkEntry.queries("dsir_sample")(spark, sf)) == 1,
+      "trained path must featurize once")
+    // and the trained table IS the fitted table: scoring through it
+    // reproduces the generic surface's weights exactly
+    import spark.implicits._
+    val a = DataSelection.weightsOf(Tables(spark, sf, "documents"))
+      .orderBy($"doc_id").collect().toSeq
+    val b = DataSelection.scoredBy(Tables(spark, sf, "documents"),
+      DataSelection.trainWeights(spark, sf)).orderBy($"doc_id").collect().toSeq
+    assert(a == b, "trained scoring must equal the one-shot surface")
+  }
+
+  test("dsir_sample_approx: window-free plan, volumes conserved, cut tracks the exact rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val approx = DataSelection.dsirSampleApprox(spark, sf)
+    assert(approx.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }.isEmpty, "approx twin must be window-free")
+    val a = approx.select($"source", $"n_docs", $"n_sel")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val e = DataSelection.dsirSample(spark, sf)
+      .select($"source", $"n_docs", $"n_sel")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(a.keySet == e.keySet, "per-source report must cover the same sources")
+    // n_docs counts EVERY document regardless of the cut: exact match
+    for (s <- e.keys) assert(a(s)._1 == e(s)._1, s"$s: n_docs differs")
+    // total selected volume: the sketch is rank-exact below its
+    // accuracy, so drift is only weight-tie mass at the threshold
+    val n = e.values.map(_._1).sum
+    val bound = math.max(3L, n / 10)
+    val (aSel, eSel) = (a.values.map(_._2).sum, e.values.map(_._2).sum)
+    assert(math.abs(aSel - eSel) <= bound,
+      s"selected volume drift: approx=$aSel exact=$eSel bound=$bound")
+    assert(aSel > 0 && aSel < n, "the cut must actually select a proper subset")
+  }
+
   test("the ranking head is consistent with the weight frame") {
     import spark.implicits._
     val top = DataSelection.dsirWeights(spark, sf).collect()

@@ -103,6 +103,26 @@ class DedupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "text")
     assert(Dedup.dedupSpansOn(docs, occCap = 3).count() == 0)
     // and with a permissive cap the pairs all appear (4 choose 2)
-    assert(Dedup.dedupSpansOn(docs, occCap = 64).count() == 6)
+    val permissive = Dedup.dedupSpansOn(docs, occCap = 64).collect()
+    assert(permissive.length == 6)
+    // the cap's recall trade is observable: under the permissive cap
+    // nothing drops, under the biting cap the one viral seed gram is
+    // counted in the (otherwise empty) report's census column
+    assert(permissive.forall(_.getLong(5) == 0L),
+      "permissive cap must census zero dropped seeds")
+    // mixed corpus: the viral gram crosses cap 3 (dropped, censused)
+    // while a 2-occurrence quote stays under it (reported) — the
+    // surviving span row carries the exact dropped-seed count
+    val quote = words("k", Dedup.SpanK).mkString(" ")
+    val mixed = Seq(
+      (1L, s"u1a $viral u1b $quote u1c"),
+      (2L, s"u2a $viral u2b $quote u2c"),
+      (3L, s"u3a $viral u3b"),
+      (4L, s"u4a $viral u4b")).toDF("doc_id", "text")
+    val rows = Dedup.dedupSpansOn(mixed, occCap = 3).collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    assert((rows.head.getLong(0), rows.head.getLong(1)) == ((1L, 2L)))
+    assert(rows.head.getLong(5) == 1L,
+      s"exactly the one viral seed gram must be censused: ${rows.head}")
   }
 }

@@ -84,6 +84,35 @@ class LangModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.shuffle.partitions", base)
   }
 
+  test("lm_buckets_approx: window-free plan, mass conserved, bounded drift vs exact") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    val approx = LangModel.lmBucketsApprox(spark, dir)
+    // the whole point of the twin: no PARTITION-LESS window anywhere
+    // (the exact form's global NTILE is what it replaces at 100 TB;
+    // the doc_id-partitioned bigram lag legitimately remains)
+    assert(approx.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+      "approx twin must have no global window")
+    val a = approx.collect().map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val e = LangModel.lmBuckets(spark, dir).collect().map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // every doc lands in exactly one bucket in both forms: the corpus
+    // totals (docs, events, bits) must agree exactly
+    def tot(m: Map[Int, (Long, Long, Long)], i: Int) = m.values.map {
+      case (d, ev, b) => Seq(d, ev, b)(i) }.sum
+    for (i <- 0 to 2) assert(tot(a, i) == tot(e, i), s"total column $i differs")
+    // per-bucket volume drift: the sketch is rank-exact below its
+    // accuracy, so the only drift is xent-tie mass at the cut points
+    val n = tot(e, 0)
+    val bound = math.max(3L, n / 10)
+    for (b <- 1 to 3)
+      assert(math.abs(a.getOrElse(b, (0L, 0L, 0L))._1 -
+        e.getOrElse(b, (0L, 0L, 0L))._1) <= bound,
+        s"bucket $b drift exceeds $bound: approx=${a.get(b)} exact=${e.get(b)}")
+  }
+
   test("Log2Fixed rejects out-of-contract inputs loudly") {
     // the public log2_fixed SQL surface must not return garbage: a=0
     // previously died on a bare div-by-zero, a>b / b>=2^50 silently

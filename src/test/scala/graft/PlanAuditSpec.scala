@@ -10,10 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *      input through ONE partition (the round-7 `q15_top_supplier`
   *      finding, and round 3's `skew_report` before it — top-1 picks
   *      must be `orderBy().limit()` → TakeOrderedAndProject). The two
-  *      allowlisted queries are global ranks BY DEFINITION and document
-  *      their 100-TB approx-cut alternative in their scaladoc
-  *      (`lm_buckets` — CCNet terciles; `dsir_sample` — the top-share
-  *      selection cut).
+  *      allowlisted queries are global ranks BY DEFINITION — exact
+  *      percentile/rank cuts kept as the ORACLE BASELINES for their
+  *      shipped approx twins (`lm_buckets` → `lm_buckets_approx`,
+  *      `dsir_sample` → `dsir_sample_approx`, both registry entries
+  *      with window-free plans this same audit covers; the twins'
+  *      specs bound |approx − exact| drift). Nothing else may join the
+  *      allowlist without shipping its twin first.
   *   2. No unconditioned join unless one side is provably tiny
   *      (`maxRows` ≤ 64 — the 1-row global-aggregate broadcasts the
   *      corpus-total patterns use, and the local-relation dimension
@@ -37,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite {
     .getOrCreate()
   private val sf = "/root/testdata/sf0.001"
 
-  /** Global-rank-by-definition queries (documented scale path). */
+  /** Global-rank-by-definition queries — oracle baselines whose shipped
+    * scale paths are the `_approx` twins (window-free, audited above). */
   private val globalWindowByDesign = Set("lm_buckets", "dsir_sample")
 
   test("every registered query: no stray global window, no cartesian") {

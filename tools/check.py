@@ -11,8 +11,16 @@ the same contract (row/schema/value match).
 The optional 3rd arg restricts to a comma-separated name list (local fast
 loop / targeted sf1 re-checks).  Per-query progress streams to STDERR as
 each oracle finishes — the sf1 gate runs >1 h and is otherwise opaque.
+
+GRAFT_ORACLE_TIMEOUT=<seconds> (env, off by default) interrupts any single
+DuckDB oracle past the budget and records it as ORACLE TIMEOUT — the
+sf10 gate's escape hatch: the single-node oracle is the known scale
+bottleneck (BASELINE.md round-5/8 notes), and a 100x-data recursive CTE
+that would run for hours must not be reported as an ENGINE failure.
+Timeouts print as [TIME] and do not fail the exit code; genuine
+mismatches still do.  GRAFT_ORACLE_MEM overrides the 100GB ceiling.
 """
-import sys, json, glob, os, math
+import sys, json, glob, os, math, threading
 import duckdb
 import pandas as pd
 
@@ -63,7 +71,21 @@ def main(sfdir, outdir, only=None):
     # the sf1-scale oracles (dedup_simhash, kmeans_fit_trace) spill past
     # DuckDB's default memory governor and die on spill disk without an
     # explicit ceiling (memory invariant from the round-5 sf1 gate)
-    con.execute("SET memory_limit='100GB'")
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_ORACLE_MEM', '100GB')}'")
+    timeout = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0")) or None
+
+    def run_oracle(sql):
+        """Execute with an optional wall budget: a timer thread calls
+        con.interrupt(), which surfaces as a DuckDB InterruptException
+        in the executing thread."""
+        if not timeout:
+            return con.execute(sql).fetchdf()
+        timer = threading.Timer(timeout, con.interrupt)
+        timer.start()
+        try:
+            return con.execute(sql).fetchdf()
+        finally:
+            timer.cancel()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
@@ -87,9 +109,16 @@ def main(sfdir, outdir, only=None):
             results[name] = f"rows-only ({len(spark_df)} rows)"
             continue
         try:
-            duck_df = con.execute(oracle[name]).fetchdf()
+            duck_df = run_oracle(oracle[name])
         except Exception as e:
-            results[name] = f"ORACLE SQL ERROR: {e}"
+            interrupted = "INTERRUPT" in type(e).__name__.upper() or \
+                "interrupt" in str(e).lower()
+            if timeout and interrupted:
+                results[name] = f"ORACLE TIMEOUT ({timeout:.0f}s budget)"
+            else:
+                results[name] = f"ORACLE SQL ERROR: {e}"
+            print(f"[..] {name}: {results[name]} ({time.time()-t0:.1f}s)",
+                  file=sys.stderr, flush=True)
             continue
         (a_str, a_raw), (b_str, b_raw) = canon(spark_df), canon(duck_df)
         if list(a_str.columns) != list(b_str.columns):
@@ -108,12 +137,19 @@ def main(sfdir, outdir, only=None):
                 results[name] = f"OK ({len(a_str)} rows)"
         print(f"[..] {name}: {results[name]} ({time.time()-t0:.1f}s)",
               file=sys.stderr, flush=True)
-    bad = 0
+    bad = timed_out = 0
     for k, v in sorted(results.items()):
-        flag = "PASS" if v.startswith(("OK", "rows-only")) else "FAIL"
-        bad += flag == "FAIL"
+        if v.startswith(("OK", "rows-only")):
+            flag = "PASS"
+        elif v.startswith("ORACLE TIMEOUT"):
+            flag = "TIME"
+            timed_out += 1
+        else:
+            flag = "FAIL"
+            bad += 1
         print(f"[{flag}] {k}: {v}")
-    print(f"\n{len(results) - bad}/{len(results)} pass")
+    tail = f", {timed_out} oracle-timeout" if timed_out else ""
+    print(f"\n{len(results) - bad - timed_out}/{len(results)} pass{tail}")
     sys.exit(1 if bad else 0)
 
 if __name__ == "__main__":

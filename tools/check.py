@@ -77,15 +77,34 @@ def main(sfdir, outdir, only=None):
     def run_oracle(sql):
         """Execute with an optional wall budget: a timer thread calls
         con.interrupt(), which surfaces as a DuckDB InterruptException
-        in the executing thread."""
+        in the executing thread.  The done-flag guards the race where
+        the timer fires between fetchdf() completing and cancel() —
+        an unguarded interrupt would land on the NEXT oracle's execute
+        and mislabel it as a timeout."""
         if not timeout:
             return con.execute(sql).fetchdf()
-        timer = threading.Timer(timeout, con.interrupt)
+        done, fired = threading.Event(), threading.Event()
+        def fire():
+            if not done.is_set():
+                fired.set()
+                con.interrupt()
+        timer = threading.Timer(timeout, fire)
         timer.start()
         try:
-            return con.execute(sql).fetchdf()
+            res = con.execute(sql).fetchdf()
         finally:
+            done.set()
             timer.cancel()
+            timer.join()
+        if fired.is_set():
+            # interrupt was requested but the query completed without
+            # observing it — drain the pending flag so it cannot hit
+            # the next oracle
+            try:
+                con.execute("SELECT 1").fetchall()
+            except Exception:
+                pass
+        return res
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):

@@ -1,0 +1,58 @@
+#!/bin/bash
+# sf10 gate off a frozen jar snapshot (no sbt lock): the round-9
+# pipeline ran the gate under `sbt -batch`, which serializes every
+# other sbt invocation behind a multi-hour job. This variant runs the
+# same graft.Verify / graft.Bench mains with plain
+# `java -cp <snapshot-jar>:/opt/spark/jars/*` so code iteration can
+# continue concurrently. JVM flags mirror build.sbt's javaOptions.
+# Each phase commits its artifact on completion (round-9 verdict
+# item 2: per-phase artifact commits).
+#
+# Usage: GRAFT_JAR=/tmp/graft_snapshot.jar tools/sf10gate_java.sh
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+JAR="${GRAFT_JAR:-/tmp/graft_snapshot.jar}"
+SFDIR="${1:-/tmp/sf10}"
+OUTDIR="${2:-/tmp/verify_sf10}"
+MEM="${SPARK_DRIVER_MEM:-64g}"
+ROUND="${GRAFT_ROUND:-r10}"
+
+JVM_FLAGS=()
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  JVM_FLAGS+=(--add-opens "java.base/$p=ALL-UNNAMED")
+done
+JVM_FLAGS+=(--add-modules jdk.incubator.vector
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC "-Xmx$MEM")
+if [ -f /tmp/log4j2-quiet.properties ]; then
+  JVM_FLAGS+=("-Dlog4j2.configurationFile=/tmp/log4j2-quiet.properties")
+fi
+
+run_main() {  # run_main <mainClass> [args...]
+  java "${JVM_FLAGS[@]}" -cp "$JAR:/opt/spark/jars/*" "$@"
+}
+
+echo "=== sf10gate_java: verify $(date +%T) ==="
+run_main graft.Verify "$SFDIR" "$OUTDIR" 2>&1 | tail -2
+
+echo "=== sf10gate_java: oracle compare $(date +%T) ==="
+GRAFT_ORACLE_TIMEOUT="${GRAFT_ORACLE_TIMEOUT:-600}" \
+GRAFT_ORACLE_MEM="${GRAFT_ORACLE_MEM:-80GB}" \
+  python3 tools/check.py "$SFDIR" "$OUTDIR" > /tmp/check_sf10.log
+tail -6 /tmp/check_sf10.log
+python3 tools/sf1json.py /tmp/check_sf10.log "CORRECTNESS_SF10_${ROUND}.json"
+# pathspec commit: immune to whatever happens to be staged concurrently
+git add "CORRECTNESS_SF10_${ROUND}.json" && git commit -q \
+  -m "Record the sf10 full-suite correctness gate" \
+  -- "CORRECTNESS_SF10_${ROUND}.json" || true
+
+echo "=== sf10gate_java: bench (1 sweep) $(date +%T) ==="
+SPARK_GRAFT_SF_DIR="$SFDIR" GRAFT_BENCH_OUT=BENCH_FULL_SF10.json \
+GRAFT_BENCH_SWEEPS="${GRAFT_BENCH_SWEEPS:-1}" \
+  run_main graft.Bench 2>&1 | grep '"metric"' | tail -1
+git add BENCH_FULL_SF10.json && git commit -q \
+  -m "Record the sf10 single-sweep bench" -- BENCH_FULL_SF10.json || true
+
+echo "=== sf10gate_java: done $(date +%T) ==="

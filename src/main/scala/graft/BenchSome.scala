@@ -29,13 +29,13 @@ object BenchSome {
         operators.DataSelection.clearTrainCache()
         operators.DataSelection.trainWeights(spark, sfDir); ()
       }))
-    // dedupe: a repeated arg would double-count its sweeps; and a
-    // Sweeps < 1 config would leave every time vector empty and crash
-    // the min/max summary below — fail those loudly up front
+    // dedupe: a repeated arg would double-count its sweeps. Sweeps >= 1
+    // is enforced by Bench.Sweeps' own initializer (referencing it at
+    // all throws on a bad GRAFT_BENCH_SWEEPS), so no re-check here —
+    // the time vectors below can never be empty.
     val names = (if (args.nonEmpty) args.toSeq else Seq("q1_agg")).distinct
     val unknown = names.filterNot(n => builds.contains(n) || SparkEntry.queries.contains(n))
     require(unknown.isEmpty, s"unknown entries: ${unknown.mkString(",")}")
-    require(Bench.Sweeps >= 1, s"Bench.Sweeps must be >= 1, got ${Bench.Sweeps}")
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     for (sweep <- 0 to Bench.Sweeps) { // sweep 0 = untimed warmup

@@ -485,13 +485,22 @@ object LangModel {
     * against the exact twin, which stays in the registry as the oracle
     * baseline. Boundary semantics: NTILE splits ties by (xent, doc_id)
     * rank, the threshold form puts every tied doc in the lower bucket —
-    * the drift bound covers both effects. */
+    * the drift bound covers both effects.
+    *
+    * Scan accounting (round-9 verdict item 3): the cut sketch and the
+    * binning pass both consume the per-document scores, so the
+    * featurize+score scan materializes ONCE via an eager
+    * localCheckpoint (the `Dedup.ngramPairs` discipline — one row per
+    * document, far smaller than the corpus, executor-local storage) and
+    * both consumers read the materialized rows instead of re-running
+    * the trainer and the scoring join. */
   def lmBucketsApprox(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cuts = docScores(s, dir).agg(expr(
+    val ds = docScores(s, dir).localCheckpoint()
+    val cuts = ds.agg(expr(
       "approx_percentile(xent, array(CAST(1.0D/3.0D AS DOUBLE), " +
         "CAST(2.0D/3.0D AS DOUBLE)), 10000)").as("cuts"))
-    docScores(s, dir)
+    ds
       .crossJoin(broadcast(cuts))
       .withColumn("bucket",
         when($"xent" <= $"cuts"(0), 1)

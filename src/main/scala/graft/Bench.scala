@@ -110,6 +110,10 @@ object Bench {
       operators.EntityResolution.linkBuild(spark, sfDir)
       operators.DataSelection.clearTrainCache()
       operators.DataSelection.trainWeights(spark, sfDir)
+      operators.DataSelection.clearScoreCache()
+      operators.DataSelection.trainScored(spark, sfDir)
+      operators.LangModel.clearScoreCache()
+      operators.LangModel.trainScores(spark, sfDir)
     } catch { case _: Throwable => }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
@@ -178,6 +182,18 @@ object Bench {
       operators.DataSelection.clearTrainCache()
       timed("dsir_train_build") {
         operators.DataSelection.trainWeights(spark, sfDir); ()
+      }
+      // the score-once stage above the weight fit: the per-document
+      // weight/score tables (one row per doc, localCheckpoint) that
+      // the dsir_* and lm_score/lm_buckets* queries consume — priced
+      // once per sweep each, same accounting as the entries above
+      operators.DataSelection.clearScoreCache()
+      timed("dsir_score_build") {
+        operators.DataSelection.trainScored(spark, sfDir); ()
+      }
+      operators.LangModel.clearScoreCache()
+      timed("lm_score_build") {
+        operators.LangModel.trainScores(spark, sfDir); ()
       }
       names.foreach { case (name, fn) =>
         timed(name) { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }

@@ -28,6 +28,14 @@ object BenchSome {
       "dsir_train_build" -> (() => {
         operators.DataSelection.clearTrainCache()
         operators.DataSelection.trainWeights(spark, sfDir); ()
+      }),
+      "dsir_score_build" -> (() => {
+        operators.DataSelection.clearScoreCache()
+        operators.DataSelection.trainScored(spark, sfDir); ()
+      }),
+      "lm_score_build" -> (() => {
+        operators.LangModel.clearScoreCache()
+        operators.LangModel.trainScores(spark, sfDir); ()
       }))
     // dedupe: a repeated arg would double-count its sweeps. Sweeps >= 1
     // is enforced by Bench.Sweeps' own initializer (referencing it at

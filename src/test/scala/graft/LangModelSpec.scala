@@ -48,10 +48,14 @@ class LangModelSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("lm_score: model stays bounded and scoring join is broadcast") {
-    val df = LangModel.lmScore(spark, "/root/testdata/sf0.001")
-    val plan = df.queryExecution.executedPlan.toString
+    // the registered query consumes the memoized score table (round-10
+    // score-once), so the broadcast-join property is asserted on the
+    // build path's plan — the scan trainScores materializes
+    val plan = LangModel.docScores(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"scoring join must broadcast the bounded model, got:\n$plan")
+    val df = LangModel.lmScore(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
     assert(rows.length == LangModel.TopDocs)
     // xent = bits_sum / (n_events * 2^16) exactly, and every event was

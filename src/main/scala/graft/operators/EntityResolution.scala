@@ -73,6 +73,23 @@ object EntityResolution {
   /** Width of the masked chunk each blocking pass removes. */
   val ChunkLen = 5
 
+  /** Blocks above this population verify through the salted self-join
+    * (below it, the plain per-block join is cheaper than the b-side
+    * replication). AQE cannot fix this skew: a near-cap block is tiny
+    * in BYTES (4096 rows ≈ 240 KB, far under the 256 MB skew-split
+    * threshold) but quadratic in COMPUTE (~8M levenshtein pairs), and
+    * the round-10 sf10 gate measured exactly that — one 900 s+
+    * single-core verify task while 31 cores idled. Byte-skew detectors
+    * never see compute skew; bounding it is the plan's job. */
+  val VerifySaltThreshold = 256L
+
+  /** Salt fan-out for large-block verify: the a-side splits into
+    * [[VerifySalts]] deterministic groups, the b-side replicates once
+    * per salt ([[Skew.saltedEquiJoin]]'s trade), so no task computes
+    * more than ~[[BlockCap]]²/[[VerifySalts]] pair distances for one
+    * block. */
+  val VerifySalts = 32
+
   /** Cached (pairs, labels) per (session, dir) — the ER family's
     * shared-build stage, the [[Dedup]] pair-cache discipline verbatim:
     * five queries consume the same verified edge list and two of them
@@ -184,17 +201,39 @@ object EntityResolution {
     import cust.sparkSession.implicits._
     val keyed = blockKeys(cust)
     // oversized-block drop: bounded quadratic per block by construction
+    // (bn rides along so the verify below can route by population)
     val capped = keyed.join(
-      blockSizes(keyed).filter($"bn" <= BlockCap).select($"bk"),
+      blockSizes(keyed).filter($"bn" <= BlockCap).select($"bk", $"bn"),
       "bk")
-    val a = capped.select($"bk", $"key".as("a_key"), $"name".as("a_name"),
-      $"nation".as("nation"))
-    val b = capped.select($"bk", $"key".as("b_key"), $"name".as("b_name"))
-    a.join(b, Seq("bk"))
-      .filter($"a_key" < $"b_key")
-      .select($"a_key", $"b_key", $"nation",
-        levenshtein($"a_name", $"b_name").as("dist"))
-      .filter($"dist" <= MaxEd)
+    def verified(aSide: DataFrame, bSide: DataFrame, keys: Seq[String]) =
+      aSide.join(bSide, keys)
+        .filter($"a_key" < $"b_key")
+        .select($"a_key", $"b_key", $"nation",
+          levenshtein($"a_name", $"b_name").as("dist"))
+        .filter($"dist" <= MaxEd)
+    // population routing (a block lands entirely on one path — bn is a
+    // per-block constant): small blocks take the plain per-block
+    // self-join; large ones salt the a-side and replicate the b-side so
+    // per-task verify compute is bounded (see [[VerifySaltThreshold]] —
+    // byte-skew detectors cannot see quadratic per-key compute). The
+    // pair set is identical either way: each (a, b) meets on exactly
+    // a's salt, and the salt never touches a value column, so the
+    // DuckDB oracle's plain self-join form is unchanged.
+    val small = capped.filter($"bn" <= VerifySaltThreshold)
+    val large = capped.filter($"bn" > VerifySaltThreshold)
+    val smallPairs = verified(
+      small.select($"bk", $"key".as("a_key"), $"name".as("a_name"),
+        $"nation".as("nation")),
+      small.select($"bk", $"key".as("b_key"), $"name".as("b_name")),
+      Seq("bk"))
+    val largePairs = verified(
+      large.select($"bk", $"key".as("a_key"), $"name".as("a_name"),
+        $"nation".as("nation"),
+        pmod(hash($"key"), lit(VerifySalts)).as("__vs")),
+      large.select($"bk", $"key".as("b_key"), $"name".as("b_name"),
+        explode(sequence(lit(0), lit(VerifySalts - 1))).as("__vs")),
+      Seq("bk", "__vs"))
+    smallPairs.unionByName(largePairs)
       .distinct()
   }
 

@@ -64,6 +64,28 @@ class EntityResolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(brute.nonEmpty, "degenerate test: brute-force found no pairs")
   }
 
+  test("salted large-block verify produces the identical pair set") {
+    import spark.implicits._
+    // one block above VerifySaltThreshold (300 identical names →
+    // every pass matches, population 300 > 256 routes through the
+    // salted join) plus a small-block near-pair — the two paths'
+    // union must equal the plain semantics: all C(300,2) zero-distance
+    // pairs and the one Hamming-1 pair
+    val n = 300
+    require(n > EntityResolution.VerifySaltThreshold)
+    val hot = (1L to n.toLong).map(k => (k, "hotblock-name", 1))
+    val cool = Seq((1000L, "coolpair-x", 1), (1001L, "coolpair-y", 1))
+    val pairs = EntityResolution.linkPairs(master(hot ++ cool))
+      .select($"a_key", $"b_key", $"dist").as[(Long, Long, Int)].collect()
+    val hotPairs = pairs.filter(_._1 < 1000L)
+    assert(hotPairs.length == n * (n - 1) / 2,
+      s"salted path must produce every pair exactly once, got ${hotPairs.length}")
+    assert(hotPairs.forall(_._3 == 0))
+    assert(pairs.count(_._1 >= 1000L) == 1 &&
+      pairs.find(_._1 == 1000L).get == ((1000L, 1001L, 1)),
+      "small-block path must still link the Hamming-1 pair")
+  }
+
   test("oversized blocks are dropped; under-cap blocks still link") {
     import spark.implicits._
     // one degenerate block: BlockCap+1 identical names (a placeholder

@@ -18,7 +18,15 @@ sf10 gate's escape hatch: the single-node oracle is the known scale
 bottleneck (BASELINE.md round-5/8 notes), and a 100x-data recursive CTE
 that would run for hours must not be reported as an ENGINE failure.
 Timeouts print as [TIME] and do not fail the exit code; genuine
-mismatches still do.  GRAFT_ORACLE_MEM overrides the 100GB ceiling.
+mismatches still do.  GRAFT_ORACLE_MEM overrides the 100GB ceiling
+(PER CONNECTION — divide it when raising the worker count).
+
+GRAFT_ORACLE_WORKERS=<n> (default 1) runs the oracles on n concurrent
+connections, each with its own views and 1/n of the host threads.  The
+point at scale is overlapping the TIMEOUT waits: a sequential sf10 run
+pays 600 s of pure wall-clock per infeasible oracle, a 4-worker run
+overlaps four of them.  DuckDB releases the GIL during execute, so
+plain threads suffice.
 """
 import sys, json, glob, os, math, threading
 import duckdb
@@ -67,95 +75,120 @@ def cells_equal(x, y) -> bool:
 
 def main(sfdir, outdir, only=None):
     import time
-    con = duckdb.connect()
-    # the sf1-scale oracles (dedup_simhash, kmeans_fit_trace) spill past
-    # DuckDB's default memory governor and die on spill disk without an
-    # explicit ceiling (memory invariant from the round-5 sf1 gate)
-    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_ORACLE_MEM', '100GB')}'")
+    from queue import Queue, Empty
+    mem = os.environ.get("GRAFT_ORACLE_MEM", "100GB")
     timeout = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0")) or None
+    workers = max(1, int(os.environ.get("GRAFT_ORACLE_WORKERS", "1")))
 
-    def run_oracle(sql):
-        """Execute with an optional wall budget: a timer thread calls
-        con.interrupt(), which surfaces as a DuckDB InterruptException
-        in the executing thread.  The done-flag guards the race where
-        the timer fires between fetchdf() completing and cancel() —
-        an unguarded interrupt would land on the NEXT oracle's execute
-        and mislabel it as a timeout."""
-        if not timeout:
-            return con.execute(sql).fetchdf()
-        done, fired = threading.Event(), threading.Event()
-        def fire():
-            if not done.is_set():
-                fired.set()
-                con.interrupt()
-        timer = threading.Timer(timeout, fire)
-        timer.start()
-        try:
-            res = con.execute(sql).fetchdf()
-        finally:
-            done.set()
-            timer.cancel()
-            timer.join()
-        if fired.is_set():
-            # interrupt was requested but the query completed without
-            # observing it — drain the pending flag so it cannot hit
-            # the next oracle
-            try:
-                con.execute("SELECT 1").fetchall()
-            except Exception:
-                pass
-        return res
-    for t in TABLES:
-        p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
     # a query that failed inside Verify writes no output dir — that must
     # FAIL the gate, not silently vanish from the report
     dirs = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
     for name in sorted(set(oracle) - dirs):
-        results[name] = "MISSING OUTPUT (query failed in Verify?)" 
-    for name in sorted(os.listdir(outdir)):
-        d = os.path.join(outdir, name)
-        if not os.path.isdir(d) or (only and name not in only):
-            continue
-        t0 = time.time()
-        files = glob.glob(f"{d}/*.parquet")
-        spark_df = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchdf()
-        if name not in oracle:
-            results[name] = f"rows-only ({len(spark_df)} rows)"
-            continue
-        try:
-            duck_df = run_oracle(oracle[name])
-        except Exception as e:
-            interrupted = "INTERRUPT" in type(e).__name__.upper() or \
-                "interrupt" in str(e).lower()
-            if timeout and interrupted:
-                results[name] = f"ORACLE TIMEOUT ({timeout:.0f}s budget)"
+        results[name] = "MISSING OUTPUT (query failed in Verify?)"
+    todo = Queue()
+    for name in sorted(dirs):
+        if not only or name in only:
+            todo.put(name)
+    lock = threading.Lock()
+
+    def worker():
+        con = duckdb.connect()
+        # the sf1-scale oracles (dedup_simhash, kmeans_fit_trace) spill
+        # past DuckDB's default memory governor and die on spill disk
+        # without an explicit ceiling (round-5 sf1 gate invariant)
+        con.execute(f"SET memory_limit='{mem}'")
+        if workers > 1:
+            con.execute(f"SET threads={max(1, (os.cpu_count() or 8) // workers)}")
+        for t in TABLES:
+            p = f"{sfdir}/{t}.parquet"
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+        def run_oracle(sql):
+            """Execute with an optional wall budget: a timer thread calls
+            con.interrupt(), which surfaces as a DuckDB InterruptException
+            in the executing thread.  The done-flag guards the race where
+            the timer fires between fetchdf() completing and cancel() —
+            an unguarded interrupt would land on the NEXT oracle's execute
+            and mislabel it as a timeout."""
+            if not timeout:
+                return con.execute(sql).fetchdf()
+            done, fired = threading.Event(), threading.Event()
+            def fire():
+                if not done.is_set():
+                    fired.set()
+                    con.interrupt()
+            timer = threading.Timer(timeout, fire)
+            timer.start()
+            try:
+                res = con.execute(sql).fetchdf()
+            finally:
+                done.set()
+                timer.cancel()
+                timer.join()
+            if fired.is_set():
+                # interrupt was requested but the query completed without
+                # observing it — drain the pending flag so it cannot hit
+                # the next oracle
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:
+                    pass
+            return res
+
+        while True:
+            try:
+                name = todo.get_nowait()
+            except Empty:
+                return
+            t0 = time.time()
+            d = os.path.join(outdir, name)
+            files = glob.glob(f"{d}/*.parquet")
+            spark_df = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            if name not in oracle:
+                res = f"rows-only ({len(spark_df)} rows)"
             else:
-                results[name] = f"ORACLE SQL ERROR: {e}"
-            print(f"[..] {name}: {results[name]} ({time.time()-t0:.1f}s)",
+                try:
+                    duck_df = run_oracle(oracle[name])
+                except Exception as e:
+                    interrupted = "INTERRUPT" in type(e).__name__.upper() or \
+                        "interrupt" in str(e).lower()
+                    if timeout and interrupted:
+                        res = f"ORACLE TIMEOUT ({timeout:.0f}s budget)"
+                    else:
+                        res = f"ORACLE SQL ERROR: {e}"
+                    duck_df = None
+                if duck_df is not None:
+                    (a_str, a_raw), (b_str, b_raw) = canon(spark_df), canon(duck_df)
+                    if list(a_str.columns) != list(b_str.columns):
+                        res = f"SCHEMA MISMATCH spark={list(a_str.columns)} duck={list(b_str.columns)}"
+                    elif len(a_str) != len(b_str):
+                        res = f"ROWCOUNT MISMATCH spark={len(a_str)} duck={len(b_str)}"
+                    else:
+                        bad_rows = [i for i in range(len(a_raw))
+                                    if not all(cells_equal(a_raw.iat[i, j], b_raw.iat[i, j])
+                                               for j in range(a_raw.shape[1]))]
+                        if bad_rows:
+                            diffs = [f"row{j}: spark={a_str.loc[j].to_dict()} duck={b_str.loc[j].to_dict()}"
+                                     for j in bad_rows[:3]]
+                            res = "VALUE MISMATCH " + " | ".join(diffs)
+                        else:
+                            res = f"OK ({len(a_str)} rows)"
+            with lock:
+                results[name] = res
+            print(f"[..] {name}: {res} ({time.time()-t0:.1f}s)",
                   file=sys.stderr, flush=True)
-            continue
-        (a_str, a_raw), (b_str, b_raw) = canon(spark_df), canon(duck_df)
-        if list(a_str.columns) != list(b_str.columns):
-            results[name] = f"SCHEMA MISMATCH spark={list(a_str.columns)} duck={list(b_str.columns)}"
-        elif len(a_str) != len(b_str):
-            results[name] = f"ROWCOUNT MISMATCH spark={len(a_str)} duck={len(b_str)}"
-        else:
-            bad_rows = [i for i in range(len(a_raw))
-                        if not all(cells_equal(a_raw.iat[i, j], b_raw.iat[i, j])
-                                   for j in range(a_raw.shape[1]))]
-            if bad_rows:
-                diffs = [f"row{j}: spark={a_str.loc[j].to_dict()} duck={b_str.loc[j].to_dict()}"
-                         for j in bad_rows[:3]]
-                results[name] = "VALUE MISMATCH " + " | ".join(diffs)
-            else:
-                results[name] = f"OK ({len(a_str)} rows)"
-        print(f"[..] {name}: {results[name]} ({time.time()-t0:.1f}s)",
-              file=sys.stderr, flush=True)
+
+    threads = [threading.Thread(target=worker, daemon=True)
+               for _ in range(workers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
     bad = timed_out = 0
     for k, v in sorted(results.items()):
         if v.startswith(("OK", "rows-only")):

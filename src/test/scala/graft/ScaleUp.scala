@@ -78,8 +78,17 @@ object ScaleUp {
     write(read("region"), "region")
     write(read("nation"), "nation")
     write(rep(cust) { (d, r) =>
-      d.select(shift("c_custkey", cSpan, r), $"c_name", $"c_nationkey",
-        $"c_acctbal", $"c_mktsegment")
+      // per-replica name suffix, for the same reason documents get one
+      // (see scaladoc): verbatim name copies would give every customer
+      // `replicas − 1` exact clones and make the ER family's output
+      // QUADRATIC in replicas (~800M edges at two decades — a
+      // replication artifact, not a workload). The doubled digit keeps
+      // cross-replica names at edit distance 2 (> MaxEd, never linked)
+      // while within-replica serial Hamming-1 neighbors still link, so
+      // ER output scales linearly like every other family's.
+      val name = if (r == 0) $"c_name" else concat($"c_name", lit(s"~$r$r"))
+      d.select(shift("c_custkey", cSpan, r), name.as("c_name"),
+        $"c_nationkey", $"c_acctbal", $"c_mktsegment")
     }, "customer")
     write(rep(sup) { (d, r) =>
       d.select(shift("s_suppkey", sSpan, r), $"s_name", $"s_nationkey",

@@ -205,8 +205,18 @@ object EntityResolution {
     val capped = keyed.join(
       blockSizes(keyed).filter($"bn" <= BlockCap).select($"bk", $"bn"),
       "bk")
+    // the verify join is COMPUTE-dense and byte-light (~100 bytes in,
+    // ~1 µs of levenshtein DP out, per pair), so AQE's byte-based
+    // partition coalescing would merge its shuffle into one or two
+    // tasks and serialize the whole quadratic mass — the round-10 sf10
+    // gate measured a 900 s single-core stage doing exactly that. The
+    // explicit numPartitions pins the distribution (user-specified
+    // repartitions are exempt from AQE coalescing) and satisfies the
+    // join's clustering, so no extra exchange is added.
+    val np = cust.sparkSession.sessionState.conf.numShufflePartitions
     def verified(aSide: DataFrame, bSide: DataFrame, keys: Seq[String]) =
-      aSide.join(bSide, keys)
+      aSide.repartition(np, keys.map(col): _*)
+        .join(bSide.repartition(np, keys.map(col): _*), keys)
         .filter($"a_key" < $"b_key")
         .select($"a_key", $"b_key", $"nation",
           levenshtein($"a_name", $"b_name").as("dist"))
@@ -368,9 +378,14 @@ object EntityResolution {
       "bk")
     // verify (one levenshtein) straight on the join output — the min
     // aggregate absorbs multi-pass duplicates, so no distinct and no
-    // name string crosses a second exchange (the linkPairs discipline)
-    val matches = batch.select($"bk", $"key", $"name")
-      .join(cappedM.select($"bk", $"key".as("m_key"), $"name".as("m_name")),
+    // name string crosses a second exchange (the linkPairs discipline).
+    // Distribution pinned for the same reason as linkPairs' verify:
+    // the probe join is compute-dense and byte-light, and AQE's
+    // byte-based coalescing would serialize it.
+    val np = s.sessionState.conf.numShufflePartitions
+    val matches = batch.select($"bk", $"key", $"name").repartition(np, $"bk")
+      .join(cappedM.select($"bk", $"key".as("m_key"), $"name".as("m_name"))
+          .repartition(np, $"bk"),
         Seq("bk"))
       .filter(levenshtein($"name", $"m_name") <= MaxEd)
       .groupBy($"key").agg(min($"m_key").as("merge_into"))

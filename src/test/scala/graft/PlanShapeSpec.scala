@@ -185,6 +185,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"span leg + pruned census leg = 2 scans, got ${scans.size}")
   }
 
+  test("er verify joins: distribution pinned against AQE byte-coalescing") {
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM}
+    // the levenshtein verify is byte-light but compute-dense; AQE's
+    // byte-based coalescing once merged it to ONE task at sf10 (round
+    // 10). User-pinned repartitions (REPARTITION_BY_NUM) are exempt
+    // from coalescing — assert both ER verify joins still carry them.
+    def pinned(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.shuffleOrigin == REPARTITION_BY_NUM => e
+      }.size
+    import spark.implicits._
+    val cust = Seq((1L, "alpha", 1), (2L, "alphb", 1)).toDF("key", "name", "nation")
+    assert(pinned(operators.EntityResolution.linkPairs(cust)) >= 2,
+      "linkPairs verify inputs must be user-pinned")
+    assert(pinned(SparkEntry.queries("er_incremental")(spark, sf)) >= 2,
+      "erIncremental probe inputs must be user-pinned")
+  }
+
   test("bpe_train: dictionary cut is TakeOrderedAndProject, not a global sort") {
     val dict = operators.TextAnalysis
       .bpeDict(Tables(spark, sf, "documents"))

@@ -93,12 +93,21 @@ def main(sfdir, outdir, only=None):
             todo.put(name)
     lock = threading.Lock()
 
-    def worker():
+    def worker(wid):
         con = duckdb.connect()
         # the sf1-scale oracles (dedup_simhash, kmeans_fit_trace) spill
         # past DuckDB's default memory governor and die on spill disk
         # without an explicit ceiling (round-5 sf1 gate invariant)
         con.execute(f"SET memory_limit='{mem}'")
+        # every in-memory connection defaults its spill storage to
+        # cwd-relative .tmp — shared across THIS pool's workers and any
+        # concurrently running check.py.  An interrupted oracle's spill
+        # cleanup then races another connection's live spill file, and
+        # the resulting duckdb::IOException escapes on a background
+        # thread as C++ terminate(), killing the whole compare (observed:
+        # the round-10 sf1 gate died on dedup_components' timeout).
+        con.execute(
+            f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}_{wid}'")
         if workers > 1:
             con.execute(f"SET threads={max(1, (os.cpu_count() or 8) // workers)}")
         for t in TABLES:
@@ -182,8 +191,8 @@ def main(sfdir, outdir, only=None):
             print(f"[..] {name}: {res} ({time.time()-t0:.1f}s)",
                   file=sys.stderr, flush=True)
 
-    threads = [threading.Thread(target=worker, daemon=True)
-               for _ in range(workers)]
+    threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+               for w in range(workers)]
     for t in threads:
         t.start()
     for t in threads:

@@ -168,6 +168,108 @@ object TextAnalysis {
        |        FROM documents))))
        |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------- gopher rules
+
+  /** Gopher quality-filter rule thresholds (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * §A.1.1 quality filtering): word-count bounds, mean-word-length
+    * bounds, hash/ellipsis symbol-to-word ratio, alphabetic-word
+    * fraction, and the required-stop-word rule. */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule census: evaluate each document against the five
+    * paper rules in ONE narrow scan of (source, text) — every signal is a
+    * codegen'd higher-order-function expression over one shared
+    * tokenization, no explode, no join — then aggregate to a per-source
+    * census of per-rule failure counts and the all-rules keep rate. The
+    * census (not the filtered corpus) is the operator: at 100 TB the rule
+    * report is what a pipeline owner tunes thresholds from, and the only
+    * shuffle is the low-cardinality source rollup with map-side partials.
+    * The symbol and alpha rules cannot fire on the symbol-free synthetic
+    * corpus; TextAnalysisSpec drives crafted documents through
+    * [[gopherRulesOn]] to pin all five rules' trip points. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesOn(Tables(s, dir, "documents"))
+
+  /** Operator core over any (source, text) frame. */
+  def gopherRulesOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val flagged = docs
+      .select($"source", $"text", toks(lower($"text")).as("toks"))
+      .withColumn("words", size($"toks"))
+      .withColumn("mwl", when($"words" > 0,
+        aggregate($"toks", lit(0), (acc, w) => acc + length(w))
+          .cast("double") / $"words").otherwise(0.0))
+      .withColumn("nsym", regexp_count($"text", lit("#|\\.\\.\\.")))
+      .withColumn("alpha", when($"words" > 0,
+        size(filter($"toks", w => w.rlike("[a-z]"))).cast("double") / $"words")
+        .otherwise(0.0))
+      .withColumn("nstop",
+        GopherStops.map(w => exists($"toks", t => t === lit(w)).cast("int"))
+          .reduce(_ + _))
+      .select($"source",
+        ($"words" < GopherMinWords || $"words" > GopherMaxWords)
+          .cast("int").as("f_words"),
+        ($"mwl" < 3.0 || $"mwl" > 10.0).cast("int").as("f_word_len"),
+        ($"nsym".cast("double") > $"words" * 0.1).cast("int").as("f_symbol"),
+        ($"alpha" < 0.8).cast("int").as("f_alpha"),
+        ($"nstop" < 2).cast("int").as("f_stopword"))
+      .withColumn("keep",
+        ($"f_words" + $"f_word_len" + $"f_symbol" + $"f_alpha" + $"f_stopword" === 0)
+          .cast("int"))
+    flagged.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"f_words").as("n_fail_words"),
+        sum($"f_word_len").as("n_fail_word_len"),
+        sum($"f_symbol").as("n_fail_symbol"),
+        sum($"f_alpha").as("n_fail_alpha"),
+        sum($"f_stopword").as("n_fail_stopword"),
+        sum($"keep").as("n_keep"),
+        round(avg($"keep".cast("double")), 4).as("keep_rate"))
+      .orderBy($"source")
+  }
+
+  val gopherRulesSql: String = {
+    val nstop = GopherStops
+      .map(w => s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""WITH t AS (SELECT source, text, $duckToks AS toks FROM documents),
+       |p AS (SELECT source, len(toks) AS words,
+       |  CASE WHEN len(toks) > 0
+       |    THEN list_sum(list_transform(toks, w -> length(w))) * 1.0 / len(toks)
+       |    ELSE 0.0 END AS mwl,
+       |  len(regexp_extract_all(text, '#|\\.\\.\\.')) AS nsym,
+       |  CASE WHEN len(toks) > 0
+       |    THEN len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) * 1.0 / len(toks)
+       |    ELSE 0.0 END AS alpha,
+       |  $nstop AS nstop
+       |  FROM t),
+       |f AS (SELECT source,
+       |  CASE WHEN words < $GopherMinWords OR words > $GopherMaxWords THEN 1 ELSE 0 END AS f_words,
+       |  CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 1 ELSE 0 END AS f_word_len,
+       |  CASE WHEN nsym > words * 0.1 THEN 1 ELSE 0 END AS f_symbol,
+       |  CASE WHEN alpha < 0.8 THEN 1 ELSE 0 END AS f_alpha,
+       |  CASE WHEN nstop < 2 THEN 1 ELSE 0 END AS f_stopword
+       |  FROM p),
+       |k AS (SELECT *,
+       |  CASE WHEN f_words + f_word_len + f_symbol + f_alpha + f_stopword = 0
+       |    THEN 1 ELSE 0 END AS keep
+       |  FROM f)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(f_words) AS BIGINT) AS n_fail_words,
+       |  CAST(sum(f_word_len) AS BIGINT) AS n_fail_word_len,
+       |  CAST(sum(f_symbol) AS BIGINT) AS n_fail_symbol,
+       |  CAST(sum(f_alpha) AS BIGINT) AS n_fail_alpha,
+       |  CAST(sum(f_stopword) AS BIGINT) AS n_fail_stopword,
+       |  CAST(sum(keep) AS BIGINT) AS n_keep,
+       |  round(avg(keep * 1.0), 4) AS keep_rate
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // --------------------------------------------------------- fingerprint
 
   /** Rolling polynomial fingerprint per document ([[PolyHash]], codegen'd)
@@ -994,6 +1096,7 @@ object TextAnalysis {
     "text_stats" -> (textStats(_, _)),
     "lang_id" -> (langId(_, _)),
     "quality_score" -> (qualityScore(_, _)),
+    "gopher_rules" -> (gopherRules(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)),
     "vocab_topk" -> (vocabTopK(_, _)),
     "bm25_topk" -> (bm25TopK(_, _)),
@@ -1013,6 +1116,7 @@ object TextAnalysis {
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
+    "gopher_rules" -> gopherRulesSql,
     "doc_fingerprint" -> docFingerprintSql,
     "vocab_topk" -> vocabTopKSql,
     "bm25_topk" -> bm25TopKSql,

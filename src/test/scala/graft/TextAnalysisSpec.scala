@@ -65,6 +65,41 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b.getLong(6) == 0L)
   }
 
+  test("gopher_rules: each rule trips in isolation on crafted docs") {
+    val s = spark
+    import s.implicits._
+    // one doc per source, each engineered to fail exactly one rule
+    // (the synthetic corpus can never trip symbol/alpha — this is the
+    // only coverage of those trip points)
+    val docs = Seq(
+      ("keep", "the of " + Seq.fill(58)("word").mkString(" ")),
+      ("short", "the of word"),                                  // 3 words < 50
+      ("longwords", "the with " + Seq.fill(58)("abcdefghijklmno").mkString(" ")),
+      ("symbols", "the of " + Seq.fill(50)("word").mkString(" ") +
+        " " + Seq.fill(8)("#").mkString(" ")),                   // 8/60 > 0.1
+      ("digits", "the of " + Seq.fill(40)("word").mkString(" ") +
+        " " + Seq.fill(18)("123").mkString(" ")),                // alpha 42/60
+      ("nostop", "the " + Seq.fill(59)("word").mkString(" ")),   // 1 stop < 2
+      ("empty", "")                                              // multi-fail
+    ).zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.gopherRulesOn(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def fails(src: String) =
+      (2 to 6).map(out(src).getLong) // words, word_len, symbol, alpha, stopword
+    assert(fails("keep") == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(out("keep").getLong(7) == 1L && out("keep").getDouble(8) == 1.0)
+    assert(fails("short") == Seq(1L, 0L, 0L, 0L, 0L))
+    assert(fails("longwords") == Seq(0L, 1L, 0L, 0L, 0L))
+    assert(fails("symbols") == Seq(0L, 0L, 1L, 0L, 0L))
+    assert(fails("digits") == Seq(0L, 0L, 0L, 1L, 0L))
+    assert(fails("nostop") == Seq(0L, 0L, 0L, 0L, 1L))
+    // zero tokens: word-count, word-length, alpha, and stop rules all
+    // fail; the symbol ratio (0 > 0) must not
+    assert(fails("empty") == Seq(1L, 1L, 0L, 1L, 1L))
+    assert(out.values.map(_.getLong(7)).sum == 1L, "only 'keep' survives")
+  }
+
   test("pii_redact: injected PII is counted and scrubbed in pattern order") {
     val s = spark
     import s.implicits._

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -27,18 +27,40 @@ object TpchExtra {
 
   /** Q6 — forecast revenue change: pure scan-agg, every predicate
     * pushable. The whole query is one parquet scan + partial/final agg:
-    * at 100 TB this is the I/O-bound floor, nothing else to optimize. */
+    * at 100 TB this is the I/O-bound floor, nothing else to optimize.
+    *
+    * The sum accumulates in DECIMAL (see [[moneySum]]): a single-row
+    * global money sum in double diverges between engines by the
+    * SUMMATION ORDER (~1e-4 at sf1's ~1e9 magnitudes — the round-10
+    * sf1 gate caught q19 flipping the gated 4th decimal), and order
+    * is exactly what a distributed engine cannot pin. Exact decimal
+    * partials are associative, so the result is bit-stable under ANY
+    * partitioning — the same reason TPC-H specs money as DECIMAL. */
   def q6(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "lineitem")
       .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
         $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
-      .agg(round(sum($"l_extendedprice" * $"l_discount"), 4).as("revenue"))
+      .agg(moneySum($"l_extendedprice" * $"l_discount").as("revenue"))
   }
 
+  /** Order-independent money sum: round the double TERM to 4 decimals
+    * (each term is a product of 2-decimal money values — exact at 4
+    * decimals, so the rounding only strips float noise), accumulate
+    * exactly in DECIMAL(28,4), surface as the 4-decimal double the
+    * oracle contract gates on. DECIMAL(28,4) holds 1e24 — no overflow
+    * at any realistic corpus. */
+  private def moneySum(term: Column): Column =
+    sum(round(term, 4).cast("decimal(28,4)")).cast("double")
+
+  /** DuckDB twin of [[moneySum]] — identical term rounding, identical
+    * exact accumulation. */
+  private def duckMoneySum(term: String): String =
+    s"CAST(sum(CAST(round($term, 4) AS DECIMAL(28,4))) AS DOUBLE)"
+
   val q6Sql: String =
-    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    s"""SELECT ${duckMoneySum("l_extendedprice * l_discount")} AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -256,20 +278,22 @@ object TpchExtra {
       .join(brandParts, $"l_partkey" === $"p_partkey")
     val avgQty = li.groupBy($"p_partkey".as("ap_key"))
       .agg(avg($"l_quantity").as("avg_qty"))
+    // [[moneySum]]: exact decimal accumulation — the global 1-row money
+    // sum must not depend on partition summation order
     li.join(avgQty, $"p_partkey" === $"ap_key")
       .filter($"l_quantity" < lit(0.2) * $"avg_qty")
-      .agg(round(sum($"l_extendedprice") / 7.0, 4).as("avg_yearly"))
+      .agg(round(moneySum($"l_extendedprice") / 7.0, 4).as("avg_yearly"))
   }
 
   val q17Sql: String =
-    """WITH li AS (
+    s"""WITH li AS (
       |  SELECT l_partkey, l_quantity, l_extendedprice
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  WHERE p_brand = 'Brand#23'),
       |aq AS (
       |  SELECT l_partkey AS ap_key, avg(l_quantity) AS avg_qty
       |  FROM li GROUP BY l_partkey)
-      |SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+      |SELECT round(${duckMoneySum("l_extendedprice")} / 7.0, 4) AS avg_yearly
       |FROM li JOIN aq ON l_partkey = ap_key
       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
 
@@ -290,11 +314,11 @@ object TpchExtra {
           $"l_quantity".between(10, 20)) ||
         ($"p_brand" === "Brand#15" && $"p_size".between(1, 35) &&
           $"l_quantity".between(20, 30)))
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .agg(moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
   }
 
   val q19Sql: String =
-    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+    s"""SELECT ${duckMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
       |       AND l_quantity BETWEEN 1 AND 11)

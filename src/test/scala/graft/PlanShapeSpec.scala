@@ -133,6 +133,26 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.toString.contains("approx_count_distinct"))
   }
 
+  test("gopher_rules: one scan, one source-keyed exchange, no explode/join") {
+    val df = SparkEntry.queries("gopher_rules")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, "all five rules must come from ONE corpus pass")
+    assert(scans.head.schema.fieldNames.toSet == Set("text", "source"),
+      s"scan must prune to text+source: ${scans.head.schema.fieldNames.mkString(",")}")
+    // corpus rows cross exactly one hash exchange (the source rollup);
+    // the second is the rangepartitioning presentation sort over the
+    // ~|sources| aggregated rows
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    val hashEx = exchanges
+      .filter(_.outputPartitioning.toString.contains("hashpartitioning"))
+    assert(hashEx.size == 1 && exchanges.size <= 2,
+      s"only the source rollup may shuffle corpus rows: $exchanges")
+    val p = plan.toString
+    assert(!p.contains("Generate") && !p.contains("Join"),
+      "the rule census must not explode tokens or join")
+  }
+
   test("embedding_clusters: literal seeds — one scan, only the K-key agg exchanges") {
     val plan = SparkEntry.queries("embedding_clusters")(spark, sf)
       .queryExecution.executedPlan

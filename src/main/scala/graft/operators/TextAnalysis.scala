@@ -270,6 +270,98 @@ object TextAnalysis {
        |FROM k GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------------------------- c4 rules
+
+  /** C4 cleaning-heuristic census (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", §2.2): the line rules — keep only lines that end in
+    * terminal punctuation, contain ≥ [[C4MinLineWords]] words, and do
+    * not mention "javascript" — and the page rules — ≥ [[C4MinSentences]]
+    * sentences (counted on the KEPT lines, as the paper filters lines
+    * first), no "lorem ipsum", no curly brace. The paper's remaining
+    * step, three-sentence-span dedup, is the `dedup_spans` operator.
+    *
+    * Like [[gopherRulesOn]], the census (per-source line/page failure
+    * counts and keep rates) is the operator: one narrow (source, text)
+    * scan, every line rule a codegen'd higher-order-function expression
+    * over one `split`, the only shuffle the low-cardinality source
+    * rollup with map-side partials — the shape is corpus-size-free. The
+    * newline-free synthetic corpus can never produce a kept line (no
+    * terminal punctuation), so TextAnalysisSpec drives crafted multi-line
+    * documents through [[c4RulesOn]] to pin every rule's trip point. */
+  val C4MinLineWords = 5
+  val C4MinSentences = 3
+
+  def c4Rules(s: SparkSession, dir: String): DataFrame =
+    c4RulesOn(Tables(s, dir, "documents"))
+
+  /** Operator core over any (source, text) frame. */
+  def c4RulesOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val perDoc = docs
+      .select($"source", $"text",
+        filter(transform(split($"text", "\n"), l => trim(l)), l => l =!= "")
+          .as("lines"))
+      .withColumn("kept", filter($"lines", l =>
+        l.rlike("[.!?\"]$") &&
+          size(filter(split(l, "\\s+"), t => t =!= "")) >= C4MinLineWords &&
+          !contains(lower(l), lit("javascript"))))
+      .withColumn("n_sent", aggregate($"kept", lit(0),
+        (a, l) => a + regexp_count(l, lit("[.!?]"))))
+      .select($"source",
+        size($"lines").cast("long").as("nl"),
+        size($"kept").cast("long").as("nk"),
+        ($"n_sent" < C4MinSentences).cast("int").as("f_sentences"),
+        contains(lower($"text"), lit("lorem ipsum")).cast("int").as("f_lorem"),
+        contains($"text", lit("{")).cast("int").as("f_brace"))
+      .withColumn("keep",
+        ($"f_sentences" + $"f_lorem" + $"f_brace" === 0).cast("int"))
+    perDoc.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"nl").as("n_lines"),
+        sum($"nk").as("n_lines_kept"),
+        round(sum($"nk") / greatest(sum($"nl"), lit(1L)).cast("double"), 4)
+          .as("line_keep_rate"),
+        sum($"f_sentences").as("n_fail_sentences"),
+        sum($"f_lorem").as("n_fail_lorem"),
+        sum($"f_brace").as("n_fail_brace"),
+        sum($"keep").as("n_keep"),
+        round(avg($"keep".cast("double")), 4).as("keep_rate"))
+      .orderBy($"source")
+  }
+
+  val c4RulesSql: String =
+    s"""WITH d AS (SELECT source, text,
+       |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+       |    l -> l <> '') AS lines
+       |  FROM documents),
+       |k AS (SELECT source, text, lines,
+       |  list_filter(lines, l -> regexp_matches(l, '[.!?"]$$')
+       |    AND len(list_filter(string_split_regex(l, '\\s+'), t -> t <> '')) >= $C4MinLineWords
+       |    AND NOT contains(lower(l), 'javascript')) AS kept
+       |  FROM d),
+       |p AS (SELECT source, len(lines) AS nl, len(kept) AS nk,
+       |  CASE WHEN coalesce(list_sum(list_transform(kept,
+       |      l -> len(regexp_extract_all(l, '[.!?]')))), 0) < $C4MinSentences
+       |    THEN 1 ELSE 0 END AS f_sentences,
+       |  CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS f_lorem,
+       |  CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS f_brace
+       |  FROM k),
+       |q AS (SELECT *,
+       |  CASE WHEN f_sentences + f_lorem + f_brace = 0 THEN 1 ELSE 0 END AS keep
+       |  FROM p)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(nl) AS BIGINT) AS n_lines,
+       |  CAST(sum(nk) AS BIGINT) AS n_lines_kept,
+       |  round(sum(nk) * 1.0 / greatest(sum(nl), 1), 4) AS line_keep_rate,
+       |  CAST(sum(f_sentences) AS BIGINT) AS n_fail_sentences,
+       |  CAST(sum(f_lorem) AS BIGINT) AS n_fail_lorem,
+       |  CAST(sum(f_brace) AS BIGINT) AS n_fail_brace,
+       |  CAST(sum(keep) AS BIGINT) AS n_keep,
+       |  round(avg(keep * 1.0), 4) AS keep_rate
+       |FROM q GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------- fingerprint
 
   /** Rolling polynomial fingerprint per document ([[PolyHash]], codegen'd)
@@ -1097,6 +1189,7 @@ object TextAnalysis {
     "lang_id" -> (langId(_, _)),
     "quality_score" -> (qualityScore(_, _)),
     "gopher_rules" -> (gopherRules(_, _)),
+    "c4_rules" -> (c4Rules(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)),
     "vocab_topk" -> (vocabTopK(_, _)),
     "bm25_topk" -> (bm25TopK(_, _)),
@@ -1117,6 +1210,7 @@ object TextAnalysis {
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
     "gopher_rules" -> gopherRulesSql,
+    "c4_rules" -> c4RulesSql,
     "doc_fingerprint" -> docFingerprintSql,
     "vocab_topk" -> vocabTopKSql,
     "bm25_topk" -> bm25TopKSql,

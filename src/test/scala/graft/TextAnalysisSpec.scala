@@ -100,6 +100,59 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.map(_.getLong(7)).sum == 1L, "only 'keep' survives")
   }
 
+  test("c4_rules: line and page rules trip in isolation on crafted docs") {
+    val s = spark
+    import s.implicits._
+    val goodLine = "this line has at least five words."
+    // one doc per source, each engineered around exactly one rule (the
+    // newline-free synthetic corpus can never produce a kept line, so
+    // this is the only coverage of the trip points)
+    val docs = Seq(
+      // 3 clean sentences on 3 lines -> everything kept
+      ("keep", Seq(goodLine, goodLine, goodLine).mkString("\n")),
+      // line without terminal punctuation is dropped; page still keeps 3
+      ("nopunct", Seq(goodLine, "no terminal punctuation on this line",
+        goodLine, goodLine).mkString("\n")),
+      // 4-word line dropped even though it ends in '.'
+      ("shortline", Seq(goodLine, "only four words here.",
+        goodLine, goodLine).mkString("\n")),
+      // javascript line dropped (case-insensitive)
+      ("js", Seq(goodLine, "please enable JavaScript to continue viewing.",
+        goodLine, goodLine).mkString("\n")),
+      // two kept sentences < 3 -> page fails min-sentences
+      ("twosent", Seq(goodLine, goodLine).mkString("\n")),
+      // one kept line carrying three sentences still clears the bar
+      ("onelinethree", "one sentence here now. two right after that! is " +
+        "this the third one?"),
+      ("lorem", Seq(goodLine, "standard Lorem Ipsum filler text goes here.",
+        goodLine, goodLine).mkString("\n")),
+      ("brace", Seq(goodLine, "function f() { return 1; } is code here.",
+        goodLine, goodLine).mkString("\n")),
+      ("empty", "")
+    ).zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.c4RulesOn(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // columns: source, n_docs, n_lines, n_lines_kept, line_keep_rate,
+    //          n_fail_sentences, n_fail_lorem, n_fail_brace, n_keep, keep_rate
+    def lines(src: String) = (out(src).getLong(2), out(src).getLong(3))
+    def fails(src: String) = (5 to 7).map(out(src).getLong)
+    def kept(src: String) = out(src).getLong(8)
+    assert(lines("keep") == (3L, 3L) && fails("keep") == Seq(0L, 0L, 0L)
+      && kept("keep") == 1L && out("keep").getDouble(9) == 1.0)
+    assert(lines("nopunct") == (4L, 3L) && kept("nopunct") == 1L)
+    assert(lines("shortline") == (4L, 3L) && kept("shortline") == 1L)
+    assert(lines("js") == (4L, 3L) && kept("js") == 1L)
+    assert(lines("twosent") == (2L, 2L)
+      && fails("twosent") == Seq(1L, 0L, 0L) && kept("twosent") == 0L)
+    assert(lines("onelinethree") == (1L, 1L) && kept("onelinethree") == 1L,
+      "three sentences on one kept line must clear the page bar")
+    assert(fails("lorem") == Seq(0L, 1L, 0L) && kept("lorem") == 0L)
+    assert(fails("brace") == Seq(0L, 0L, 1L) && kept("brace") == 0L)
+    assert(lines("empty") == (0L, 0L)
+      && fails("empty") == Seq(1L, 0L, 0L) && kept("empty") == 0L)
+  }
+
   test("pii_redact: injected PII is counted and scrubbed in pattern order") {
     val s = spark
     import s.implicits._

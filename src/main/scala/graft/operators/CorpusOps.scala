@@ -419,7 +419,91 @@ object CorpusOps {
        |GROUP BY ROLLUP (lang, source)
        |ORDER BY lang, source""".stripMargin
 
+  /** Fraction of each source kept by the per-source quality quota. */
+  val SourceQuotaFrac = 0.6
+
+  /** Per-source quality quota census (the RefinedWeb-style per-domain
+    * cap, Penedo et al. 2023: bounding any one domain's share of the
+    * corpus by keeping only its best documents): within each source,
+    * keep the top [[SourceQuotaFrac]] of documents by composite quality
+    * score ([[TextAnalysis.qualityDocScore]] — bit-identical doubles in
+    * both engines, doc_id tie-break) and report per source the doc
+    * count, kept count, keep rate, and the score cut (min kept score).
+    *
+    * This EXACT form ranks with `row_number` over a window partitioned
+    * by source — correct and oracle-checkable, but a source is a
+    * near-global partition at 100 TB (a handful of sources share the
+    * whole corpus), so the shipped scale path is
+    * [[sourceQuotaApprox]]: a grouped `approx_percentile` threshold,
+    * window-free. Same exact-baseline-plus-approx-twin discipline as
+    * `lm_buckets`/`dsir_sample` (CorpusOpsSpec bounds the drift). */
+  def sourceQuota(s: SparkSession, dir: String): DataFrame =
+    sourceQuotaOn(Tables(s, dir, "documents"))
+
+  def sourceQuotaOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"score".desc, $"doc_id")
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+    TextAnalysis.qualityDocScore(docs)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn("keep", ($"rk" <= ceil($"n" * SourceQuotaFrac)).cast("int"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"keep").as("n_kept"),
+        round(avg($"keep".cast("double")), 4).as("keep_rate"),
+        round(min(when($"keep" === 1, $"score")), 4).as("cut_score"))
+      .orderBy($"source")
+  }
+
+  val sourceQuotaSql: String =
+    s"""WITH scored AS (${TextAnalysis.qualityDocScoreSql}),
+       |r AS (
+       |  SELECT source, score,
+       |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM scored),
+       |k AS (
+       |  SELECT source, score,
+       |    CASE WHEN rk <= ceil(n * $SourceQuotaFrac) THEN 1 ELSE 0 END AS keep
+       |  FROM r)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(keep) AS BIGINT) AS n_kept,
+       |  round(avg(keep * 1.0), 4) AS keep_rate,
+       |  round(min(CASE WHEN keep = 1 THEN score END), 4) AS cut_score
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  /** Window-free twin of [[sourceQuota]] — the shipped 100-TB cut: a
+    * grouped `approx_percentile` computes each source's score threshold
+    * (one tiny |sources|-row table, broadcast back), and the quota
+    * becomes a codegen'd per-row comparison — two narrow scans, no
+    * per-source sort, no window anywhere in the plan (CorpusOpsSpec
+    * asserts plan shape and bounds |approx − exact| keep drift). */
+  def sourceQuotaApprox(s: SparkSession, dir: String): DataFrame =
+    sourceQuotaApproxOn(Tables(s, dir, "documents"))
+
+  def sourceQuotaApproxOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val scored = TextAnalysis.qualityDocScore(docs)
+    val thr = scored.groupBy($"source")
+      .agg(percentile_approx($"score", lit(1.0 - SourceQuotaFrac), lit(10000))
+        .as("thr"))
+    scored.join(broadcast(thr), Seq("source"))
+      .withColumn("keep", ($"score" >= $"thr").cast("int"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"keep").as("n_kept"),
+        round(avg($"keep".cast("double")), 4).as("keep_rate"),
+        round(min(when($"keep" === 1, $"score")), 4).as("cut_score"))
+      .orderBy($"source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_quota" -> (sourceQuota(_, _)),
+    "source_quota_approx" -> (sourceQuotaApprox(_, _)),
     "corpus_card" -> (corpusCard(_, _)),
     "source_mix" -> (sourceMix(_, _)),
     "source_mix_bpe" -> (sourceMixBpe(_, _)),
@@ -430,6 +514,7 @@ object CorpusOps {
     "pack_sequences_bpe" -> (packSequencesBpe(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "source_quota" -> sourceQuotaSql,
     "corpus_card" -> corpusCardSql,
     "source_mix" -> sourceMixSql,
     "source_mix_bpe" -> sourceMixBpeSql,

@@ -120,8 +120,26 @@ object TextAnalysis {
     * ratios, bucketed to 0.1; per-bucket counts + mean components. */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables(s, dir, "documents")
-      // word total + stopword count from ONE tokenization pass
+    val docs = qualityDocScore(Tables(s, dir, "documents"))
+      .withColumn("bucket", floor($"score" * 10).cast("int"))
+    docs.groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"score"), 4).as("avg_score"),
+        round(avg($"punct"), 4).as("avg_punct_ratio"),
+        round(avg($"stop"), 4).as("avg_stop_ratio"))
+      .orderBy($"bucket")
+  }
+
+  /** Per-document composite quality score — the `quality_score` formula
+    * factored out so `source_quota` ranks on the IDENTICAL doubles (the
+    * arithmetic is written with the same shape and association in both
+    * engines, so the scores are bit-identical and rank cuts agree).
+    * Word total + stopword count come from ONE tokenization pass
+    * ([[MarkerCounts]]). Returns (doc_id, source, score, punct, stop). */
+  def qualityDocScore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .withColumn("mc", graft.functions.MarkerCounts($"text",
         Seq(Seq("the", "a", "of"))))
       .withColumn("chars", greatest(length($"text"), lit(1)))
@@ -135,15 +153,25 @@ object TextAnalysis {
       .withColumn("score",
         lit(0.25) * $"lenscore" + lit(0.25) * (lit(1.0) - $"punct") +
         lit(0.25) * (lit(1.0) - $"digit") + lit(0.25) * $"stop")
-      .withColumn("bucket", floor($"score" * 10).cast("int"))
-    docs.groupBy($"bucket")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        round(avg($"score"), 4).as("avg_score"),
-        round(avg($"punct"), 4).as("avg_punct_ratio"),
-        round(avg($"stop"), 4).as("avg_stop_ratio"))
-      .orderBy($"bucket")
+      .select($"doc_id", $"source", $"score", $"punct", $"stop")
   }
+
+  /** DuckDB twin of [[qualityDocScore]]: (doc_id, source, score) from
+    * `documents`. */
+  val qualityDocScoreSql: String =
+    s"""SELECT doc_id, source,
+       |  0.25 * least(words / 100.0, 1.0) + 0.25 * (1.0 - punct)
+       |    + 0.25 * (1.0 - digit) + 0.25 * stop AS score
+       |FROM (
+       |  SELECT doc_id, source,
+       |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / chars AS punct,
+       |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / chars AS digit,
+       |    ${duckTokCount(Seq("the", "a", "of"))} * 1.0 / words AS stop,
+       |    words
+       |  FROM (
+       |    SELECT doc_id, source, text, greatest(length(text), 1) AS chars,
+       |      greatest(len($duckToks), 1) AS words
+       |    FROM documents))""".stripMargin
 
   val qualityScoreSql: String =
     s"""SELECT bucket, count(*) AS n_docs,

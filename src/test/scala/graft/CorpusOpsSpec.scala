@@ -102,6 +102,35 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a WindowGroupLimit in:\n$plan")
   }
 
+  test("source_quota: keeps ceil(0.6n) per source; approx twin window-free, drift-bounded") {
+    val exact = CorpusOps.sourceQuota(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact.nonEmpty)
+    exact.values.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept == math.ceil(n * CorpusOps.SourceQuotaFrac).toLong,
+        s"${r.getString(0)}: kept $kept of $n")
+      assert(!r.isNullAt(4), "cut_score must be defined")
+    }
+    val approxDf = CorpusOps.sourceQuotaApprox(spark, sf)
+    // shipped twin must have NO window anywhere in the optimized plan
+    val windows = approxDf.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "approx twin must be window-free")
+    val approx = approxDf.collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (src, r) =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      val exactKept = exact(src).getLong(2)
+      assert(n == exact(src).getLong(1))
+      // percentile_approx at accuracy 10000 on per-source groups this
+      // size is near-exact; allow tie-mass slack of 2% of the source
+      assert(math.abs(kept - exactKept) <= math.max(2L, n / 50),
+        s"$src: approx kept $kept vs exact $exactKept of $n")
+    }
+  }
+
   test("source_mix: exact integer rates, smallest source fully kept, deterministic") {
     import spark.implicits._
     // source A: 4 docs × 5 words = 20 tokens; B: 2 docs × 5 = 10 →

@@ -422,6 +422,120 @@ object Similarity {
     topk(cands)
   }
 
+  // ------------------------------------------------------------ kNN graph
+
+  val KnnK = 5            // neighbors per node
+  val KnnNodes = 200      // exactness-anchor node sample: vec_id < 200
+  val KnnTables = Tables_ // L hash tables, same family as annLsh
+  val KnnTargetBucket = 64 // planes sized so an average bucket ≈ this
+
+  /** Hyperplane count sized to the corpus: enough sign bits that the
+    * expected bucket holds ≈ [[KnnTargetBucket]] vectors. A FIXED plane
+    * count cannot scale a full-graph build — bucket population grows
+    * linearly with the corpus and the within-bucket join quadratically —
+    * so the signature width is a deterministic function of the corpus
+    * count (exactly how IVF sizes nlist to the data), clamped to [1, 16]
+    * (≤ 65k buckets per table). Candidate volume is then
+    * O(N · bucket · L) at every scale. */
+  private[operators] def knnPlanes(n: Long): Int =
+    math.min(16, math.max(1,
+      math.ceil(math.log(n.toDouble / KnnTargetBucket) / math.log(2.0)).toInt))
+
+  /** k-NN GRAPH build — every vector's top-[[KnnK]] cosine neighbors
+    * (the primitive under SemDeDup-style pruning, graph-based dedup,
+    * and label propagation; Abbas et al. 2023). Unlike the `ann_*`
+    * family (tiny broadcast query set), EVERY node is a query, so the
+    * only scalable shape is bucketed self-join:
+    *
+    *   1. per-row LSH signatures ([[withBuckets]], [[knnPlanes]]-sized);
+    *   2. bucket equi-join with the VECTORS RIDING THE JOIN — both
+    *      sides carry (v, nrm), the cosine is computed inside the
+    *      bucket partition, and only (q_id, n_id, cos) leaves: the
+    *      shuffle is O(N·L) vector rows in, 24-byte edge rows out
+    *      (re-attaching vectors to candidate PAIRS instead would
+    *      shuffle O(N·bucket·L) full vectors);
+    *   3. multi-table dedup by `groupBy(q_id, n_id).max(cos)` (the
+    *      cosine is identical per duplicate — max is just the
+    *      associative pick), map-side partials;
+    *   4. per-node top-k: row_number over q_id — N distinct partition
+    *      keys, WindowGroupLimit heaps before the exchange.
+    *
+    * rows-only; SimilaritySpec gates recall ≥ 0.8 on the anchor node
+    * sample vs [[knnGraphExact]] and degree/rank invariants. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embedded(s, dir)
+    val n = e.count()
+    knnGraphWith(e, KnnTables, knnPlanes(n), None)
+  }
+
+  /** The kNN-graph EXACTNESS ANCHOR ([[annLshExact]] discipline): zero
+    * planes collapse every vector into one bucket per table, so with the
+    * node side restricted to the [[KnnNodes]]-vector sample the bucket
+    * join emits exactly the sample × corpus pairs and the graph rows for
+    * those nodes are BRUTE-FORCE EXACT — DuckDB-oracle-checked. The node
+    * restriction keeps the anchor O(sample · N) (a full exact graph is
+    * O(N²) — infeasible by definition at scale, which is the point of
+    * the bucketed production path). The node side broadcasts: the
+    * corpus never shuffles at all. */
+  def knnGraphExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embedded(s, dir)
+    knnGraphWith(e, tables = 1, nplanes = 0, nodeMax = Some(KnnNodes))
+  }
+
+  private def knnGraphWith(e: DataFrame, tables: Int, nplanes: Int,
+      nodeMax: Option[Int]): DataFrame = {
+    import e.sparkSession.implicits._
+    val dim = e.select(size($"v")).head().getInt(0)
+    val corpus = withBuckets(e, dim, tables, nplanes)
+      .select($"vec_id", $"v", $"nrm", $"t", $"bucket")
+    val nodeSide = nodeMax match {
+      case Some(m) => broadcast(
+        withBuckets(e.filter($"vec_id" < m), dim, tables, nplanes)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+            $"t", $"bucket"))
+      case None => corpus
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+          $"t", $"bucket")
+    }
+    val edges = corpus.join(nodeSide, Seq("t", "bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"nrm"))
+      .groupBy($"q_id", $"vec_id").agg(max($"cos").as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    edges.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= KnnK)
+      .select($"q_id", $"vec_id".as("n_id"), $"rk", round($"cos", 4).as("cosine"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  val knnGraphExactSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(v, x -> x*x)), (a, x) -> a + x)) AS nrm
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+       |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cos
+       |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < $KnnNodes),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, n_id) AS INT) AS rk
+       |  FROM scored)
+       |SELECT q_id, n_id, rk, round(cos, 4) AS cosine
+       |FROM ranked WHERE rk <= $KnnK
+       |ORDER BY q_id, rk""".stripMargin
+
   // ------------------------------------------------------------------- PQ
 
   val PqBlocks = 8      // M sub-spaces
@@ -824,7 +938,9 @@ object Similarity {
     "ann_ivf_pq" -> (annIvfPq(_, _)),
     "ann_ivf_pq_exact" -> (annIvfPqExact(_, _)),
     "ann_lsh" -> (annLsh(_, _)),
-    "ann_lsh_exact" -> (annLshExact(_, _)))
+    "ann_lsh_exact" -> (annLshExact(_, _)),
+    "knn_graph" -> (knnGraph(_, _)),
+    "knn_graph_exact" -> (knnGraphExact(_, _)))
 
   def oracles: Map[String, String] = Map(
     "embedding_clusters" -> embeddingClustersSql,
@@ -836,5 +952,6 @@ object Similarity {
     "ann_ivf_exact" -> annBruteForceSql,
     "ann_pq_exact" -> annBruteForceSql,
     "ann_ivf_pq_exact" -> annBruteForceSql,
-    "ann_lsh_exact" -> annBruteForceSql)
+    "ann_lsh_exact" -> annBruteForceSql,
+    "knn_graph_exact" -> knnGraphExactSql)
 }

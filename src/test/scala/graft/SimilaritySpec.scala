@@ -134,6 +134,31 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(anchor == bf)
   }
 
+  test("knn_graph: every node ranked, no self-edges, degree <= K, dense ranks") {
+    val rows = Similarity.knnGraph(spark, sf).collect()
+    val n = Tables(spark, sf, "embeddings").count()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == n, s"every vector must appear as a node (${byQ.size} of $n)")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= Similarity.KnnK)
+      assert(!rs.exists(_.getLong(1) == q), s"self-edge at node $q")
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length),
+        s"ranks must be dense at node $q")
+    }
+  }
+
+  test("knn_graph recall@K >= 0.8 vs the exact anchor on the node sample") {
+    val anchor = neighborSets(Similarity.knnGraphExact(spark, sf))
+    val approx = neighborSets(Similarity.knnGraph(spark, sf)
+      .filter(s"q_id < ${Similarity.KnnNodes}"))
+    assert(anchor.keySet == approx.keySet)
+    val recall = anchor.map { case (q, ns) =>
+      ns.intersect(approx(q)).size.toDouble / ns.size
+    }.sum / anchor.size
+    info(f"knn_graph recall@${Similarity.KnnK} = $recall%.3f")
+    assert(recall >= 0.8)
+  }
+
   test("embedding_clusters: partitions the corpus, all seeds occupied, deterministic") {
     val out = Similarity.embeddingClusters(spark, sf).collect()
     assert(out.length == Similarity.ClusterK,

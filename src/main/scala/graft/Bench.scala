@@ -195,6 +195,12 @@ object Bench {
       timed("lm_score_build") {
         operators.LangModel.trainScores(spark, sfDir); ()
       }
+      // the per-document quality-score table (quality_score + the
+      // source_quota pair; the approx cut reads it twice)
+      operators.TextAnalysis.clearScoreCache()
+      timed("quality_score_build") {
+        operators.TextAnalysis.trainQualityScores(spark, sfDir); ()
+      }
       names.foreach { case (name, fn) =>
         timed(name) { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       }

@@ -36,6 +36,10 @@ object BenchSome {
       "lm_score_build" -> (() => {
         operators.LangModel.clearScoreCache()
         operators.LangModel.trainScores(spark, sfDir); ()
+      }),
+      "quality_score_build" -> (() => {
+        operators.TextAnalysis.clearScoreCache()
+        operators.TextAnalysis.trainQualityScores(spark, sfDir); ()
       }))
     // dedupe: a repeated arg would double-count its sweeps. Sweeps >= 1
     // is enforced by Bench.Sweeps' own initializer (referencing it at

@@ -438,14 +438,17 @@ object CorpusOps {
     * window-free. Same exact-baseline-plus-approx-twin discipline as
     * `lm_buckets`/`dsir_sample` (CorpusOpsSpec bounds the drift). */
   def sourceQuota(s: SparkSession, dir: String): DataFrame =
-    sourceQuotaOn(Tables(s, dir, "documents"))
+    quotaCensusExact(TextAnalysis.trainQualityScores(s, dir))
 
-  def sourceQuotaOn(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
+  def sourceQuotaOn(docs: DataFrame): DataFrame =
+    quotaCensusExact(TextAnalysis.qualityDocScore(docs))
+
+  private def quotaCensusExact(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"score".desc, $"doc_id")
     val wc = org.apache.spark.sql.expressions.Window.partitionBy($"source")
-    TextAnalysis.qualityDocScore(docs)
+    scored
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wc))
       .withColumn("keep", ($"rk" <= ceil($"n" * SourceQuotaFrac)).cast("int"))
@@ -482,11 +485,13 @@ object CorpusOps {
     * per-source sort, no window anywhere in the plan (CorpusOpsSpec
     * asserts plan shape and bounds |approx − exact| keep drift). */
   def sourceQuotaApprox(s: SparkSession, dir: String): DataFrame =
-    sourceQuotaApproxOn(Tables(s, dir, "documents"))
+    quotaCensusApprox(TextAnalysis.trainQualityScores(s, dir))
 
-  def sourceQuotaApproxOn(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    val scored = TextAnalysis.qualityDocScore(docs)
+  def sourceQuotaApproxOn(docs: DataFrame): DataFrame =
+    quotaCensusApprox(TextAnalysis.qualityDocScore(docs))
+
+  private def quotaCensusApprox(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
     val thr = scored.groupBy($"source")
       .agg(percentile_approx($"score", lit(1.0 - SourceQuotaFrac), lit(10000))
         .as("thr"))

@@ -145,6 +145,52 @@ object EventAnalytics {
       .orderBy($"flag", $"status")
   }
 
+  /** Explicit SPARSE grouping-set lattice — the grain list a warehouse
+    * summary table actually materializes ((flag, status) detail, a
+    * per-ship-year trend, the grand total) without paying for `cube`'s
+    * full cross lattice (8 grains where 3 are wanted). Like
+    * [[rollupAgg]]/[[cubeAgg]], Spark expands the sets BEFORE the
+    * partial aggregate: all three grains come out of ONE scan with
+    * map-side combine. `gid` is built from explicit `grouping()` bits —
+    * portable across engines, and unambiguous where the 'ALL'
+    * placeholder could collide with a real value. The money sum uses
+    * the [[TpchExtra.moneySum]] DECIMAL accumulation (the () grain is a
+    * GLOBAL money sum — order-independence is what keeps it hash-stable
+    * under any partitioning). */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .withColumn("l_shipyear", year($"l_shipdate"))
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_shipyear"), Seq()),
+        $"l_returnflag", $"l_linestatus", $"l_shipyear")
+      .agg(
+        (grouping($"l_returnflag") * 4 + grouping($"l_linestatus") * 2 +
+          grouping($"l_shipyear")).cast("int").as("gid"),
+        round(sum($"l_quantity"), 4).as("sum_qty"),
+        TpchExtra.moneySum($"l_extendedprice").as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("flag"),
+        coalesce($"l_linestatus", lit("ALL")).as("status"),
+        coalesce($"l_shipyear".cast("string"), lit("ALL")).as("shipyear"),
+        $"gid", $"sum_qty", $"sum_price", $"n")
+      .orderBy($"gid", $"flag", $"status", $"shipyear")
+  }
+
+  val groupingSetsAggSql: String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       |  coalesce(l_linestatus, 'ALL') AS status,
+       |  coalesce(CAST(l_shipyear AS VARCHAR), 'ALL') AS shipyear,
+       |  CAST(grouping(l_returnflag) * 4 + grouping(l_linestatus) * 2
+       |    + grouping(l_shipyear) AS INT) AS gid,
+       |  round(sum(l_quantity), 4) AS sum_qty,
+       |  ${TpchExtra.duckMoneySum("l_extendedprice")} AS sum_price,
+       |  count(*) AS n
+       |FROM (SELECT *, year(l_shipdate) AS l_shipyear FROM lineitem)
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_shipyear), ())
+       |ORDER BY gid, flag, status, shipyear""".stripMargin
+
   val cubeAggSql: String =
     """SELECT coalesce(l_returnflag, 'ALL') AS flag,
       |  coalesce(l_linestatus, 'ALL') AS status,
@@ -836,6 +882,7 @@ object EventAnalytics {
     "range_join_bucketed" -> (clickErrorRange(_, _)),
     "rollup_agg" -> (rollupAgg(_, _)),
     "cube_agg" -> (cubeAgg(_, _)),
+    "grouping_sets_agg" -> (groupingSetsAgg(_, _)),
     "retention_cohorts" -> (retentionCohorts(_, _)),
     "skew_report" -> (skewReport(_, _)),
     "skew_join_salted" -> (skewJoinSalted(_, _)),
@@ -855,6 +902,7 @@ object EventAnalytics {
     "range_join_bucketed" -> clickErrorRangeSql,
     "rollup_agg" -> rollupAggSql,
     "cube_agg" -> cubeAggSql,
+    "grouping_sets_agg" -> groupingSetsAggSql,
     "retention_cohorts" -> retentionCohortsSql,
     "skew_report" -> skewReportSql,
     "skew_join_salted" -> skewJoinSaltedSql,

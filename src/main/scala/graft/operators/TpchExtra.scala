@@ -51,12 +51,12 @@ object TpchExtra {
     * exactly in DECIMAL(28,4), surface as the 4-decimal double the
     * oracle contract gates on. DECIMAL(28,4) holds 1e24 — no overflow
     * at any realistic corpus. */
-  private def moneySum(term: Column): Column =
+  private[operators] def moneySum(term: Column): Column =
     sum(round(term, 4).cast("decimal(28,4)")).cast("double")
 
   /** DuckDB twin of [[moneySum]] — identical term rounding, identical
     * exact accumulation. */
-  private def duckMoneySum(term: String): String =
+  private[operators] def duckMoneySum(term: String): String =
     s"CAST(sum(CAST(round($term, 4) AS DECIMAL(28,4))) AS DOUBLE)"
 
   val q6Sql: String =

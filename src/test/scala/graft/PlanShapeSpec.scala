@@ -247,4 +247,43 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"candidate exchange rows must be two ids (≤16 bytes), got $width bytes: ${e.child.schema}")
     }
   }
+
+  test("knn_graph: bucket equi-join (no nested loop), edge-only dedup exchange, group-limited top-k") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plan = SparkEntry.queries("knn_graph")(spark, sf).queryExecution.executedPlan
+    // the self-join must be a hash/merge join on (t, bucket) — a nested
+    // loop here is the O(N²) regime the bucketing exists to avoid
+    val loops = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(loops.isEmpty, "bucketed self-join must not be a nested loop")
+    // the multi-table dedup exchange carries (q_id, vec_id, cos) edges,
+    // never vectors: the vectors ride the bucket join and stay behind
+    val dedupExchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      .filter { e =>
+        val p = e.outputPartitioning.toString
+        p.contains("q_id#") && p.contains("vec_id#")
+      }
+    assert(dedupExchanges.nonEmpty, "expected the (q_id, vec_id) dedup exchange")
+    dedupExchanges.foreach { e =>
+      val width = e.child.schema.fields.map(_.dataType.defaultSize).sum
+      assert(width <= 24,
+        s"edge exchange rows must be ids+cos (≤24 bytes), got $width bytes: ${e.child.schema}")
+    }
+    // per-node top-k must heap before the window exchange
+    assert(plan.toString.contains("WindowGroupLimit"),
+      "rank<=K must compile to WindowGroupLimit")
+  }
+
+  test("knn_graph_exact: node sample broadcasts — the corpus side never shuffles") {
+    val plan = SparkEntry.queries("knn_graph_exact")(spark, sf)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "anchor must broadcast the node-sample side")
+    // only the edge dedup + window exchanges remain; nothing upstream of
+    // the join (i.e. carrying the corpus vectors into it) may shuffle
+    val vectorExchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.child.schema.fieldNames.count(_ == "v") > 0)
+    assert(vectorExchanges.isEmpty,
+      s"corpus vectors must not shuffle: ${vectorExchanges.map(_.child.schema)}")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -414,6 +414,88 @@ object RelationalQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Columns profiled by [[corrMatrix]]. */
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pairwise Pearson correlation matrix over the lineitem measures —
+    * the feature-correlation screen a data-quality/feature-selection
+    * pass runs before model training. ONE scan computes every moment
+    * (n, Σx, Σx², Σxy for all 6 pairs) in a single aggregate with
+    * map-side partials; the 1-row result fans out to pair rows
+    * in-plan (`explode` of a struct array, no re-scan per pair).
+    *
+    * Parity discipline: global double sums are order-dependent (the
+    * round-10 sf1 q19 lesson — see [[TpchExtra.moneySum]]), so every
+    * moment accumulates EXACTLY: inputs round to their 4 written
+    * decimals, cast to DECIMAL(12,4), and products/sums stay decimal
+    * (≤ DECIMAL(38,8)) — associative, hence bit-stable under any
+    * partitioning at any scale. The correlation itself is then a fixed
+    * double formula over exact sums, written with the same association
+    * in both engines. */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    def d(c: String) = round(col(c), 4).cast("decimal(12,4)")
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+      CorrCols.map(c => sum(d(c)).as(s"s_$c")) ++
+      CorrCols.map(c => sum(d(c) * d(c)).as(s"q_$c")) ++
+      pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"p_${a}_${b}") }
+    val one = li.agg(moments.head, moments.tail: _*)
+    val nD = $"n".cast("double")
+    def corrOf(a: String, b: String): Column = {
+      val (sx, sy) = (col(s"s_$a").cast("double"), col(s"s_$b").cast("double"))
+      val (qx, qy) = (col(s"q_$a").cast("double"), col(s"q_$b").cast("double"))
+      val sp = col(s"p_${a}_${b}").cast("double")
+      (nD * sp - sx * sy) /
+        (sqrt(nD * qx - sx * sx) * sqrt(nD * qy - sy * sy))
+    }
+    val pairStructs = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        round(corrOf(a, b), 4).as("corr"))
+    }
+    one.select($"n", explode(array(pairStructs: _*)).as("pr"))
+      .select($"pr.col_x".as("col_x"), $"pr.col_y".as("col_y"),
+        $"n", $"pr.corr".as("corr"))
+      .orderBy($"col_x", $"col_y")
+  }
+
+  private def pairs: Seq[(String, String)] =
+    for {
+      (a, i) <- CorrCols.zipWithIndex
+      b <- CorrCols.drop(i + 1)
+    } yield (a, b)
+
+  val corrMatrixSql: String = {
+    def d(c: String) = s"CAST(round($c, 4) AS DECIMAL(12,4))"
+    // one WIDE operand per product: DuckDB multiplies two DECIMAL(12,4)s
+    // in their int64 physical type and overflows on ~1e5-magnitude
+    // values; (24,4)×(12,4) binds an int128 product (36,8) — exact, and
+    // equal to Spark's (12,4)×(12,4)→(25,8)
+    def dw(c: String) = s"CAST(round($c, 4) AS DECIMAL(24,4))"
+    val momentSelects =
+      (Seq("count(*) AS n") ++
+        CorrCols.map(c => s"sum(${d(c)}) AS s_$c") ++
+        CorrCols.map(c => s"sum(${dw(c)} * ${d(c)}) AS q_$c") ++
+        pairs.map { case (a, b) => s"sum(${dw(a)} * ${d(b)}) AS p_${a}_${b}" })
+        .mkString(",\n    ")
+    val pairSelects = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+         |  round((CAST(n AS DOUBLE) * CAST(p_${a}_${b} AS DOUBLE)
+         |      - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+         |    / (sqrt(CAST(n AS DOUBLE) * CAST(q_$a AS DOUBLE)
+         |        - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+         |      * sqrt(CAST(n AS DOUBLE) * CAST(q_$b AS DOUBLE)
+         |        - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 4) AS corr
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT $momentSelects
+       |  FROM lineitem)
+       |$pairSelects
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   val HistBins = 10
 
   /** Equi-width histogram of l_extendedprice (the ANALYZE companion of
@@ -705,6 +787,7 @@ object RelationalQueries {
     "quantiles_approx" -> (quantilesApprox(_, _)),
     "profile_table" -> (profileTable(_, _)),
     "profile_table_approx" -> (profileTableApprox(_, _)),
+    "corr_matrix" -> (corrMatrix(_, _)),
     "histogram" -> (histogram(_, _)),
     "q3_join" -> (q3(_, _)),
     "q5_multijoin" -> (q5(_, _)),
@@ -722,6 +805,7 @@ object RelationalQueries {
     "dq_checks" -> dqChecksSql,
     "quantiles" -> quantilesSql,
     "profile_table" -> profileTableSql,
+    "corr_matrix" -> corrMatrixSql,
     "histogram" -> histogramSql,
     "q3_join" -> q3Sql,
     "q5_multijoin" -> q5Sql,

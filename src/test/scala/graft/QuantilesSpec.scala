@@ -68,4 +68,23 @@ class QuantilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scans = "FileScan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"rule suite must share one scan, got $scans:\n$plan")
   }
+
+  test("corr_matrix: one scan, all pairs, |corr| <= 1, self-consistent with Spark's corr") {
+    val df = RelationalQueries.corrMatrix(spark, sf)
+    val rows = df.collect().map(r =>
+      ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(rows.size == 6, "4 measures -> 6 unordered pairs")
+    rows.values.foreach(c => assert(math.abs(c) <= 1.0 + 1e-9))
+    // exact-DECIMAL moments must agree with Spark's own double corr to
+    // well past the gated 4th decimal on this small slice
+    val li = Tables(spark, sf, "lineitem")
+    rows.foreach { case ((a, b), c) =>
+      val want = li.stat.corr(a, b)
+      assert(math.abs(c - want) < 5e-4, s"($a,$b): $c vs $want")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"all moments must come from one scan, got $scans")
+  }
 }

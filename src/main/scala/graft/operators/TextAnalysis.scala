@@ -426,6 +426,96 @@ object TextAnalysis {
        |FROM (SELECT doc_id, ${PolyHash.duckSql("text")} AS fp FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- winnowing
+
+  /** Winnowing gram width and window (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 "Winnowing: Local Algorithms for Document
+    * Fingerprinting"): hash every [[WinnowN]]-gram, then keep the
+    * MINIMUM hash of each [[WinnowW]]-long window of consecutive gram
+    * hashes. The selection is LOCAL (any two matching substrings of
+    * length ≥ w+n-1 share a selected fingerprint — the paper's
+    * guarantee) with expected density 2/(w+1), which is what makes the
+    * fingerprint index a bounded fraction of the corpus at 100 TB. */
+  val WinnowN = 3
+  val WinnowW = 4
+
+  /** Winnowed-fingerprint census per source: positional gram hashes
+    * ([[graft.functions.WordNgramHashes.positional]], codegen'd — no
+    * gram strings materialize), window minima + per-doc distinct as
+    * pure array expressions in the SAME narrow scan, then one
+    * (source, hash)-keyed aggregation (posting-list discipline: the
+    * only corpus-sized shuffle carries 24-byte rows) rolled up to
+    * per-source totals: fingerprints kept, distinct, shared across ≥2
+    * docs (the near-dup candidate mass), and the per-doc density the
+    * 2/(w+1) bound predicts. */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    winnowFingerprintOn(Tables(s, dir, "documents"))
+
+  /** Operator core over any (doc_id, source, text) frame. */
+  def winnowFingerprintOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sel = winnowSelected(docs)
+    val perDoc = sel.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"))
+    val perHash = sel
+      .select($"source", $"doc_id", explode($"sel").as("h"))
+      .groupBy($"source", $"h")
+      .agg(count(lit(1)).as("dfh"))
+    val perSource = perHash.groupBy($"source")
+      .agg(
+        sum($"dfh").as("n_fp"),
+        count(lit(1)).as("n_distinct_fp"),
+        sum(($"dfh" > 1).cast("long")).as("n_shared_fp"))
+    perDoc.join(perSource, Seq("source"))
+      .select($"source", $"n_docs", $"n_fp", $"n_distinct_fp", $"n_shared_fp",
+        round($"n_fp" / $"n_docs".cast("double"), 4).as("avg_fp_per_doc"))
+      .orderBy($"source")
+  }
+
+  /** Per-doc winnowed fingerprint sets — exposed for the spec (the
+    * SIGMOD'03 locality guarantee is a per-doc-set property). */
+  private[graft] def winnowSelected(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("hs", graft.functions.WordNgramHashes.positional($"text", WinnowN))
+      .filter(size($"hs") > 0)
+      .select($"doc_id", $"source",
+        array_distinct(transform(
+          sequence(lit(0), greatest(size($"hs") - WinnowW, lit(0))),
+          i => array_min(slice($"hs", i + lit(1), lit(WinnowW))))).as("sel"))
+  }
+
+  val winnowFingerprintSql: String = {
+    val ngrams = graft.functions.TextFeatures.duckNgrams(duckToks, WinnowN)
+    val gramHash = graft.functions.WordNgramHashes.duckSql("g")
+    s"""WITH hs AS (
+       |  SELECT doc_id, source,
+       |    list_transform($ngrams, g -> $gramHash) AS hs
+       |  FROM documents),
+       |sel AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(list_transform(
+       |      range(0, greatest(len(hs) - $WinnowW, 0) + 1),
+       |      i -> list_min(hs[i+1:i+$WinnowW]))) AS sel
+       |  FROM hs WHERE len(hs) > 0),
+       |per_doc AS (
+       |  SELECT source, count(*) AS n_docs FROM sel GROUP BY source),
+       |per_hash AS (
+       |  SELECT source, h, count(*) AS dfh
+       |  FROM (SELECT source, doc_id, unnest(sel) AS h FROM sel)
+       |  GROUP BY source, h),
+       |per_source AS (
+       |  SELECT source,
+       |    CAST(sum(dfh) AS BIGINT) AS n_fp,
+       |    count(*) AS n_distinct_fp,
+       |    CAST(sum(CASE WHEN dfh > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp
+       |  FROM per_hash GROUP BY source)
+       |SELECT d.source, d.n_docs, s.n_fp, s.n_distinct_fp, s.n_shared_fp,
+       |  round(s.n_fp * 1.0 / d.n_docs, 4) AS avg_fp_per_doc
+       |FROM per_doc d JOIN per_source s USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------------------------- vocab
 
   /** Corpus vocabulary: top-50 words by total occurrences (word
@@ -1237,6 +1327,7 @@ object TextAnalysis {
     "gopher_rules" -> (gopherRules(_, _)),
     "c4_rules" -> (c4Rules(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)),
+    "winnow_fingerprint" -> (winnowFingerprint(_, _)),
     "vocab_topk" -> (vocabTopK(_, _)),
     "bm25_topk" -> (bm25TopK(_, _)),
     "word_lift" -> (wordLift(_, _)),
@@ -1258,6 +1349,7 @@ object TextAnalysis {
     "gopher_rules" -> gopherRulesSql,
     "c4_rules" -> c4RulesSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "winnow_fingerprint" -> winnowFingerprintSql,
     "vocab_topk" -> vocabTopKSql,
     "bm25_topk" -> bm25TopKSql,
     "word_lift" -> wordLiftSql,

@@ -153,6 +153,38 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       && fails("empty") == Seq(1L, 0L, 0L) && kept("empty") == 0L)
   }
 
+  test("winnowing: locality guarantee, density bound, census counts shared copies") {
+    val s = spark
+    import s.implicits._
+    val ta = graft.operators.TextAnalysis
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, "A", s"unique one two three $shared four five six seven"),
+      (2L, "A", s"other prefix words here $shared tail words differ nine"),
+      (3L, "B", "completely different vocabulary with nothing in common at all")
+    ).toDF("doc_id", "source", "text")
+    val sel = ta.winnowSelected(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    // SIGMOD'03: any shared run of >= w+n-1 tokens (here 10 >= 4+3-1=6)
+    // must contribute at least one COMMON selected fingerprint
+    assert(sel(1L).intersect(sel(2L)).nonEmpty,
+      "docs sharing a 10-token run must share a fingerprint")
+    assert(sel(1L).intersect(sel(3L)).isEmpty
+      && sel(2L).intersect(sel(3L)).isEmpty,
+      "no common grams -> no common fingerprints")
+    // every doc selects at least one fingerprint and at most one per window
+    val docs01 = Tables(spark, "/root/testdata/sf0.001", "documents")
+    ta.winnowSelected(docs01).collect().foreach { r =>
+      val n = r.getSeq[Long](2).size
+      assert(n >= 1)
+    }
+    // census: the A-source shared fingerprints are counted as shared
+    val census = ta.winnowFingerprintOn(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(census("A").getLong(4) >= 1L, "shared fingerprints must be censused")
+    assert(census("B").getLong(4) == 0L)
+  }
+
   test("pii_redact: injected PII is counted and scrubbed in pattern order") {
     val s = spark
     import s.implicits._

@@ -506,7 +506,71 @@ object CorpusOps {
       .orderBy($"source")
   }
 
+  /** Retrieval-chunking geometry: window and overlap in whitespace
+    * tokens. [[ChunkSize]] is a POWER OF TWO on purpose: the last-chunk
+    * fill ratio `last / ChunkSize` is then an exact binary fraction, its
+    * per-source sum is order-independent, and the census hash-gates at
+    * any scale (the same order-independence discipline as
+    * [[TpchExtra.moneySum]], achieved with arithmetic instead of
+    * DECIMAL). */
+  val ChunkSize = 128
+  val ChunkOverlap = 32
+
+  /** RAG-style chunking census: every document splits into
+    * [[ChunkSize]]-token windows advancing by `ChunkSize - ChunkOverlap`
+    * (the retrieval-index twin of `pack_sequences` — chunks OVERLAP so
+    * no answer span straddles a boundary unseen, where training shards
+    * pack contiguously). The geometry per doc is closed-form integer
+    * arithmetic over the token count — no explode, no per-chunk rows —
+    * so the census is ONE narrow scan + the source rollup; per source:
+    * docs, chunks, docs needing >1 chunk, mean chunks/doc, mean
+    * last-chunk fill (the wasted-index-slot metric a chunking config is
+    * tuned by). oracle. */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stride = ChunkSize - ChunkOverlap
+    Tables(s, dir, "documents")
+      .select($"source",
+        size(graft.functions.TextFeatures.toks(lower($"text"))).cast("long").as("t"))
+      .filter($"t" > 0)
+      .withColumn("chunks",
+        (lit(1L) + ceil(greatest($"t" - ChunkSize, lit(0L)) /
+          lit(stride.toDouble))).cast("long"))
+      .withColumn("last_fill",
+        least(($"t" - ($"chunks" - 1L) * stride) / lit(ChunkSize.toDouble), lit(1.0)))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"chunks").as("n_chunks"),
+        sum(($"chunks" > 1L).cast("long")).as("n_multi_chunk"),
+        round(avg($"chunks".cast("double")), 4).as("avg_chunks"),
+        round(avg($"last_fill"), 4).as("avg_last_fill"))
+      .orderBy($"source")
+  }
+
+  val chunkDocsSql: String = {
+    val toks = graft.functions.TextFeatures.duckToks
+    val stride = ChunkSize - ChunkOverlap
+    s"""WITH t AS (
+       |  SELECT source, len($toks) AS t FROM documents),
+       |g AS (
+       |  SELECT source, t,
+       |    CAST(1 + ceil(greatest(t - $ChunkSize, 0) / $stride.0) AS BIGINT) AS chunks
+       |  FROM t WHERE t > 0),
+       |f AS (
+       |  SELECT source, chunks,
+       |    least((t - (chunks - 1) * $stride) / $ChunkSize.0, 1.0) AS last_fill
+       |  FROM g)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(chunks) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN chunks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_chunk,
+       |  round(avg(chunks * 1.0), 4) AS avg_chunks,
+       |  round(avg(last_fill), 4) AS avg_last_fill
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk_docs" -> (chunkDocs(_, _)),
     "source_quota" -> (sourceQuota(_, _)),
     "source_quota_approx" -> (sourceQuotaApprox(_, _)),
     "corpus_card" -> (corpusCard(_, _)),
@@ -519,6 +583,7 @@ object CorpusOps {
     "pack_sequences_bpe" -> (packSequencesBpe(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "chunk_docs" -> chunkDocsSql,
     "source_quota" -> sourceQuotaSql,
     "corpus_card" -> corpusCardSql,
     "source_mix" -> sourceMixSql,

@@ -1302,8 +1302,12 @@ object Dedup {
     * within-label bucket join degenerates to all same-label pairs and
     * the operator must reproduce [[dedupEmbedding]]'s exact result —
     * oracle-checked against [[dedupEmbeddingSql]] with zero new SQL
-    * while exercising the full bucket/distinct/re-attach/verify
-    * machinery the production configuration uses. */
+    * through the same signature/bucket-join machinery. The single-table
+    * regime takes the vectors-ride-the-join fast path in
+    * [[lshCosinePairs]] (nothing corpus-squared reaches an exchange —
+    * the round-10 sf10 gate found the old distinct+re-attach shape
+    * shuffling O(N²/labels) vector pairs); the production multi-table
+    * configuration keeps the ids-only distinct that path exists for. */
   def dedupEmbeddingLshExact(s: SparkSession, dir: String): DataFrame =
     dedupEmbeddingLshWith(s, dir, tables = 1, nplanes = 0)
 
@@ -1327,19 +1331,42 @@ object Dedup {
   private def lshCosinePairs(e: DataFrame, dim: Int,
       tables: Int, nplanes: Int): DataFrame = {
     import e.sparkSession.implicits._
-    val buckets = Similarity.withBuckets(e, dim, tables, nplanes)
-      .select($"vec_id", $"label", $"t", $"bucket")
-    val cand = buckets.as("a").join(buckets.as("b"),
-        $"a.label" === $"b.label" && $"a.t" === $"b.t" &&
-        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"))
-      .distinct()
-    val vecs = e.select($"vec_id", $"v", $"nrm")
-    cand
-      .join(vecs.select($"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na")), "a_id")
-      .join(vecs.select($"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb")), "b_id")
-      .select($"a_id", $"b_id", round(
-        graft.functions.DotProduct($"va", $"vb") / ($"na" * $"nb"), 4).as("cosine"))
+    if (tables == 1) {
+      // Single-table regime (the 0-plane exactness anchor): no second
+      // table can produce a duplicate candidate, so the ids-only
+      // distinct + vector re-attach below would be pure overhead — and
+      // at scale a CATASTROPHE: the anchor's within-label candidate set
+      // is O(N²/labels) pairs (~2·10⁹ at sf10), and re-attaching two
+      // 64-dim vectors to each pair shuffles TBs. Vectors ride the
+      // bucket join instead (the knn_graph discipline): the only big
+      // volume is the in-partition pair stream, compute-bound dots,
+      // nothing corpus-squared ever hits an exchange.
+      val buckets = Similarity.withBuckets(e, dim, tables, nplanes)
+        .select($"vec_id", $"label", $"v", $"nrm", $"t", $"bucket")
+      val b = buckets
+        .select($"vec_id".as("b_id"), $"label", $"v".as("vb"),
+          $"nrm".as("nb"), $"t", $"bucket")
+      buckets.as("a").join(b,
+          Seq("label", "t", "bucket"))
+        .filter($"vec_id" < $"b_id")
+        .select($"vec_id".as("a_id"), $"b_id", round(
+          graft.functions.DotProduct($"v", $"vb") / ($"nrm" * $"nb"), 4)
+          .as("cosine"))
+    } else {
+      val buckets = Similarity.withBuckets(e, dim, tables, nplanes)
+        .select($"vec_id", $"label", $"t", $"bucket")
+      val cand = buckets.as("a").join(buckets.as("b"),
+          $"a.label" === $"b.label" && $"a.t" === $"b.t" &&
+          $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"))
+        .distinct()
+      val vecs = e.select($"vec_id", $"v", $"nrm")
+      cand
+        .join(vecs.select($"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na")), "a_id")
+        .join(vecs.select($"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb")), "b_id")
+        .select($"a_id", $"b_id", round(
+          graft.functions.DotProduct($"va", $"vb") / ($"na" * $"nb"), 4).as("cosine"))
+    }
   }
 
   // ------------------------------------------------------- materialization

@@ -1341,11 +1341,18 @@ object Dedup {
       // bucket join instead (the knn_graph discipline): the only big
       // volume is the in-partition pair stream, compute-bound dots,
       // nothing corpus-squared ever hits an exchange.
+      // repartition the probe side: a 100k-vector corpus is ~25 MB of
+      // parquet = ONE scan partition, which would put the whole
+      // quadratic pair stream in one task (the sf10 gate measured
+      // exactly that); range-spreading the left side makes the stream
+      // width the configured parallelism, and the broadcast right side
+      // keeps the join exchange-free
       val buckets = Similarity.withBuckets(e, dim, tables, nplanes)
         .select($"vec_id", $"label", $"v", $"nrm", $"t", $"bucket")
-      val b = buckets
+        .repartition(col("vec_id"))
+      val b = broadcast(Similarity.withBuckets(e, dim, tables, nplanes)
         .select($"vec_id".as("b_id"), $"label", $"v".as("vb"),
-          $"nrm".as("nb"), $"t", $"bucket")
+          $"nrm".as("nb"), $"t", $"bucket"))
       buckets.as("a").join(b,
           Seq("label", "t", "bucket"))
         .filter($"vec_id" < $"b_id")

@@ -443,6 +443,104 @@ object LangModel {
        |FROM sc JOIN documents d USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** Unigram domain shift: each source's KL divergence (in bits/token)
+    * from the whole-corpus unigram distribution — the distributional
+    * companion to [[lmDomain]]'s model-based cross-entropy, and the
+    * quantity DSIR-style importance weighting is built on (Xie et al.
+    * NeurIPS'23 weight by exactly these per-domain/corpus probability
+    * ratios; the reference engine's only notion of "distance" is the
+    * K-Means Euclidean in mapper.py:58-66). A mix designer reads the
+    * table to see which sources the corpus mean is furthest from.
+    *
+    * Exactness: both distributions live on the closed top-[[LmVocab]] ∪
+    * {&lt;unk&gt;} set, so every probability is an exact integer ratio
+    * (c/n for the source, C/N for the corpus) and each term of
+    *   KL(p_s‖q) = Σ_w p_w·(log2 p_w − log2 q_w)
+    * is `c·(lbits(C,N) − lbits(c,n))` — integers times [[Log2Fixed]]
+    * outputs. Terms accumulate in DECIMAL (the money-sum discipline;
+    * a long product would overflow past ~2^41 tokens/source), and the
+    * single division to bits/token happens once per source. No libm,
+    * no float accumulation: hash-gated end to end. C ≥ c ≥ 1 on every
+    * emitted row, so both calls sit inside Log2Fixed's contract.
+    *
+    * Scale (100 TB): two corpus scans (the vocabulary cut, then the
+    * OOV-mapped count), exactly [[docScores]]' accounting. The counted
+    * table is BOUNDED at |sources|·(|vocab|+1) rows regardless of
+    * corpus size — it materializes once via localCheckpoint and every
+    * downstream total/join is a broadcast over it, so the plan's only
+    * corpus-sized exchanges are the two partial-aggregated token
+    * counts. */
+  def sourceKl(s: SparkSession, dir: String): DataFrame =
+    sourceKlOn(Tables(s, dir, "documents"))
+
+  /** [[sourceKl]] over an explicit documents frame (spec hook). */
+  private[graft] def sourceKlOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val srcTok = docs.select($"source", explode(toks(lower($"text"))).as("w"))
+    val vocab = vocabOf(srcTok)
+    val csw = srcTok
+      .join(broadcast(vocab.withColumn("hit", lit(1))), Seq("w"), "left")
+      .select($"source",
+        when($"hit".isNotNull, $"w").otherwise(lit("<unk>")).as("wm"))
+      .groupBy($"source", $"wm").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ns = csw.groupBy($"source").agg(sum($"c").as("n"))
+    val cw = csw.groupBy($"wm").agg(sum($"c").as("cn"))
+    val nt = csw.agg(sum($"c").as("nn"))
+    csw
+      .join(broadcast(ns), "source")
+      .join(broadcast(cw), "wm")
+      .crossJoin(broadcast(nt))
+      .withColumn("lp", Log2Fixed($"c", $"n"))
+      .withColumn("lq", Log2Fixed($"cn", $"nn"))
+      .groupBy($"source")
+      .agg(
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum($"c".cast("decimal(20,0)") *
+          ($"lq" - $"lp").cast("decimal(8,0)")).as("bits"))
+      .select($"source", $"n_tokens", $"n_terms",
+        round($"bits".cast("double") /
+          ($"n_tokens" * lit(Log2Fixed.Scale)).cast("double"), 4)
+          .as("kl_bits"))
+      .orderBy($"source")
+  }
+
+  val sourceKlSql: String =
+    s"""WITH tt AS (SELECT source, $duckToks AS tk FROM documents),
+       |tok AS (SELECT source, unnest(tk) AS w FROM tt),
+       |vocab AS (
+       |  SELECT w FROM (
+       |    SELECT w, count(*) AS n FROM tok GROUP BY w
+       |    ORDER BY n DESC, w LIMIT $LmVocab)),
+       |csw AS (
+       |  SELECT source,
+       |    CASE WHEN v.w IS NULL THEN '<unk>' ELSE t.w END AS wm,
+       |    count(*) AS c
+       |  FROM tok t LEFT JOIN vocab v ON t.w = v.w
+       |  GROUP BY 1, 2),
+       |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+       |  FROM csw GROUP BY source),
+       |cw AS (SELECT wm, CAST(sum(c) AS BIGINT) AS cn FROM csw GROUP BY wm),
+       |nt AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM csw),
+       |abp AS (
+       |  SELECT cs.source, cs.wm, cs.c, cs.c AS a, ns.n AS b, cw.cn, nt.nn
+       |  FROM csw cs JOIN ns USING (source) JOIN cw USING (wm) CROSS JOIN nt),
+       |lp AS (${Log2Fixed.duckUnroll("SELECT * FROM abp")}),
+       |abq AS (
+       |  SELECT source, wm, c, lbits AS lpb, cn AS a, nn AS b FROM lp),
+       |lq AS (${Log2Fixed.duckUnroll("SELECT * FROM abq")}),
+       |agg AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_terms,
+       |    sum(CAST(c AS DECIMAL(20,0)) * CAST(lbits - lpb AS DECIMAL(8,0)))
+       |      AS bits
+       |  FROM lq GROUP BY source)
+       |SELECT source, n_tokens, n_terms,
+       |  round(CAST(bits AS DOUBLE) /
+       |    CAST(n_tokens * ${Log2Fixed.Scale} AS DOUBLE), 4) AS kl_bits
+       |FROM agg ORDER BY source""".stripMargin
+
   /** CCNet's corpus split: head (most fluent under the model), middle,
     * tail — downstream pipelines train on head+middle or
     * temperature-mix by bucket. Per-document cross-entropy terciles
@@ -604,6 +702,7 @@ object LangModel {
     "lm_buckets" -> (lmBuckets(_, _)),
     "lm_buckets_approx" -> (lmBucketsApprox(_, _)),
     "lm_domain" -> (lmDomain(_, _)),
+    "source_kl" -> (sourceKl(_, _)),
     "quality_classifier" -> (qualityClassifier(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -613,5 +712,6 @@ object LangModel {
     "lm_score" -> lmScoreSql,
     "lm_buckets" -> lmBucketsSql,
     "lm_domain" -> lmDomainSql,
+    "source_kl" -> sourceKlSql,
     "quality_classifier" -> qualityClassifierSql)
 }

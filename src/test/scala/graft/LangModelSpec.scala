@@ -68,6 +68,35 @@ class LangModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("source_kl: zero on itself, symmetric crafted shift, matches continuous KL") {
+    import spark.implicits._
+    // single source: p = q exactly, every term's two Log2Fixed calls
+    // see identical (a, b) -> kl_bits is EXACTLY zero, not just small
+    val one = graft.operators.LangModel.sourceKlOn(
+      Seq((1L, "A", "x y z x y"), (2L, "A", "z z y")).toDF("doc_id", "source", "text"))
+      .collect()
+    assert(one.length == 1 && one(0).getDouble(3) == 0.0, one.mkString(","))
+
+    // mirrored sources: A = {a:4, b:1}, B = {b:4, a:1} over corpus
+    // q(a) = q(b) = 1/2 -> KL(A||q) = KL(B||q) = 0.8*log2(1.6) +
+    // 0.2*log2(0.4) ~ 0.2781 bits/token, equal by symmetry
+    val two = graft.operators.LangModel.sourceKlOn(
+      Seq((1L, "A", "a a a a b"), (2L, "B", "b b b b a"))
+        .toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val want = 0.8 * math.log(1.6) / math.log(2.0) +
+      0.2 * math.log(0.4) / math.log(2.0)
+    assert(two("A") == two("B"), s"mirrored sources must tie: $two")
+    assert(math.abs(two("A") - want) < 1e-3,
+      s"continuous KL $want vs fixed-point ${two("A")}")
+
+    // n_tokens / n_terms census columns
+    val a = graft.operators.LangModel.sourceKlOn(
+      Seq((1L, "A", "a a a a b"), (2L, "B", "b b b b a"))
+        .toDF("doc_id", "source", "text")).collect().head
+    assert(a.getLong(1) == 5L && a.getLong(2) == 2L, a.toString)
+  }
+
   test("new operators are partitioning-invariant") {
     // the determinism the oracle gate implies but a skewed cluster
     // would actually test: identical results when the input arrives in

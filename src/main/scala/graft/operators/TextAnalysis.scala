@@ -61,6 +61,71 @@ object TextAnalysis {
        |  FROM documents)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------- tok fertility
+
+  /** Tokenizer fertility per source: subword tokens per whitespace word
+    * and characters per subword token — THE standard tokenizer-efficiency
+    * read (a fertility of 1.0 means every word is one unit; high
+    * fertility marks text the tokenizer fragments, i.e. expensive
+    * sources at training time). Uses the same deterministic greedy
+    * subword pass as the packing/mix `_bpe` twins
+    * ([[graft.functions.Subword]]), so the three surfaces price the
+    * corpus under ONE tokenizer contract. The reference engine has no
+    * text surface at all (its tokens are CSV floats, mapper.py:26-44);
+    * this is part of the §2.E pipeline widening.
+    *
+    * Exactness: all three measures are integer sums; each ratio is one
+    * double division of exact (< 2^53) integers done identically in both
+    * engines, then round(4) — order-free without DECIMAL. Zero-word
+    * sources yield NULL ratios on both sides (guarded division).
+    *
+    * Scale (100 TB): one narrow (source, text) scan, two codegen'd
+    * per-row expressions, partial-aggregated rollup — only |sources|
+    * rows reach the shuffle. */
+  def tokFertility(s: SparkSession, dir: String): DataFrame =
+    tokFertilityOn(Tables(s, dir, "documents"))
+
+  /** [[tokFertility]] over an explicit documents frame (spec hook). */
+  private[graft] def tokFertilityOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"source",
+        size(toks(lower($"text"))).cast("long").as("words"),
+        graft.functions.Subword(lower($"text")).as("subw"),
+        length($"text").cast("long").as("chars"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"words").as("sum_words"),
+        sum($"subw").as("sum_subtoks"),
+        sum($"chars").as("sum_chars"),
+        when(sum($"words") > 0,
+          round(sum($"subw").cast("double") / sum($"words").cast("double"), 4))
+          .as("fertility"),
+        when(sum($"subw") > 0,
+          round(sum($"chars").cast("double") / sum($"subw").cast("double"), 4))
+          .as("chars_per_tok"))
+      .orderBy($"source")
+  }
+
+  val tokFertilitySql: String =
+    s"""WITH d AS (
+       |  SELECT source, len($duckToks) AS words,
+       |    ${graft.functions.Subword.duckDoc(duckToks)} AS subw,
+       |    length(text) AS chars
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(words) AS BIGINT) AS sum_words,
+       |  CAST(sum(subw) AS BIGINT) AS sum_subtoks,
+       |  CAST(sum(chars) AS BIGINT) AS sum_chars,
+       |  CASE WHEN sum(words) > 0 THEN
+       |    round(CAST(sum(subw) AS DOUBLE) / CAST(sum(words) AS DOUBLE), 4)
+       |  END AS fertility,
+       |  CASE WHEN sum(subw) > 0 THEN
+       |    round(CAST(sum(chars) AS DOUBLE) / CAST(sum(subw) AS DOUBLE), 4)
+       |  END AS chars_per_tok
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   // -------------------------------------------------------------- lang id
 
   /** Stopword-marker language heuristic. Marker hit-counts per language,
@@ -1322,6 +1387,7 @@ object TextAnalysis {
     "distinct_sketch" -> (distinctSketch(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
     "text_stats" -> (textStats(_, _)),
+    "tok_fertility" -> (tokFertility(_, _)),
     "lang_id" -> (langId(_, _)),
     "quality_score" -> (qualityScore(_, _)),
     "gopher_rules" -> (gopherRules(_, _)),
@@ -1344,6 +1410,7 @@ object TextAnalysis {
     "distinct_sketch" -> distinctSketchSql,
     "text_normalize" -> textNormalizeSql,
     "text_stats" -> textStatsSql,
+    "tok_fertility" -> tokFertilitySql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
     "gopher_rules" -> gopherRulesSql,

@@ -343,6 +343,33 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("lower")._2 == out("lower")._1.count(_ == ' ') + 1)
   }
 
+  test("tok_fertility: hand-computed greedy counts, invariants, empty source") {
+    val s = spark
+    import s.implicits._
+    // "the" is one vocab unit; "theand" greedily splits the|and (thea
+    // is not in the prefix-closed vocab) -> 3 subtokens over 2 words
+    val out = operators.TextAnalysis.tokFertilityOn(
+      Seq((1L, "A", "theand the"), (2L, "B", "the the the"), (3L, "C", "   "))
+        .toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getLong(2) == 2L && out("A").getLong(3) == 3L,
+      s"A words/subtoks: ${out("A")}")
+    assert(out("A").getDouble(5) == 1.5 && out("A").getDouble(6) == 3.3333,
+      s"A ratios: ${out("A")}")
+    assert(out("B").getDouble(5) == 1.0, s"all-vocab words are 1 unit: ${out("B")}")
+    // whitespace-only doc: 0 words, 0 subtokens -> NULL ratios, row kept
+    assert(out("C").getLong(1) == 1L && out("C").isNullAt(5) && out("C").isNullAt(6),
+      s"C must survive with NULL ratios: ${out("C")}")
+    // invariants on real data: every word is >= 1 unit, units are >= 1 char
+    val real = operators.TextAnalysis.tokFertility(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2), s"subtoks >= words: $r")
+      assert(r.getLong(4) >= r.getLong(3), s"chars >= subtoks: $r")
+    }
+  }
+
   test("lang_id and quality_score plans tokenize once") {
     val sf = "/root/testdata/sf0.001"
     for (q <- Seq("lang_id", "quality_score")) {

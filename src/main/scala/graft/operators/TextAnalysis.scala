@@ -602,6 +602,94 @@ object TextAnalysis {
        |FROM (SELECT doc_id, unnest($duckToks) AS w FROM documents)
        |GROUP BY w ORDER BY n DESC, w LIMIT 50""".stripMargin
 
+  // ----------------------------------------------------- vocab overlap
+
+  /** Top-K vocabulary size for the pairwise overlap matrix. */
+  val OverlapK = 128
+
+  /** Pairwise source-vocabulary overlap: Jaccard + containment between
+    * every two sources' top-[[OverlapK]] word sets — the mix-design
+    * redundancy read (two sources with near-identical head vocabularies
+    * contribute overlapping signal; SlimPajama-style mix audits report
+    * exactly this matrix). Deterministic membership: rank by (count
+    * desc, word) per source.
+    *
+    * Scale (100 TB): the only corpus-sized exchange is the partial-
+    * aggregated (source, word) count; the rank filter is a
+    * WindowGroupLimit (spec-asserted), so each source keeps at most K
+    * rows PER INPUT PARTITION before the shuffle — a giant noisy
+    * source cannot single-sort its whole distinct vocabulary. The
+    * top-K table is bounded at |sources|·K rows, localCheckpointed
+    * once, and every downstream join/cross is a broadcast over it
+    * (output is the |sources|² pair lattice). Ratios are one double
+    * division of exact integers, round(4). */
+  def vocabOverlap(s: SparkSession, dir: String): DataFrame =
+    vocabOverlapOn(Tables(s, dir, "documents"))
+
+  /** The un-checkpointed top-K subtree — split out so the spec can
+    * assert its WindowGroupLimit shape (localCheckpoint executes the
+    * subtree eagerly, hiding it from the final plan). */
+  private[graft] def overlapTopK(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"c".desc, $"w")
+    docs
+      .select($"source", explode(toks(lower($"text"))).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(win))
+      .filter($"rk" <= OverlapK)
+      .select($"source", $"w")
+  }
+
+  /** [[vocabOverlap]] over an explicit documents frame (spec hook). */
+  private[graft] def vocabOverlapOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val topk = overlapTopK(docs).localCheckpoint()
+    val sizes = topk.groupBy($"source").agg(count(lit(1)).as("nv"))
+    val inter = topk.as("a")
+      .join(broadcast(topk.as("b")), Seq("w"))
+      .filter($"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    sizes.as("x")
+      .join(broadcast(sizes.as("y")), $"x.source" < $"y.source")
+      .select($"x.source".as("src_a"), $"y.source".as("src_b"),
+        $"x.nv".as("n_a"), $"y.nv".as("n_b"))
+      .join(broadcast(inter), Seq("src_a", "src_b"), "left")
+      .withColumn("n_common", coalesce($"n_common", lit(0L)))
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_common",
+        round($"n_common".cast("double") /
+          ($"n_a" + $"n_b" - $"n_common").cast("double"), 4).as("jaccard"),
+        round($"n_common".cast("double") /
+          least($"n_a", $"n_b").cast("double"), 4).as("containment"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val vocabOverlapSql: String =
+    s"""WITH tok AS (SELECT source, unnest($duckToks) AS w FROM documents),
+       |counts AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+       |topk AS (
+       |  SELECT source, w FROM (
+       |    SELECT source, w, row_number() OVER (
+       |      PARTITION BY source ORDER BY c DESC, w) AS rk
+       |    FROM counts) WHERE rk <= $OverlapK),
+       |sizes AS (SELECT source, count(*) AS nv FROM topk GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+       |  FROM topk a JOIN topk b ON a.w = b.w AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT x.source AS src_a, y.source AS src_b, x.nv AS n_a, y.nv AS n_b
+       |  FROM sizes x JOIN sizes y ON x.source < y.source)
+       |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+       |  coalesce(i.n_common, 0) AS n_common,
+       |  round(CAST(coalesce(i.n_common, 0) AS DOUBLE) /
+       |    CAST(p.n_a + p.n_b - coalesce(i.n_common, 0) AS DOUBLE), 4) AS jaccard,
+       |  round(CAST(coalesce(i.n_common, 0) AS DOUBLE) /
+       |    CAST(least(p.n_a, p.n_b) AS DOUBLE), 4) AS containment
+       |FROM pairs p LEFT JOIN inter i USING (src_a, src_b)
+       |ORDER BY src_a, src_b""".stripMargin
+
   // ----------------------------------------------------- heavy hitters
 
   /** Heavy-hitter threshold denominator: report words with frequency
@@ -1395,6 +1483,7 @@ object TextAnalysis {
     "doc_fingerprint" -> (docFingerprint(_, _)),
     "winnow_fingerprint" -> (winnowFingerprint(_, _)),
     "vocab_topk" -> (vocabTopK(_, _)),
+    "vocab_overlap" -> (vocabOverlap(_, _)),
     "bm25_topk" -> (bm25TopK(_, _)),
     "word_lift" -> (wordLift(_, _)),
     "heavy_hitters" -> (heavyHitters(_, _)),
@@ -1418,6 +1507,7 @@ object TextAnalysis {
     "doc_fingerprint" -> docFingerprintSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
     "vocab_topk" -> vocabTopKSql,
+    "vocab_overlap" -> vocabOverlapSql,
     "bm25_topk" -> bm25TopKSql,
     "word_lift" -> wordLiftSql,
     "heavy_hitters" -> heavyHittersSql)

@@ -370,6 +370,33 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vocab_overlap: crafted pair lattice, zero-overlap pair kept, heaped rank") {
+    val s = spark
+    import s.implicits._
+    // A = {the, and, of}, B = {the, and, xx}, C = {yy, zz} (K=128 ≫ all)
+    val out = operators.TextAnalysis.vocabOverlapOn(
+      Seq((1L, "A", "the and of"), (2L, "B", "the and xx"), (3L, "C", "yy zz"))
+        .toDF("doc_id", "source", "text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 3, s"3 pairs for 3 sources: ${out.keys}")
+    val ab = out(("A", "B"))
+    assert(ab.getLong(2) == 3L && ab.getLong(3) == 3L && ab.getLong(4) == 2L, ab.toString)
+    assert(ab.getDouble(5) == 0.5 && ab.getDouble(6) == 0.6667, ab.toString)
+    val ac = out(("A", "C"))
+    assert(ac.getLong(4) == 0L && ac.getDouble(5) == 0.0,
+      s"disjoint pair must appear with 0 overlap: $ac")
+
+    // the rank filter must compile to WindowGroupLimit (per-partition
+    // K-heaps before the shuffle), not a full per-source sort. Assert
+    // on the un-checkpointed subtree: localCheckpoint runs it eagerly,
+    // so the registered query's final plan no longer shows it.
+    val plan = operators.TextAnalysis.overlapTopK(
+      graft.Tables(spark, "/root/testdata/sf0.001", "documents"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"vocab_overlap rank filter must heap, got:\n$plan")
+  }
+
   test("lang_id and quality_score plans tokenize once") {
     val sf = "/root/testdata/sf0.001"
     for (q <- Seq("lang_id", "quality_score")) {

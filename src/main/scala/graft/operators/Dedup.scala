@@ -1955,7 +1955,97 @@ object Dedup {
        |UNION ALL SELECT 'near_pairs', count(*) FROM pairs
        |ORDER BY stage""".stripMargin
 
+  // -------------------------------------------------------- line dedup
+
+  /** A line in at least this many distinct documents is boilerplate. */
+  val LineMinDocs = 3L
+
+  /** Line-granularity boilerplate census — CCNet's line-level dedup
+    * read (Wenzek et al. 2020 drop lines duplicated across documents;
+    * RefinedWeb's line-wise filtering is the same stage). Between
+    * [[dedupExact]] (whole document) and [[dedupSpans]] (token runs),
+    * this is the granularity where navigation chrome, cookie banners
+    * and license headers live. Per source: line volume, distinct
+    * lines, boilerplate lines (in ≥ [[LineMinDocs]] distinct docs
+    * corpus-wide), their occurrence and character shares.
+    *
+    * Scale (100 TB): lines hash to [[graft.functions.PolyHash]] 62-bit
+    * fingerprints IN THE SCAN, so no text ever shuffles. The exchanges
+    * are (hash, source)-keyed partial aggregates, a hash-keyed rollup
+    * (doc-frequency = Σ per-source distinct docs — a doc has exactly
+    * one source), and one hash-keyed join of the two AGGREGATED tables
+    * (distinct-line-sized, not occurrence-sized); the census rollup
+    * reduces to |sources| rows. The synthetic corpus has no newlines
+    * (each doc is one line — the census degenerates to doc-level
+    * duplication, still exercised: ScaleUp replication crosses
+    * [[LineMinDocs]]); multi-line semantics are pinned by crafted docs
+    * in DedupSpec, the c4_rules precedent. */
+  def dedupLines(s: SparkSession, dir: String): DataFrame =
+    dedupLinesOn(Tables(s, dir, "documents"))
+
+  /** [[dedupLines]] over an explicit documents frame (spec hook). */
+  private[graft] def dedupLinesOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val lines = docs
+      .select($"doc_id", $"source",
+        explode(filter(transform(split($"text", "\n"), l => trim(l)),
+          l => l =!= lit(""))).as("line"))
+      .select($"doc_id", $"source",
+        graft.functions.PolyHash($"line").as("h"),
+        length($"line").cast("long").as("chars"))
+    val stats = lines.groupBy($"h", $"source")
+      .agg(count(lit(1)).as("occ"), sum($"chars").as("ch"),
+        count_distinct($"doc_id").as("d"))
+    val docFreq = stats.groupBy($"h").agg(sum($"d").as("doc_freq"))
+    stats.join(docFreq, "h")
+      .withColumn("boiler", $"doc_freq" >= LineMinDocs)
+      .groupBy($"source")
+      .agg(
+        sum($"occ").as("n_lines"),
+        count(lit(1)).as("n_distinct_lines"),
+        sum(when($"boiler", 1L).otherwise(0L)).as("n_boiler_lines"),
+        sum(when($"boiler", $"occ").otherwise(0L)).as("boiler_occurrences"),
+        sum($"ch").as("line_chars"),
+        when(sum($"ch") > 0,
+          round(sum(when($"boiler", $"ch").otherwise(0L)).cast("double") /
+            sum($"ch").cast("double"), 4)).as("boiler_char_frac"))
+      .orderBy($"source")
+  }
+
+  val dedupLinesSql: String = {
+    val hashOf = graft.functions.PolyHash.duckSql("line")
+    s"""WITH rawl AS (
+       |  SELECT doc_id, source, trim(l) AS line
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, chr(10))) AS l
+       |        FROM documents)
+       |  WHERE trim(l) != ''),
+       |lines AS (
+       |  SELECT doc_id, source, $hashOf AS h, length(line) AS chars
+       |  FROM rawl),
+       |stats AS (
+       |  SELECT h, source, count(*) AS occ,
+       |    CAST(sum(chars) AS BIGINT) AS ch, count(DISTINCT doc_id) AS d
+       |  FROM lines GROUP BY 1, 2),
+       |dfh AS (SELECT h, CAST(sum(d) AS BIGINT) AS doc_freq
+       |  FROM stats GROUP BY h)
+       |SELECT source,
+       |  CAST(sum(occ) AS BIGINT) AS n_lines,
+       |  count(*) AS n_distinct_lines,
+       |  CAST(sum(CASE WHEN doc_freq >= $LineMinDocs THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_boiler_lines,
+       |  CAST(sum(CASE WHEN doc_freq >= $LineMinDocs THEN occ ELSE 0 END)
+       |    AS BIGINT) AS boiler_occurrences,
+       |  CAST(sum(ch) AS BIGINT) AS line_chars,
+       |  CASE WHEN sum(ch) > 0 THEN
+       |    round(CAST(sum(CASE WHEN doc_freq >= $LineMinDocs THEN ch ELSE 0 END)
+       |      AS DOUBLE) / CAST(sum(ch) AS DOUBLE), 4)
+       |  END AS boiler_char_frac
+       |FROM stats JOIN dfh USING (h)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lines" -> (dedupLines(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_pipeline" -> (dedupPipeline(_, _)),
     "dedup_canonical" -> (dedupCanonical(_, _)),
@@ -1974,6 +2064,7 @@ object Dedup {
     "dedup_survivors" -> (dedupSurvivors(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "dedup_lines" -> dedupLinesSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_pipeline" -> dedupPipelineSql,
     "dedup_canonical" -> dedupCanonicalSql,

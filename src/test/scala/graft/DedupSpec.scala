@@ -434,6 +434,28 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.isEmpty)
   }
 
+  test("dedup_lines: multi-line boilerplate census, doc-distinct frequency") {
+    import spark.implicits._
+    // "cookie banner" rides 4 distinct docs (>= LineMinDocs=3, incl. one
+    // space-padded copy trim must normalize); unique lines are not
+    // boilerplate; "dup" repeats 3x WITHIN one doc -> doc_freq 1, clean
+    val out = Dedup.dedupLinesOn(Seq(
+      (1L, "x", "cookie banner\nalpha one"),
+      (2L, "x", "cookie banner\nbeta two"),
+      (3L, "y", "cookie banner\ngamma three"),
+      (4L, "y", " cookie banner \ndelta"),
+      (5L, "z", "dup\ndup\ndup"))
+      .toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("x")
+    assert(x.getLong(1) == 4L && x.getLong(2) == 3L, s"x volume/distinct: $x")
+    assert(x.getLong(3) == 1L && x.getLong(4) == 2L, s"x boiler: $x")
+    assert(x.getDouble(6) == 0.6047, s"x char frac 26/43: $x") // 13+13 of 43
+    val z = out("z")
+    assert(z.getLong(1) == 3L && z.getLong(2) == 1L && z.getLong(3) == 0L,
+      s"within-doc repeats must not be boilerplate: $z")
+  }
+
   test("labelsOf: distributed fixpoint ≡ local union-find finish") {
     import spark.implicits._
     // mixed shapes with interleaved ids so min-roots cross the fixture:

@@ -173,6 +173,39 @@ object KMeansOracle {
        |  FROM allc a, pick p WHERE a.it = p.n)""".stripMargin
   }
 
+  /** [[KMeansQueries.silhouette]]'s oracle: the converged contract
+    * chain ([[tracePieces]] → `sel`, same as [[fitSql]]), then one
+    * scoring pass — squared distances d1..dk inline (operand order
+    * matching the Spark expressions), nearest/second-nearest via a
+    * sorted list, first-match CASE for the cid tie-break, per-point
+    * silhouette rounded to 4 decimals into a DECIMAL sum. */
+  def silhouetteSql(pointsSql: String, k: Int, cap: Int): String = {
+    val ds = (1 to k).map(j =>
+      s"(p.x-cp.x$j)*(p.x-cp.x$j)+(p.y-cp.y$j)*(p.y-cp.y$j) AS d$j")
+      .mkString(",\n      ")
+    val md = (1 to k).map(j => s"d$j").mkString(", ")
+    val cid = (1 to k).map(j => s"WHEN d$j = md THEN $j").mkString(" ")
+    s"""WITH ${tracePieces(pointsSql, k, cap)},
+       |selp AS (${pivotK("sel", k)}),
+       |scored AS (
+       |  SELECT CAST(CASE $cid END AS INT) AS cid,
+       |    sqrt(list_sort([$md])[1]) AS a, sqrt(list_sort([$md])[2]) AS b
+       |  FROM (
+       |    SELECT
+       |      $ds,
+       |      least($md) AS md
+       |    FROM pts p, selp cp)),
+       |agg AS (
+       |  SELECT cid, count(*) AS n,
+       |    sum(CAST(round(CASE WHEN b > 0 THEN (b - a) / b ELSE 0.0 END, 4)
+       |      AS DECIMAL(20,4))) AS sil
+       |  FROM scored GROUP BY cid)
+       |SELECT s.cid, CAST(coalesce(g.n, 0) AS BIGINT) AS n_points,
+       |  CASE WHEN g.n > 0 THEN round(CAST(g.sil AS DOUBLE) / g.n, 4) END
+       |    AS avg_sil
+       |FROM sel s LEFT JOIN agg g USING (cid) ORDER BY s.cid""".stripMargin
+  }
+
   /** Mean squared distance to the assigned centroid after one step. */
   def costSql(pointsSql: String, k: Int): String =
     s"""WITH ${centroidChain(pointsSql, k, 1)}

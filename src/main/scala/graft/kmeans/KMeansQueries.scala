@@ -120,6 +120,64 @@ object KMeansQueries {
   /** Force the memoized model — the bench's `kmeans_train_build` entry. */
   def trainFit(s: SparkSession, dir: String): Unit = { contractModel(s, dir); () }
 
+  /** Simplified silhouette of the converged contract model — the
+    * clustering-quality read (Rousseeuw 1987; the SIMPLIFIED variant
+    * scores each point against the K centroids instead of all N
+    * points, the only O(N·K) form — what sklearn/Spark-ML report at
+    * scale, and the natural "did K fit" companion to the reference's
+    * dump.txt trajectory). Per point: a = distance to its (nearest)
+    * centroid, b = distance to the second-nearest, s = (b − a)/b ∈
+    * [0, 1] (b ≥ a by argmin; b = 0 ⇒ s = 0). Per cluster: count +
+    * mean silhouette; empty clusters keep NULL, the [[fit]] LEFT-JOIN
+    * discipline.
+    *
+    * Exactness: centroids are the memoized contract chain's 4-decimal
+    * values ([[contractModel]] — shared with [[fit]]/[[fitTrace]], so
+    * the oracle replays the SAME unrolled [[KMeansOracle]] chain);
+    * distance expressions are written operand-for-operand like the
+    * oracle's, sqrt is IEEE-exact, and per-point silhouettes round to
+    * 4 decimals BEFORE a DECIMAL accumulation (the money-sum
+    * discipline — a corpus-sized double sum is summation-order-
+    * dependent, and order is the one thing a distributed engine cannot
+    * pin). One division per cluster at the end.
+    *
+    * Scale (100 TB): one scan of the plane, K-literal codegen'd
+    * arithmetic per row (no join — the centroids ride the expression
+    * like [[KMeans.assign]]'s broadcast), partial-aggregated rollup to
+    * K rows. */
+  def silhouette(s: SparkSession, dir: String): DataFrame =
+    silhouetteOn(Points.lineitem(s, dir), contractModel(s, dir).centroids)
+
+  /** [[silhouette]] scoring core over explicit centroids (spec hook). */
+  private[graft] def silhouetteOn(pts: DataFrame, cs: Seq[Centroid]): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    val sorted = cs.sortBy(_.id)
+    val ds = sorted.map(c =>
+      ($"x" - lit(c.x)) * ($"x" - lit(c.x)) +
+        ($"y" - lit(c.y)) * ($"y" - lit(c.y)))
+    val md = least(ds: _*)
+    // first-match CASE chain = smallest cid wins exact ties (the
+    // contract tie-break, mapper.py:58-66 / KMeansOracle.argminK)
+    val cid = ds.zip(sorted).foldLeft(when(lit(false), lit(0))) {
+      case (chain, (d, c)) => chain.when(d === md, lit(c.id))
+    }
+    val arr = array_sort(array(ds: _*))
+    val a = sqrt(arr.getItem(0))
+    val b = sqrt(arr.getItem(1))
+    val s4 = round(when(b > lit(0.0), (b - a) / b).otherwise(lit(0.0)), 4)
+      .cast("decimal(20,4)")
+    val agg = pts.select(cid.as("cid"), s4.as("s4"))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n"), sum($"s4").as("sil"))
+    sorted.map(_.id).toDF("cid")
+      .join(agg, Seq("cid"), "left")
+      .select($"cid",
+        coalesce($"n", lit(0L)).as("n_points"),
+        when($"n" > 0, round($"sil".cast("double") / $"n", 4)).as("avg_sil"))
+      .orderBy($"cid")
+  }
+
   /** Full loop to convergence over the CONTRACT chain — hash-gated
     * (round-5 verdict item 2: previously rows-only over the raw chain).
     * Same [[KMeans.fitLoop]] core, hooks, cap, and therefore stopping
@@ -221,6 +279,7 @@ object KMeansQueries {
     "kmeans_cost" -> (cost(_, _)),
     "kmeans_fit" -> (fit(_, _)),
     "kmeans_fit_trace" -> (fitTrace(_, _)),
+    "kmeans_silhouette" -> (silhouette(_, _)),
     "kmeans_multifile" -> (multifile(_, _)),
     "mllib_kmeans" -> (mllib(_, _)),
     "streaming_kmeans" -> (streamingBatchTwin(_, _)))
@@ -234,6 +293,7 @@ object KMeansQueries {
     "kmeans_cost" -> KMeansOracle.costSql(Points.lineitemSql, K),
     "kmeans_fit" -> KMeansOracle.fitSql(Points.lineitemSql, K, FitTraceCap),
     "kmeans_fit_trace" -> KMeansOracle.fitTraceSql(Points.lineitemSql, K, FitTraceCap),
+    "kmeans_silhouette" -> KMeansOracle.silhouetteSql(Points.lineitemSql, K, FitTraceCap),
     "kmeans_multifile" -> multifileSql,
     "streaming_kmeans" -> KMeansOracle.iterSql(Points.eventsSql, K, 1))
 }

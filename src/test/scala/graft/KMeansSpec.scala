@@ -163,6 +163,35 @@ class KMeansSpec extends AnyFunSuite {
     assert(fit.toSeq == trace.toSeq)
   }
 
+  test("silhouette: hand-computed scores, tie-break, empty cluster kept") {
+    import spark.implicits._
+    // centroids (0,0) and (4,0); plus an empty cluster 3 at (100,100).
+    // (1,0): a=1, b=3 -> s=2/3; (2,0): exact tie -> cid 1 (first wins),
+    // s=0; (4,0): a=0, b=4 -> s=1
+    val pts = Seq((1L, 1.0, 0.0), (2L, 2.0, 0.0), (3L, 4.0, 0.0))
+      .toDF("pid", "x", "y")
+    val cs = Seq(Centroid(1, 0.0, 0.0), Centroid(2, 4.0, 0.0),
+      Centroid(3, 100.0, 100.0))
+    val out = KMeansQueries.silhouetteOn(pts, cs).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getLong(1) == 2L && out(1).getDouble(2) == 0.3334,
+      s"cluster 1 (0.6667+0)/2: ${out(1)}")
+    assert(out(2).getLong(1) == 1L && out(2).getDouble(2) == 1.0, out(2).toString)
+    assert(out(3).getLong(1) == 0L && out(3).isNullAt(2),
+      s"empty cluster row kept with NULL: ${out(3)}")
+    // real data: every mean silhouette is in [0, 1], sizes match fit's
+    val sf = "/root/testdata/sf0.001"
+    val sil = KMeansQueries.silhouette(spark, sf).collect()
+    assert(sil.length == KMeansQueries.K)
+    sil.filter(!_.isNullAt(2)).foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, r.toString)
+    }
+    val fitSizes = KMeansQueries.fit(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(sil.map(r => r.getInt(0) -> r.getLong(1)).toMap == fitSizes,
+      "silhouette cluster sizes must match the fit assignment")
+  }
+
   test("contract model memoizes per dir and retrains after clear") {
     val sf = "/root/testdata/sf0.001"
     KMeansQueries.clearFitCache()

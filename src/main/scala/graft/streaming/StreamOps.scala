@@ -210,6 +210,49 @@ object StreamOps {
         })
   }
 
+  /** One maintained line-frequency row: the line's 62-bit PolyHash, how
+    * many distinct-consecutive documents carried it so far, and whether
+    * it crossed the boilerplate threshold. */
+  final case class BoilerUpdate(h: Long, n_docs: Long, boiler: Boolean)
+
+  /** Streaming boilerplate-line detector — the at-ingest twin of
+    * [[graft.operators.Dedup.dedupLines]]: maintains per-line
+    * doc-frequency counts and announces lines crossing `minDocs`, so an
+    * ingest pipeline can start dropping a cookie banner the moment the
+    * third distinct document carries it. State per distinct line is 16
+    * bytes (count + last doc id), keyed by the same in-scan PolyHash as
+    * the batch census — no line text ever reaches the state store or
+    * the shuffle.
+    *
+    * Contract: counts are per distinct CONSECUTIVE document (a doc
+    * repeating its own line — the batch operator's within-doc case —
+    * counts once; a doc RE-arriving later counts again). Exact
+    * distinct-doc semantics would pin unbounded doc-id sets into
+    * state; the batch census is the exact surface, this is the
+    * bounded-state ingest gate. Output mode Update: each touched line
+    * re-emits its row per batch. */
+  def streamingBoilerplate(docs: DataFrame,
+      minDocs: Long = graft.operators.Dedup.LineMinDocs): Dataset[BoilerUpdate] = {
+    import docs.sparkSession.implicits._
+    val lines = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(filter(transform(split(col("text"), "\n"), l => trim(l)),
+          l => l =!= lit(""))).as("line"))
+      .select($"doc_id", graft.functions.PolyHash($"line").as("h"))
+      .as[(Long, Long)]
+    lines.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (h: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[(Long, Long)]) => {
+          var (n, last) = state.getOption.getOrElse((0L, Long.MinValue))
+          rows.foreach { case (doc, _) =>
+            if (doc != last) { n += 1; last = doc }
+          }
+          state.update((n, last))
+          Iterator.single(BoilerUpdate(h, n, n >= minDocs))
+        })
+  }
+
   /** Streaming exact dedup — the at-ingest dedup stage of a streaming
     * corpus pipeline: each document content is emitted once; late
     * re-arrivals within the watermark horizon are dropped. The dedup

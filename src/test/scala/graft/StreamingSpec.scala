@@ -213,6 +213,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch(2L)._3 == 1L, "one OOV token in doc 2")
   }
 
+  test("streamingBoilerplate: threshold crossing, within-doc repeats count once") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingBoilerplate(
+        mem.toDF().toDF("doc_id", "text"), minDocs = 3L)
+      .writeStream.format("memory").queryName("boiler")
+      .outputMode("update").start()
+    mem.addData((1L, "cookie banner\nalpha"), (2L, "cookie banner\nbeta"))
+    q.processAllAvailable()
+    mem.addData((3L, "dup\ndup\ndup"))          // one doc, 3 occurrences
+    q.processAllAvailable()
+    mem.addData((4L, " cookie banner \ngamma")) // 3rd distinct doc, padded
+    q.processAllAvailable()
+    q.stop()
+    // last state per line hash (Update mode re-emits per batch)
+    val rows = spark.table("boiler").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val last = rows.groupBy(_._1).map { case (h, rs) =>
+      h -> rs.maxBy(_._2) }
+    def ph(x: String) = graft.functions.PolyHash.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(x),
+      graft.functions.PolyHash.DefaultBase)
+    val banner = ph("cookie banner")
+    val dup = ph("dup")
+    assert(last(banner) == ((banner, 3L, true)),
+      s"banner must cross at the 3rd distinct doc: ${last(banner)}")
+    assert(last(dup) == ((dup, 1L, false)),
+      s"within-doc repeats count once: ${last(dup)}")
+    // the crossing happened only in the final batch
+    assert(rows.count(r => r._1 == banner && r._3) == 1)
+  }
+
   test("streamingDsirGate: stream scores equal the batch weights") {
     val s = spark
     import s.implicits._

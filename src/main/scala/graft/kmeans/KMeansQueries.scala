@@ -153,18 +153,15 @@ object KMeansQueries {
     val s = pts.sparkSession
     import s.implicits._
     val sorted = cs.sortBy(_.id)
-    val ds = sorted.map(c =>
-      ($"x" - lit(c.x)) * ($"x" - lit(c.x)) +
-        ($"y" - lit(c.y)) * ($"y" - lit(c.y)))
-    val md = least(ds: _*)
-    // first-match CASE chain = smallest cid wins exact ties (the
-    // contract tie-break, mapper.py:58-66 / KMeansOracle.argminK)
-    val cid = ds.zip(sorted).foldLeft(when(lit(false), lit(0))) {
-      case (chain, (d, c)) => chain.when(d === md, lit(c.id))
-    }
-    val arr = array_sort(array(ds: _*))
-    val a = sqrt(arr.getItem(0))
-    val b = sqrt(arr.getItem(1))
+    // one codegen'd O(K) loop per row — see SilhouetteParts' scaladoc
+    // for why the composed-column forms (CASE chain, array_sort +
+    // array_position) were 30×/10× slower at sf0.1
+    val parts = graft.functions.SilhouetteParts($"x", $"y",
+      sorted.map(_.x).toArray, sorted.map(_.y).toArray,
+      sorted.map(_.id).toArray)
+    val cid = parts.getItem(0).cast("int")
+    val a = sqrt(parts.getItem(1))
+    val b = sqrt(parts.getItem(2))
     val s4 = round(when(b > lit(0.0), (b - a) / b).otherwise(lit(0.0)), 4)
       .cast("decimal(20,4)")
     val agg = pts.select(cid.as("cid"), s4.as("s4"))

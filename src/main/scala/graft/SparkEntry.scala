@@ -39,8 +39,11 @@ object SparkEntry {
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           round(sum($"l_quantity"), 4).as("sum_qty"),
-          round(sum($"l_extendedprice"), 4).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+          // money sums: order-independent DECIMAL accumulation
+          // (TpchExtra.moneySum) — plain double sums flip their 4th
+          // decimal at sf10 group sizes by summation order alone
+          round(operators.TpchExtra.moneySum($"l_extendedprice"), 4).as("sum_base_price"),
+          round(operators.TpchExtra.moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
           round(avg($"l_quantity"), 4).as("avg_qty"),
           round(avg($"l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -69,8 +72,8 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_base_price,
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order

@@ -66,13 +66,17 @@ object BloomPrune {
       .join(urgent, $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_lines"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+        // order-independent DECIMAL accumulation (TpchExtra.moneySum):
+        // the plain double sum flipped its 10th digit at sf10 by
+        // summation order alone — same class as q6/q17/q19
+        round(TpchExtra.moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+          .as("revenue"))
       .orderBy($"l_returnflag")
   }
 
   val bloomPruneSql: String =
-    """SELECT l_returnflag, count(*) AS n_lines,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+    s"""SELECT l_returnflag, count(*) AS n_lines,
+      |  round(${TpchExtra.duckMoneySum("l_extendedprice * (1.0 - l_discount)")}, 4) AS revenue
       |FROM lineitem
       |JOIN (SELECT o_orderkey FROM orders
       |      WHERE o_orderpriority = '1-URGENT'

@@ -136,7 +136,7 @@ object EventAnalytics {
     Tables(s, dir, "lineitem")
       .cube($"l_returnflag", $"l_linestatus")
       .agg(round(sum($"l_quantity"), 4).as("sum_qty"),
-        round(sum($"l_extendedprice"), 4).as("sum_price"),
+        round(TpchExtra.moneySum($"l_extendedprice"), 4).as("sum_price"),
         count(lit(1)).as("n"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("flag"),
@@ -192,10 +192,10 @@ object EventAnalytics {
        |ORDER BY gid, flag, status, shipyear""".stripMargin
 
   val cubeAggSql: String =
-    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
       |  coalesce(l_linestatus, 'ALL') AS status,
       |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_price, count(*) AS n
+      |  round(${TpchExtra.duckMoneySum("l_extendedprice")}, 4) AS sum_price, count(*) AS n
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY flag, status""".stripMargin
@@ -378,14 +378,14 @@ object EventAnalytics {
     Skew.saltedEquiJoin(ev, cust, "user_id", "event_id", JoinSalts)
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_events"),
-        round(sum($"value"), 4).as("sum_value"),
+        round(TpchExtra.moneySum($"value"), 4).as("sum_value"),
         count_distinct($"user_id").as("n_users"))
       .orderBy($"c_mktsegment")
   }
 
   val skewJoinSaltedSql: String =
-    """SELECT c_mktsegment, count(*) AS n_events,
-      |  round(sum(value), 4) AS sum_value,
+    s"""SELECT c_mktsegment, count(*) AS n_events,
+      |  round(${TpchExtra.duckMoneySum("value")}, 4) AS sum_value,
       |  count(DISTINCT user_id) AS n_users
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin

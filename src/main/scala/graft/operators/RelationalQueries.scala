@@ -73,13 +73,14 @@ object RelationalQueries {
       .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .agg(round(TpchExtra.moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+        .as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
   }
 
   val q5Sql: String =
-    """SELECT n_name,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+    s"""SELECT n_name,
+      |  round(${TpchExtra.duckMoneySum("l_extendedprice * (1.0 - l_discount)")}, 4) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -205,13 +206,14 @@ object RelationalQueries {
       .filter($"c_acctbal" > $"avg_bal")
       .join(recentlyActive, $"c_custkey" === $"o_custkey", "left_anti")
       .groupBy($"c_mktsegment")
-      .agg(count(lit(1)).as("numcust"), round(sum($"c_acctbal"), 4).as("totacctbal"))
+      .agg(count(lit(1)).as("numcust"),
+        round(TpchExtra.moneySum($"c_acctbal"), 4).as("totacctbal"))
       .orderBy($"c_mktsegment")
   }
 
   val q22Sql: String =
-    """SELECT c_mktsegment, count(*) AS numcust,
-      |  round(sum(c_acctbal), 4) AS totacctbal
+    s"""SELECT c_mktsegment, count(*) AS numcust,
+      |  round(${TpchExtra.duckMoneySum("c_acctbal")}, 4) AS totacctbal
       |FROM customer
       |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey

@@ -51,12 +51,12 @@ object TpchExtra {
     * exactly in DECIMAL(28,4), surface as the 4-decimal double the
     * oracle contract gates on. DECIMAL(28,4) holds 1e24 — no overflow
     * at any realistic corpus. */
-  private[operators] def moneySum(term: Column): Column =
+  private[graft] def moneySum(term: Column): Column =
     sum(round(term, 4).cast("decimal(28,4)")).cast("double")
 
   /** DuckDB twin of [[moneySum]] — identical term rounding, identical
     * exact accumulation. */
-  private[operators] def duckMoneySum(term: String): String =
+  private[graft] def duckMoneySum(term: String): String =
     s"CAST(sum(CAST(round($term, 4) AS DECIMAL(28,4))) AS DOUBLE)"
 
   val q6Sql: String =
@@ -91,14 +91,14 @@ object TpchExtra {
       .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
         ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
       .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .agg(round(moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
       .orderBy($"supp_nation", $"cust_nation", $"l_year")
   }
 
   val q7Sql: String =
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  CAST(year(l_shipdate) AS INT) AS l_year,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey

@@ -538,16 +538,21 @@ object TextAnalysis {
   }
 
   /** Per-doc winnowed fingerprint sets — exposed for the spec (the
-    * SIGMOD'03 locality guarantee is a per-doc-set property). */
+    * SIGMOD'03 locality guarantee is a per-doc-set property). One
+    * native pass ([[graft.functions.WordNgramHashes.winnowed]]):
+    * tokenize → positional hashes → monotone-deque window minima →
+    * sorted distinct, O(tokens) per document. The previous
+    * `transform(sequence) → slice → array_min` form allocated a
+    * w-element array per window (O(tokens×w)) and made this the
+    * suite's most expensive entry; the selected SET is identical
+    * (same window layout, same minima), so the oracle is unchanged. */
   private[graft] def winnowSelected(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
-      .withColumn("hs", graft.functions.WordNgramHashes.positional($"text", WinnowN))
-      .filter(size($"hs") > 0)
       .select($"doc_id", $"source",
-        array_distinct(transform(
-          sequence(lit(0), greatest(size($"hs") - WinnowW, lit(0))),
-          i => array_min(slice($"hs", i + lit(1), lit(WinnowW))))).as("sel"))
+        graft.functions.WordNgramHashes.winnowed($"text", WinnowN, WinnowW)
+          .as("sel"))
+      .filter(size($"sel") > 0)
   }
 
   val winnowFingerprintSql: String = {

@@ -153,6 +153,30 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       && fails("empty") == Seq(1L, 0L, 0L) && kept("empty") == 0L)
   }
 
+  test("winnowing: deque window minima == brute-force window minima") {
+    // the monotone-deque selection must equal the definitional form:
+    // distinct { min(hs[i..i+w-1 clipped]) : i in 0..max(m-w,0) }
+    import org.apache.spark.unsafe.types.UTF8String
+    val wh = graft.functions.WordNgramHashes
+    val rnd = new scala.util.Random(42)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    for (len <- Seq(0, 1, 2, 3, 4, 5, 7, 16, 61); trial <- 1 to 5) {
+      val text = Array.fill(len)(words(rnd.nextInt(words.length))).mkString(" ")
+      val u = UTF8String.fromString(text)
+      for (n <- Seq(1, 3); w <- Seq(1, 2, 4, 9)) {
+        val hs = wh.compute(u, n, sortedDistinct = false)
+          .toLongArray()
+        val expected =
+          if (hs.isEmpty) Set.empty[Long]
+          else (0 to math.max(hs.length - w, 0))
+            .map(i => hs.slice(i, math.min(i + w, hs.length)).min).toSet
+        val got = wh.computeWinnowed(u, n, w).toLongArray()
+        assert(got.toSet == expected, s"len=$len n=$n w=$w")
+        assert(got.sameElements(got.sorted.distinct), "sorted distinct")
+      }
+    }
+  }
+
   test("winnowing: locality guarantee, density bound, census counts shared copies") {
     val s = spark
     import s.implicits._

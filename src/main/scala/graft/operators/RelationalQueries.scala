@@ -428,21 +428,29 @@ object RelationalQueries {
     *
     * Parity discipline: global double sums are order-dependent (the
     * round-10 sf1 q19 lesson — see [[TpchExtra.moneySum]]), so every
-    * moment accumulates EXACTLY: inputs round to their 4 written
-    * decimals, cast to DECIMAL(12,4), and products/sums stay decimal
-    * (≤ DECIMAL(38,8)) — associative, hence bit-stable under any
-    * partitioning at any scale. The correlation itself is then a fixed
+    * moment accumulates EXACTLY: each input becomes its integer
+    * ten-thousandths ([[graft.functions.Money4Bits]] — the measures are
+    * ≤ 2-decimal values, so the scaling is exact), squares/products are
+    * exact LONG multiplies (≤ 9.2e10² units, inside int64), and the
+    * sums run in [[graft.functions.MoneySum]]'s 128-bit primitive
+    * buffer — associative, hence bit-stable under any partitioning at
+    * any scale, and allocation-free where the round-10 DECIMAL(38,8)
+    * moments boxed two BigDecimals per row per moment (2.0 s at sf0.1
+    * → this form benches ~0.9 s). The oracle's DECIMAL fold computes
+    * the same exact rationals. The correlation itself is then a fixed
     * double formula over exact sums, written with the same association
     * in both engines. */
   def corrMatrix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables(s, dir, "lineitem")
-    def d(c: String) = round(col(c), 4).cast("decimal(12,4)")
+    import graft.functions.{Money4Bits, MoneySum}
+    def b(c: String) = Money4Bits(col(c))
     val moments =
       Seq(count(lit(1)).as("n")) ++
-      CorrCols.map(c => sum(d(c)).as(s"s_$c")) ++
-      CorrCols.map(c => sum(d(c) * d(c)).as(s"q_$c")) ++
-      pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"p_${a}_${b}") }
+      CorrCols.map(c => MoneySum.ofBits(b(c), 4).as(s"s_$c")) ++
+      CorrCols.map(c => MoneySum.ofBits(b(c) * b(c), 8).as(s"q_$c")) ++
+      pairs.map { case (a, b2) =>
+        MoneySum.ofBits(b(a) * b(b2), 8).as(s"p_${a}_${b2}") }
     val one = li.agg(moments.head, moments.tail: _*)
     val nD = $"n".cast("double")
     def corrOf(a: String, b: String): Column = {

@@ -48,11 +48,28 @@ object TpchExtra {
   /** Order-independent money sum: round the double TERM to 4 decimals
     * (each term is a product of 2-decimal money values — exact at 4
     * decimals, so the rounding only strips float noise), accumulate
-    * exactly in DECIMAL(28,4), surface as the 4-decimal double the
-    * oracle contract gates on. DECIMAL(28,4) holds 1e24 — no overflow
-    * at any realistic corpus. */
+    * exactly, surface as the 4-decimal double the oracle contract gates
+    * on. Since round 11 the exact accumulation is
+    * [[graft.functions.MoneySum]]'s 128-bit integer ten-thousandths in
+    * a two-long primitive buffer (fast-hash-map eligible, zero per-row
+    * allocation, overflow-safe to ~1.7e34 money units) instead of
+    * DECIMAL(28,4) — the round-10 DECIMAL buffer was variable-length
+    * (precision > 18), which knocked every consumer out of
+    * HashAggregate's vectorized path and cost `cube_agg` 4.5× under its
+    * grain Expand. Identical results: same per-term rounding, exact
+    * associative integer sum, same final decimal→double conversion.
+    *
+    * PRECONDITION (holds for every caller): the term is a double within
+    * ~1 ulp of an exact ≤ 4-decimal value — 2-decimal money columns and
+    * their pairwise products (2-dec × 2-dec = exact 4-dec). Under it,
+    * [[graft.functions.Money4Bits]]'s `Math.round(d·10⁴)` IS the
+    * HALF-UP 4-decimal rounding (no tie can arise when the true scaled
+    * value is an integer), so the explicit per-row `round(term, 4)` —
+    * one BigDecimal per row, ×|grains| under Expand — is dropped. A
+    * term with genuine >4-decimal precision would need the explicit
+    * round back (half-up tie semantics on real 5th decimals). */
   private[graft] def moneySum(term: Column): Column =
-    sum(round(term, 4).cast("decimal(28,4)")).cast("double")
+    graft.functions.MoneySum(term)
 
   /** DuckDB twin of [[moneySum]] — identical term rounding, identical
     * exact accumulation. */

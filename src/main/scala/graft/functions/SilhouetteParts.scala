@@ -30,9 +30,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Requires K ≥ 2 (a second-nearest must exist). */
 case class SilhouetteParts(x: Expression, y: Expression,
     cxs: Array[Double], cys: Array[Double], ids: Array[Int])
-    extends Expression {
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   require(cxs.length == cys.length && cxs.length == ids.length &&
     cxs.length >= 2, "need >= 2 centroids")
+
+  // analysis-time contract (the Log2Fixed pattern): non-double children
+  // get a cast inserted or a clean AnalysisException instead of a
+  // runtime ClassCastException in eval/codegen
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
 
   override def children: Seq[Expression] = Seq(x, y)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)

@@ -1344,9 +1344,15 @@ object Dedup {
       // repartition the probe side: a 100k-vector corpus is ~25 MB of
       // parquet = ONE scan partition, which would put the whole
       // quadratic pair stream in one task (the sf10 gate measured
-      // exactly that); range-spreading the left side makes the stream
-      // width the configured parallelism, and the broadcast right side
-      // keeps the join exchange-free
+      // exactly that); hash-spreading the left side on vec_id makes the
+      // stream width the configured parallelism, and the broadcast
+      // right side keeps the join exchange-free.
+      // SCOPE: this branch only runs for the tables == 1 exactness
+      // ANCHOR (dedup_embedding_lsh_exact and the hot-block arm), whose
+      // corpus is bounded — broadcasting the vector-attached right side
+      // is O(N) executor memory, fine at anchor size, wrong for an
+      // unbounded input. The shipped multi-table path below never
+      // broadcasts the corpus.
       val buckets = Similarity.withBuckets(e, dim, tables, nplanes)
         .select($"vec_id", $"label", $"v", $"nrm", $"t", $"bucket")
         .repartition(col("vec_id"))

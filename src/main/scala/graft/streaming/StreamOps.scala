@@ -224,13 +224,21 @@ object StreamOps {
     * the batch census — no line text ever reaches the state store or
     * the shuffle.
     *
-    * Contract: counts are per distinct CONSECUTIVE document (a doc
-    * repeating its own line — the batch operator's within-doc case —
-    * counts once; a doc RE-arriving later counts again). Exact
-    * distinct-doc semantics would pin unbounded doc-id sets into
-    * state; the batch census is the exact surface, this is the
-    * bounded-state ingest gate. Output mode Update: each touched line
-    * re-emits its row per batch. */
+    * Contract: counts are per distinct document PER BATCH, with one
+    * bridge doc suppressed across batches (a doc repeating its own
+    * line — the batch operator's within-doc case — counts once; a doc
+    * RE-arriving in a later batch counts again unless it was the
+    * previous batch's remembered representative). The per-batch update
+    * is ORDER-INSENSITIVE — the group's batch rows reduce to a distinct
+    * doc-id set and the remembered representative is the max doc id —
+    * because `flatMapGroupsWithState` guarantees no row order within a
+    * micro-batch: with multi-partition input, rows of two docs carrying
+    * the same line can interleave (A, B, A), and the earlier
+    * `doc != last` running check double-counted A. Exact distinct-doc
+    * semantics would pin unbounded doc-id sets into state; the batch
+    * census is the exact surface, this is the bounded-state ingest
+    * gate. Output mode Update: each touched line re-emits its row per
+    * batch. */
   def streamingBoilerplate(docs: DataFrame,
       minDocs: Long = graft.operators.Dedup.LineMinDocs): Dataset[BoilerUpdate] = {
     import docs.sparkSession.implicits._
@@ -244,11 +252,12 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (h: Long, rows: Iterator[(Long, Long)],
             state: GroupState[(Long, Long)]) => {
-          var (n, last) = state.getOption.getOrElse((0L, Long.MinValue))
-          rows.foreach { case (doc, _) =>
-            if (doc != last) { n += 1; last = doc }
-          }
-          state.update((n, last))
+          val (n0, last) = state.getOption.getOrElse((0L, Long.MinValue))
+          // order-insensitive batch update: distinct docs this batch,
+          // minus the cross-batch bridge representative
+          val docs = rows.map(_._1).toSet
+          val n = n0 + (docs - last).size
+          state.update((n, if (docs.nonEmpty) docs.max else last))
           Iterator.single(BoilerUpdate(h, n, n >= minDocs))
         })
   }

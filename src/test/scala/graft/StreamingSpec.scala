@@ -228,6 +228,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.processAllAvailable()
     mem.addData((4L, " cookie banner \ngamma")) // 3rd distinct doc, padded
     q.processAllAvailable()
+    // same line from two docs in ONE batch, one of them repeating it:
+    // the order-insensitive per-batch distinct must count exactly 2
+    // regardless of how (5, 6, 5) interleave across input partitions
+    mem.addData((5L, "inter\ninter"), (6L, "inter"), (5L, "inter"))
+    q.processAllAvailable()
     q.stop()
     // last state per line hash (Update mode re-emits per batch)
     val rows = spark.table("boiler").collect()
@@ -243,7 +248,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"banner must cross at the 3rd distinct doc: ${last(banner)}")
     assert(last(dup) == ((dup, 1L, false)),
       s"within-doc repeats count once: ${last(dup)}")
-    // the crossing happened only in the final batch
+    val inter = ph("inter")
+    assert(last(inter) == ((inter, 2L, false)),
+      s"interleaved same-batch docs count distinct: ${last(inter)}")
+    // the crossing happened in one batch (banner's 3rd distinct doc)
     assert(rows.count(r => r._1 == banner && r._3) == 1)
   }
 

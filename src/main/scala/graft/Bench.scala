@@ -201,6 +201,13 @@ object Bench {
       timed("quality_score_build") {
         operators.TextAnalysis.trainQualityScores(spark, sfDir); ()
       }
+      // the BPE merge-table trainer (one word count + driver merge
+      // loop), trained once per sweep — bpe_train/bpe_vocab/
+      // tok_fertility_learned then read the memoized table
+      operators.TextAnalysis.clearBpeCache()
+      timed("bpe_train_build") {
+        operators.TextAnalysis.trainBpe(spark, sfDir); ()
+      }
       names.foreach { case (name, fn) =>
         timed(name) { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       }

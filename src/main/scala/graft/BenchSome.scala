@@ -40,6 +40,10 @@ object BenchSome {
       "quality_score_build" -> (() => {
         operators.TextAnalysis.clearScoreCache()
         operators.TextAnalysis.trainQualityScores(spark, sfDir); ()
+      }),
+      "bpe_train_build" -> (() => {
+        operators.TextAnalysis.clearBpeCache()
+        operators.TextAnalysis.trainBpe(spark, sfDir); ()
       }))
     // dedupe: a repeated arg would double-count its sweeps. Sweeps >= 1
     // is enforced by Bench.Sweeps' own initializer (referencing it at

@@ -33,7 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * printable ASCII; Java chars and DuckDB grapheme split agree there).
   * Codegen emits one static call per document (the split + fold loops
   * live in [[Subword.count]]), staying inside whole-stage codegen. */
-case class SubwordTokens(child: Expression)
+case class SubwordTokens(child: Expression,
+    units: Seq[String] = Subword.BaseUnits)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
@@ -41,11 +42,18 @@ case class SubwordTokens(child: Expression)
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def prettyName: String = "subword_tokens"
 
-  override protected def nullSafeEval(input: Any): Any =
-    Subword.count(input.asInstanceOf[UTF8String])
+  // prefix-closed membership set for THIS expression's unit table
+  // (the fixed literal table by default; `bpe_train`'s learned merges
+  // for the *_learned twins)
+  @transient private lazy val vocabSet = Subword.closedSet(units)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Subword.count($c)")
+  override protected def nullSafeEval(input: Any): Any =
+    Subword.count(input.asInstanceOf[UTF8String], vocabSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabSet", vocabSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Subword.count($c, $ref)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -56,6 +64,11 @@ object Subword {
 
   def apply(c: Column): Column =
     GraftShims.column(SubwordTokens(GraftShims.expression(c)))
+
+  /** Subword count under an explicit unit table (prefix-closed here) —
+    * the learned-merge apply path. */
+  def apply(c: Column, units: Seq[String]): Column =
+    GraftShims.column(SubwordTokens(GraftShims.expression(c), units))
 
   /** The merge table: multi-character subword units a greedy pass can
     * emit. Common English bigrams/suffixes plus corpus-domain words —
@@ -85,11 +98,17 @@ object Subword {
     BaseUnits.flatMap(u => (2 to u.length).map(u.substring(0, _)))
       .distinct.sorted
 
-  private val vocabSet: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String](Vocab.size * 2)
-    Vocab.foreach(s.add)
+  /** Prefix closure (length ≥ 2) of a unit table as the membership
+    * set the greedy fold tests — closure is what makes "extend while
+    * member" equivalent to applying the merge chain. */
+  def closedSet(units: Seq[String]): java.util.HashSet[String] = {
+    val closed = units.flatMap(u => (2 to u.length).map(u.substring(0, _)))
+    val s = new java.util.HashSet[String](closed.size * 2)
+    closed.foreach(s.add)
     s
   }
+
+  private val vocabSet: java.util.HashSet[String] = closedSet(BaseUnits)
 
   /** Java regex `\s` membership — the `toks` splitter's classes
     * (DuckDB's RE2 `\s` lacks U+000B, which the corpus never holds). */
@@ -100,7 +119,10 @@ object Subword {
   /** Whitespace-split + greedy subword count, one call per document.
     * Whitespace = Java regex `\s` classes, matching the engine's
     * `toks` splitter (and DuckDB's `\s+` on this ASCII corpus). */
-  def count(text: UTF8String): Long = {
+  def count(text: UTF8String): Long = count(text, vocabSet)
+
+  /** [[count]] under an explicit prefix-closed membership set. */
+  def count(text: UTF8String, vocab: java.util.HashSet[String]): Long = {
     val s = text.toString
     val n = s.length
     var total = 0L
@@ -111,7 +133,7 @@ object Subword {
       } else {
         var j = i + 1
         while (j < n && !isSpace(s.charAt(j))) j += 1
-        total += countWord(s, i, j)
+        total += countWord(s, i, j, vocab)
         i = j
       }
     }
@@ -120,12 +142,13 @@ object Subword {
 
   /** Greedy fold over one word: extend the buffer while `buf + c` is a
     * vocab member, else emit and restart at `c`. */
-  private def countWord(s: String, from: Int, until: Int): Long = {
+  private def countWord(s: String, from: Int, until: Int,
+      vocab: java.util.HashSet[String]): Long = {
     var cnt = 0L
     var bufStart = from
     var k = from + 1
     while (k < until) {
-      if (vocabSet.contains(s.substring(bufStart, k + 1))) ()
+      if (vocab.contains(s.substring(bufStart, k + 1))) ()
       else { cnt += 1; bufStart = k }
       k += 1
     }
@@ -152,7 +175,15 @@ object Subword {
     * `split_part` of the result — no scalar subquery in the lambda. A
     * literal '~' inside a word behaves identically on both engines
     * (membership fails, buffer restarts). */
-  def duckDoc(toksExpr: String): String = {
+  def duckDoc(toksExpr: String): String = duckDoc(toksExpr, duckVocab)
+
+  /** [[duckDoc]] over an explicit vocab-list SQL expression (a column
+    * carrying the prefix-closed unit list — the learned-merge twins
+    * cross-join a 1-row closure CTE so the lambda references a plain
+    * column, not a subquery). The terminator argument requires that no
+    * vocab member contains '~' — the learned-unit extraction filters
+    * them out on both engines. */
+  def duckDoc(toksExpr: String, vocabExpr: String): String = {
     // no stripMargin anywhere here: the generated SQL is full of `||`
     // concatenations, and a continuation line starting with `||` loses
     // a pipe to an OUTER template's margin stripping when embedded —
@@ -162,7 +193,7 @@ object Subword {
     def bufOf(a: String) = s"split_part($a, $us, 2)"
     val step =
       s"CASE WHEN ${bufOf("acc")} != '' " +
-        s"AND list_contains($duckVocab, ${bufOf("acc")} || c) " +
+        s"AND list_contains($vocabExpr, ${bufOf("acc")} || c) " +
         s"THEN ${cntOf("acc")} || $us || ${bufOf("acc")} || c " +
         s"WHEN ${bufOf("acc")} = '' THEN ${cntOf("acc")} || $us || c " +
         s"ELSE CAST(CAST(${cntOf("acc")} AS BIGINT) + 1 AS VARCHAR) " +

@@ -86,12 +86,17 @@ object TextAnalysis {
     tokFertilityOn(Tables(s, dir, "documents"))
 
   /** [[tokFertility]] over an explicit documents frame (spec hook). */
-  private[graft] def tokFertilityOn(docs: DataFrame): DataFrame = {
+  private[graft] def tokFertilityOn(docs: DataFrame): DataFrame =
+    tokFertilityWith(docs, graft.functions.Subword(lower(col("text"))))
+
+  /** The census core under any subword-count column — shared by the
+    * fixed-table census and the learned-merge twin. */
+  private def tokFertilityWith(docs: DataFrame, subw: Column): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .select($"source",
         size(toks(lower($"text"))).cast("long").as("words"),
-        graft.functions.Subword(lower($"text")).as("subw"),
+        subw.as("subw"),
         length($"text").cast("long").as("chars"))
       .groupBy($"source")
       .agg(
@@ -125,6 +130,53 @@ object TextAnalysis {
        |    round(CAST(sum(chars) AS DOUBLE) / CAST(sum(subw) AS DOUBLE), 4)
        |  END AS chars_per_tok
        |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  /** [[tokFertility]] under the TRAINED merge table — the census that
+    * closes the BPE train→apply loop (round-10 verdict #7): the greedy
+    * apply's unit table is no longer the fixed literal
+    * [[graft.functions.Subword.BaseUnits]] but the merges `bpe_train`
+    * learns from THIS corpus, memoized once per (session, sf) and
+    * priced as `bpe_train_build`. The K-row learned table (12 merges)
+    * ships into the scan as expression constants — the broadcast-
+    * centroid discipline — so the census is still one narrow
+    * whole-stage-codegen'd pass at any corpus size. The oracle
+    * re-derives the merge table independently (the same unrolled CTE
+    * chain that gates `bpe_train`), builds the prefix closure in SQL,
+    * and cross-joins the 1-row closure onto the same fold — so the
+    * train→apply COMPOSITION sits under the hash gate, not just its
+    * halves. */
+  def tokFertilityLearned(s: SparkSession, dir: String): DataFrame =
+    tokFertilityWith(Tables(s, dir, "documents"),
+      graft.functions.Subword(lower(col("text")), learnedUnits(s, dir)))
+
+  lazy val tokFertilityLearnedSql: String = {
+    val merged = (1 to BpeMerges).map(r =>
+      s"SELECT l_sym || r_sym AS u FROM m$r").mkString(" UNION ")
+    s"""$bpeChainSql,
+       |units AS MATERIALIZED (
+       |  SELECT DISTINCT u FROM ($merged) WHERE NOT contains(u, '~')),
+       |closure AS MATERIALIZED (
+       |  SELECT list(DISTINCT p) AS vlist FROM (
+       |    SELECT unnest(list_transform(range(2, len(u) + 1),
+       |      i -> u[1:i])) AS p
+       |    FROM units)),
+       |d AS (
+       |  SELECT source, len($duckToks) AS words,
+       |    ${graft.functions.Subword.duckDoc(duckToks, "vlist")} AS subw,
+       |    length(text) AS chars
+       |  FROM documents, closure)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(words) AS BIGINT) AS sum_words,
+       |  CAST(sum(subw) AS BIGINT) AS sum_subtoks,
+       |  CAST(sum(chars) AS BIGINT) AS sum_chars,
+       |  CASE WHEN sum(words) > 0 THEN
+       |    round(CAST(sum(subw) AS DOUBLE) / CAST(sum(words) AS DOUBLE), 4)
+       |  END AS fertility,
+       |  CASE WHEN sum(subw) > 0 THEN
+       |    round(CAST(sum(chars) AS DOUBLE) / CAST(sum(subw) AS DOUBLE), 4)
+       |  END AS chars_per_tok
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
 
   // -------------------------------------------------------------- lang id
 
@@ -1390,8 +1442,36 @@ object TextAnalysis {
       .orderBy("merge_rank")
   }
 
-  def bpeTrain(s: SparkSession, dir: String): DataFrame =
-    bpeTrainOn(Tables(s, dir, "documents"))
+  /** Train-once memo for [[bpeCore]]'s result — three registry
+    * consumers (`bpe_train`, `bpe_vocab`, `tok_fertility_learned`) read
+    * the same trained table, so the one corpus word-count + driver
+    * merge loop runs once per (session, sf) and is priced by the bench
+    * as `bpe_train_build` (the dsir/lm/quality score-once accounting). */
+  private val bpeCache = new graft.SessionCache[
+    (Seq[(Int, String, String, String, Long)], Seq[(Vector[String], Long)])]()
+
+  def trainBpe(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)], Seq[(Vector[String], Long)]) =
+    bpeCache.getOrCompute(s, dir) { bpeCore(Tables(s, dir, "documents")) }
+
+  /** Test/bench hook: drop memoized trained merge tables. */
+  def clearBpeCache(): Unit = bpeCache.clear()
+
+  /** The learned unit table for the greedy APPLY path: the merged
+    * symbols `bpe_train` learns, in merge-rank order. Units containing
+    * '~' are excluded on BOTH engines — the DuckDB fold's word
+    * terminator relies on `buf || '~'` never being a vocab member (none
+    * arise from this corpus; the filter makes the contract hold on any
+    * input). */
+  private[graft] def learnedUnits(s: SparkSession, dir: String): Seq[String] =
+    trainBpe(s, dir)._1.map(_._4).filter(!_.contains("~")).distinct
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainBpe(s, dir)._1
+      .toDF("merge_rank", "l_sym", "r_sym", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
 
   /** The dictionary AFTER training: each word's learned segmentation
     * and subword-token count — what a tokenizer ships alongside the
@@ -1409,8 +1489,14 @@ object TextAnalysis {
       .orderBy("w")
   }
 
-  def bpeVocab(s: SparkSession, dir: String): DataFrame =
-    bpeVocabOn(Tables(s, dir, "documents"))
+  def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainBpe(s, dir)._2
+      .map { case (syms, n) =>
+        (syms.mkString, syms.mkString(" "), syms.size, n) }
+      .toDF("w", "seg", "n_tokens", "n")
+      .orderBy("w")
+  }
 
   /** The trainer's oracle: [[BpeMerges]] rounds unrolled statically.
     * `w{i}` = the dictionary re-segmented after i merges (symbol
@@ -1481,6 +1567,7 @@ object TextAnalysis {
     "text_normalize" -> (textNormalize(_, _)),
     "text_stats" -> (textStats(_, _)),
     "tok_fertility" -> (tokFertility(_, _)),
+    "tok_fertility_learned" -> (tokFertilityLearned(_, _)),
     "lang_id" -> (langId(_, _)),
     "quality_score" -> (qualityScore(_, _)),
     "gopher_rules" -> (gopherRules(_, _)),
@@ -1505,6 +1592,7 @@ object TextAnalysis {
     "text_normalize" -> textNormalizeSql,
     "text_stats" -> textStatsSql,
     "tok_fertility" -> tokFertilitySql,
+    "tok_fertility_learned" -> tokFertilityLearnedSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
     "gopher_rules" -> gopherRulesSql,

@@ -153,6 +153,44 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       && fails("empty") == Seq(1L, 0L, 0L) && kept("empty") == 0L)
   }
 
+  test("BPE train→apply: learned merges drive the greedy subword count") {
+    val ta = graft.operators.TextAnalysis
+    val sw = graft.functions.Subword
+    import org.apache.spark.unsafe.types.UTF8String
+    ta.clearBpeCache()
+    val units = ta.learnedUnits(spark, "/root/testdata/sf0.001")
+    assert(units.nonEmpty, "the trainer must learn merges")
+    assert(units.forall(u => u.length >= 2 && !u.contains("~")),
+      "apply units are multi-char and terminator-safe")
+    // memoized: the trained table is computed once per (session, sf)
+    assert(ta.trainBpe(spark, "/root/testdata/sf0.001")
+      .eq(ta.trainBpe(spark, "/root/testdata/sf0.001")))
+    val set = sw.closedSet(units)
+    // a word that IS a learned unit greedy-counts as ONE token
+    val u0 = units.maxBy(_.length)
+    assert(sw.count(UTF8String.fromString(u0), set) == 1L, s"unit=$u0")
+    // greedy equals an independent reference: longest-prefix-extension
+    // simulated per word with a fresh scan
+    def refCount(w: String): Long = {
+      var i = 0; var n = 0L
+      while (i < w.length) {
+        var j = i + 1
+        while (j < w.length && set.contains(w.substring(i, j + 1))) j += 1
+        n += 1; i = j
+      }
+      n
+    }
+    val words = Seq("the", "shuffle", "windowing", "zq", "a", u0, u0 + "x")
+    words.foreach { w =>
+      assert(sw.count(UTF8String.fromString(w), set) == refCount(w), w)
+    }
+    // and the census consumes it: learned fertility is finite and ≥ 1
+    val row = ta.tokFertilityLearned(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(row.getLong(3) >= row.getLong(2),
+      "subword tokens can never undercut whitespace words")
+  }
+
   test("winnowing: deque window minima == brute-force window minima") {
     // the monotone-deque selection must equal the definitional form:
     // distinct { min(hs[i..i+w-1 clipped]) : i in 0..max(m-w,0) }

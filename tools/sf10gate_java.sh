@@ -59,6 +59,17 @@ git add "CORRECTNESS_SF10_${ROUND}.json" && git commit -q \
   -m "Record the sf10 full-suite correctness gate" \
   -- "CORRECTNESS_SF10_${ROUND}.json" || true
 
+echo "=== sf10gate_java: ANN recall gate $(date +%T) ==="
+# round-10 verdict #8: recall floors asserted at the gate scale; all
+# collects are bounded (query sets / the 200-node anchor sample)
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  run_main graft.RecallGate "$SFDIR" 2>&1 | grep '"metric"' \
+  | tail -1 > "RECALL_SF10_${ROUND}.json" || echo "RECALL GATE FAILED"
+cat "RECALL_SF10_${ROUND}.json"
+git add "RECALL_SF10_${ROUND}.json" && git commit -q \
+  -m "Assert the ANN recall floors at sf10 (${ROUND})" \
+  -- "RECALL_SF10_${ROUND}.json" || true
+
 echo "=== sf10gate_java: bench (1 sweep) $(date +%T) ==="
 SPARK_GRAFT_SF_DIR="$SFDIR" GRAFT_BENCH_OUT=BENCH_FULL_SF10.json \
 GRAFT_BENCH_SWEEPS="${GRAFT_BENCH_SWEEPS:-1}" \

@@ -44,15 +44,28 @@ GRAFT_ORACLE_MEM="${GRAFT_ORACLE_MEM:-40GB}" \
 tail -4 /tmp/check_sf1.log
 python3 tools/sf1json.py /tmp/check_sf1.log "CORRECTNESS_SF1_${ROUND}.json"
 git add "CORRECTNESS_SF1_${ROUND}.json" && git commit -q \
-  -m "Refresh the sf1 full-suite correctness gate on the round-10 registry" \
+  -m "Refresh the sf1 full-suite correctness gate (${ROUND} registry)" \
   -- "CORRECTNESS_SF1_${ROUND}.json" || true
+
+echo "=== sf1gate_java: ANN recall gate $(date +%T) ==="
+# round-10 verdict #8: the rows-only ANN recall floors, asserted AT THE
+# GATE SCALE (the unit suite only pins them at sf0.01); exits non-zero
+# on a floor violation, which the log surfaces without killing the
+# bench phase
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
+  run_main graft.RecallGate "$SFDIR" 2>&1 | grep '"metric"' \
+  | tail -1 > "RECALL_SF1_${ROUND}.json" || echo "RECALL GATE FAILED"
+cat "RECALL_SF1_${ROUND}.json"
+git add "RECALL_SF1_${ROUND}.json" && git commit -q \
+  -m "Assert the ANN recall floors at sf1 (${ROUND})" \
+  -- "RECALL_SF1_${ROUND}.json" || true
 
 echo "=== sf1gate_java: bench (3 sweeps) $(date +%T) ==="
 SPARK_GRAFT_SF_DIR="$SFDIR" GRAFT_BENCH_OUT=BENCH_FULL_SF1.json \
 GRAFT_BENCH_SWEEPS="${GRAFT_BENCH_SWEEPS:-3}" \
   run_main graft.Bench 2>&1 | grep '"metric"' | tail -1
 git add BENCH_FULL_SF1.json && git commit -q \
-  -m "Refresh the sf1 bench artifact on the round-10 registry" \
+  -m "Refresh the sf1 bench artifact (${ROUND} registry)" \
   -- BENCH_FULL_SF1.json || true
 
 echo "=== sf1gate_java: done $(date +%T) ==="

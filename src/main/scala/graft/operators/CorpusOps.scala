@@ -315,7 +315,39 @@ object CorpusOps {
   def sourceMixOn(docsIn: DataFrame,
       tokensCol: org.apache.spark.sql.Column =
         size(graft.functions.TextFeatures.toks(lower(col("text")))).cast("long"))
-      : DataFrame = {
+      : DataFrame =
+    mixCore(docsIn, tokensCol, "#mix", s"(min_tok * $MixScale) DIV toks_src")
+
+  /** TEMPERATURE-scaled mix (α = 1/2): per-source keep rate
+    * `√(min_tok / toks_src)` in exact ten-thousandths — the gentler
+    * rebalance multilingual/multi-domain trainers actually use (target
+    * share ∝ share^α, Conneau & Lample 2019; UniMax's cap is the α→0
+    * end): the biggest source is down-sampled by the square root of
+    * its excess instead of flattened to the smallest source's budget,
+    * preserving more head-domain mass at the same determinism. The
+    * rate is a fixed IEEE expression (BIGINT ratio → double divide →
+    * exactly-rounded sqrt → ×10⁴ → floor) written identically on both
+    * engines, so the cut is bit-deterministic; the keep rule is the
+    * same salted PolyHash mod 10⁴, independent of `source_mix`'s via
+    * the '#temp' salt. */
+  def sourceMixTemp(s: SparkSession, dir: String): DataFrame =
+    sourceMixTempOn(Tables(s, dir, "documents"))
+
+  /** [[sourceMixTemp]] over an explicit documents frame (spec hook). */
+  private[graft] def sourceMixTempOn(docsIn: DataFrame): DataFrame =
+    mixCore(docsIn,
+      size(graft.functions.TextFeatures.toks(lower(col("text")))).cast("long"),
+      "#temp",
+      s"CAST(FLOOR($MixScale * SQRT(CAST(min_tok AS DOUBLE) / " +
+        "CAST(toks_src AS DOUBLE))) AS BIGINT)")
+
+  /** The shared mix plan: one token census, a |sources|-row rate table
+    * broadcast back, keep = salted-hash comparison in the scan — the
+    * corpus never shuffles rows; variants differ only in the rate
+    * FORMULA (integer ten-thousandths) and the hash salt. */
+  private def mixCore(docsIn: DataFrame,
+      tokensCol: org.apache.spark.sql.Column, salt: String,
+      rateSql: String): DataFrame = {
     import docsIn.sparkSession.implicits._
     val docs = docsIn
       .withColumn("words", tokensCol.cast("long"))
@@ -323,11 +355,11 @@ object CorpusOps {
       .agg(sum($"words").as("toks_src"))
     val minTok = perSrc.agg(min($"toks_src").as("min_tok"))
     val rates = perSrc.crossJoin(broadcast(minTok))
-      .withColumn("rate", expr(s"(min_tok * $MixScale) DIV toks_src"))
+      .withColumn("rate", expr(rateSql))
       .select($"source", $"rate")
     docs.join(broadcast(rates), "source")
       .withColumn("keep",
-        PolyHash(concat($"doc_id".cast("string"), lit("#mix"))) % MixScale < $"rate")
+        PolyHash(concat($"doc_id".cast("string"), lit(salt))) % MixScale < $"rate")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
@@ -346,7 +378,15 @@ object CorpusOps {
     sourceMixSqlWith(
       graft.functions.Subword.duckDoc(graft.functions.TextFeatures.duckToks))
 
-  private def sourceMixSqlWith(tokensExpr: String): String = {
+  val sourceMixTempSql: String =
+    sourceMixSqlWith(s"len(${graft.functions.TextFeatures.duckToks})",
+      s"CAST(floor($MixScale * sqrt(CAST(min_tok AS DOUBLE) / " +
+        "CAST(toks_src AS DOUBLE))) AS BIGINT)",
+      "#temp")
+
+  private def sourceMixSqlWith(tokensExpr: String,
+      rateSql: String = s"(min_tok * $MixScale) // toks_src",
+      salt: String = "#mix"): String = {
     s"""WITH d AS (
        |  SELECT source, doc_id, CAST($tokensExpr AS BIGINT) AS words
        |  FROM documents),
@@ -355,11 +395,11 @@ object CorpusOps {
        |  FROM d GROUP BY source),
        |mn AS (SELECT min(toks_src) AS min_tok FROM per_src),
        |rates AS (
-       |  SELECT source, (min_tok * $MixScale) // toks_src AS rate
+       |  SELECT source, $rateSql AS rate
        |  FROM per_src CROSS JOIN mn),
        |keyed AS (
        |  SELECT d.source, d.words, r.rate,
-       |    CASE WHEN ${PolyHash.duckSql("CAST(doc_id AS VARCHAR) || '#mix'")}
+       |    CASE WHEN ${PolyHash.duckSql(s"CAST(doc_id AS VARCHAR) || '$salt'")}
        |      % $MixScale < r.rate THEN 1 ELSE 0 END AS keep
        |  FROM d JOIN rates r USING (source))
        |SELECT source, count(*) AS n_docs,
@@ -575,6 +615,7 @@ object CorpusOps {
     "source_quota_approx" -> (sourceQuotaApprox(_, _)),
     "corpus_card" -> (corpusCard(_, _)),
     "source_mix" -> (sourceMix(_, _)),
+    "source_mix_temp" -> (sourceMixTemp(_, _)),
     "source_mix_bpe" -> (sourceMixBpe(_, _)),
     "decontaminate" -> (decontaminate(_, _)),
     "sample_split" -> (sampleSplit(_, _)),
@@ -587,6 +628,7 @@ object CorpusOps {
     "source_quota" -> sourceQuotaSql,
     "corpus_card" -> corpusCardSql,
     "source_mix" -> sourceMixSql,
+    "source_mix_temp" -> sourceMixTempSql,
     "source_mix_bpe" -> sourceMixBpeSql,
     "decontaminate" -> decontaminateSql,
     "sample_split" -> sampleSplitSql,

@@ -2018,6 +2018,85 @@ object Dedup {
       .orderBy($"source")
   }
 
+  /** The ACT half of [[dedupLines]] (CCNet line-level dedup, Wenzek
+    * 2020 — the census tells you how much boilerplate there is, this
+    * strips it): every line carried by ≥ [[LineMinDocs]] distinct
+    * documents corpus-wide is dropped from EVERY document (the cookie
+    * banner disappears from all its carriers, unlike the near-dup
+    * family's keep-one discipline — boilerplate has no canonical
+    * owner), and the report prices the cut per source: documents
+    * affected, line/char volume in and dropped, kept-char fraction.
+    *
+    * Same relationship as `span_redact` : `dedup_spans`. Scale shape:
+    * lines PolyHash in the scan (no line text in any exchange), the
+    * doc-frequency table aggregates (hash, source) rows, the flag
+    * joins back by hash (both sides aggregated/line-keyed — nothing
+    * quadratic), and the two distinct-doc counts share the per-source
+    * aggregation's Expand. */
+  def boilerplateStrip(s: SparkSession, dir: String): DataFrame =
+    boilerplateStripOn(Tables(s, dir, "documents"))
+
+  /** [[boilerplateStrip]] over an explicit documents frame (spec hook). */
+  private[graft] def boilerplateStripOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val lines = docs
+      .select($"doc_id", $"source",
+        explode(filter(transform(split($"text", "\n"), l => trim(l)),
+          l => l =!= lit(""))).as("line"))
+      .select($"doc_id", $"source",
+        graft.functions.PolyHash($"line").as("h"),
+        length($"line").cast("long").as("chars"))
+    val docFreq = lines.groupBy($"h")
+      .agg(count_distinct($"doc_id").as("doc_freq"))
+    lines.join(docFreq, "h")
+      .withColumn("boiler", $"doc_freq" >= LineMinDocs)
+      .groupBy($"source")
+      .agg(
+        count_distinct($"doc_id").as("n_docs"),
+        count_distinct(when($"boiler", $"doc_id")).as("n_docs_affected"),
+        count(lit(1)).as("lines_in"),
+        sum(when($"boiler", 1L).otherwise(0L)).as("lines_dropped"),
+        sum($"chars").as("chars_in"),
+        sum(when($"boiler", $"chars").otherwise(0L)).as("chars_dropped"),
+        when(sum($"chars") > 0,
+          round((sum($"chars") - sum(when($"boiler", $"chars").otherwise(0L)))
+            .cast("double") / sum($"chars").cast("double"), 4))
+          .as("kept_char_frac"))
+      .orderBy($"source")
+  }
+
+  val boilerplateStripSql: String = {
+    val hashOf = graft.functions.PolyHash.duckSql("line")
+    s"""WITH rawl AS (
+       |  SELECT doc_id, source, trim(l) AS line
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, chr(10))) AS l
+       |        FROM documents)
+       |  WHERE trim(l) != ''),
+       |lines AS (
+       |  SELECT doc_id, source, $hashOf AS h, length(line) AS chars
+       |  FROM rawl),
+       |dfh AS (
+       |  SELECT h, count(DISTINCT doc_id) AS doc_freq
+       |  FROM lines GROUP BY h)
+       |SELECT source,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  count(DISTINCT CASE WHEN doc_freq >= $LineMinDocs THEN doc_id END)
+       |    AS n_docs_affected,
+       |  count(*) AS lines_in,
+       |  CAST(sum(CASE WHEN doc_freq >= $LineMinDocs THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS lines_dropped,
+       |  CAST(sum(chars) AS BIGINT) AS chars_in,
+       |  CAST(sum(CASE WHEN doc_freq >= $LineMinDocs THEN chars ELSE 0 END)
+       |    AS BIGINT) AS chars_dropped,
+       |  CASE WHEN sum(chars) > 0 THEN
+       |    round(CAST(sum(chars) - sum(CASE WHEN doc_freq >= $LineMinDocs
+       |        THEN chars ELSE 0 END) AS DOUBLE)
+       |      / CAST(sum(chars) AS DOUBLE), 4)
+       |  END AS kept_char_frac
+       |FROM lines JOIN dfh USING (h)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val dedupLinesSql: String = {
     val hashOf = graft.functions.PolyHash.duckSql("line")
     s"""WITH rawl AS (
@@ -2052,6 +2131,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_lines" -> (dedupLines(_, _)),
+    "boilerplate_strip" -> (boilerplateStrip(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_pipeline" -> (dedupPipeline(_, _)),
     "dedup_canonical" -> (dedupCanonical(_, _)),
@@ -2071,6 +2151,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "dedup_lines" -> dedupLinesSql,
+    "boilerplate_strip" -> boilerplateStripSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_pipeline" -> dedupPipelineSql,
     "dedup_canonical" -> dedupCanonicalSql,

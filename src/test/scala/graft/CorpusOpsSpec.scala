@@ -157,6 +157,30 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again("A") == a.getLong(2) && again("B") == 2L)
   }
 
+  test("source_mix_temp: sqrt rates sit between the flat cut and full keep") {
+    import spark.implicits._
+    // A: 16 docs × 5 = 80 tokens, B: 4 docs × 5 = 20 → min = 20.
+    // plain mix rate_A = 2500; temperature rate_A = ⌊10⁴·√(1/4)⌋ = 5000
+    val mk = (i: Int) => s"w${i}a w${i}b w${i}c w${i}d w${i}e"
+    val docs = ((1 to 16).map(i => (i.toLong, "A", mk(i))) ++
+      (17 to 20).map(i => (i.toLong, "B", mk(i)))).toDF("doc_id", "source", "text")
+    val out = CorpusOps.sourceMixTempOn(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getLong(5) == 5000L, s"temp rate_A = sqrt(1/4): ${a.getLong(5)}")
+    val b = out("B")
+    assert(b.getLong(5) == 10000L && b.getLong(1) == b.getLong(2),
+      "the smallest source keeps everything")
+    // gentler than the flat mix on the SAME corpus, never above 1.0
+    val flatA = CorpusOps.sourceMixOn(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap.apply("A")
+    assert(flatA == 2500L && a.getLong(5) > flatA)
+    // deterministic: a second run is bit-identical
+    val again = CorpusOps.sourceMixTempOn(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again("A") == a.getLong(2) && again("B") == b.getLong(2))
+  }
+
   test("source_mix: the rate table joins as a broadcast, corpus never shuffles rows") {
     val df = CorpusOps.sourceMix(spark, sf)
     val plan = df.queryExecution.executedPlan

@@ -456,6 +456,35 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"within-doc repeats must not be boilerplate: $z")
   }
 
+  test("boilerplate_strip: drops from every carrier, prices the cut") {
+    import spark.implicits._
+    // same fixture as the census: "cookie banner" (13 chars) rides 4
+    // docs across 3 sources -> dropped from ALL of them; "dup" repeats
+    // within one doc (doc_freq 1) -> kept
+    val out = Dedup.boilerplateStripOn(Seq(
+      (1L, "x", "cookie banner\nalpha one"),
+      (2L, "x", "cookie banner\nbeta two"),
+      (3L, "y", "cookie banner\ngamma three"),
+      (4L, "y", " cookie banner \ndelta"),
+      (5L, "z", "dup\ndup\ndup"))
+      .toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // columns: source, n_docs, n_docs_affected, lines_in, lines_dropped,
+    //          chars_in, chars_dropped, kept_char_frac
+    val x = out("x")
+    assert(x.getLong(1) == 2L && x.getLong(2) == 2L, s"x docs: $x")
+    assert(x.getLong(3) == 4L && x.getLong(4) == 2L, s"x lines: $x")
+    assert(x.getLong(6) == 26L, s"x chars dropped: $x")
+    assert(x.getDouble(7) == 0.3953, s"x kept frac 17/43: $x")
+    val y = out("y")
+    assert(y.getLong(2) == 2L && y.getLong(4) == 2L,
+      s"the padded copy must also drop: $y")
+    val z = out("z")
+    assert(z.getLong(2) == 0L && z.getLong(4) == 0L
+      && z.getDouble(7) == 1.0,
+      s"within-doc repeats are not boilerplate, nothing drops: $z")
+  }
+
   test("labelsOf: distributed fixpoint ≡ local union-find finish") {
     import spark.implicits._
     // mixed shapes with interleaved ids so min-roots cross the fixture:

@@ -927,7 +927,65 @@ object Similarity {
        |  round(avg(cos), 4) AS avg_cos
        |FROM best GROUP BY seed_id ORDER BY cluster_seed""".stripMargin
 
+  /** Per-DIMENSION embedding census — the anisotropy/collapse screen a
+    * pipeline runs before trusting an embedding space (a dimension with
+    * ~zero variance is dead weight in every cosine; one with outlier
+    * range dominates them — Ethayarajh EMNLP 2019's anisotropy
+    * observation as a data-quality gate): n, mean, variance, min, max
+    * per dimension.
+    *
+    * Scale shape: `posexplode` fans each row to D=64 (dim, x) pairs
+    * INSIDE the scan stage, where the partial aggregate immediately
+    * absorbs them — only D groups × partials reach the exchange, so
+    * the ×64 never ships. Moments are exact: x rounds to its 4 written
+    * decimals, Σx / Σx² accumulate in [[graft.functions.MoneySum]]'s
+    * 128-bit integer buffer (scale 4 / 8 — the `corr_matrix`
+    * discipline), mean/variance are fixed double formulas over exact
+    * sums with the same association in both engines; min/max are
+    * order-free. */
+  def embeddingStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Money4Bits, MoneySum}
+    val b = Money4Bits(round($"x", 4))
+    Tables(s, dir, "embeddings")
+      .select(posexplode($"embedding").as(Seq("dim0", "xf")))
+      .select(($"dim0" + 1).as("dim"), $"xf".cast("double").as("x"))
+      .groupBy($"dim")
+      .agg(
+        count(lit(1)).as("n"),
+        MoneySum.ofBits(b, 4).as("sx"),
+        MoneySum.ofBits(b * b, 8).as("sxx"),
+        min($"x").as("min_x"),
+        max($"x").as("max_x"))
+      .select($"dim", $"n",
+        round($"sx" / $"n".cast("double"), 4).as("mean_x"),
+        round(($"n".cast("double") * $"sxx" - $"sx" * $"sx") /
+          ($"n".cast("double") * $"n".cast("double")), 4).as("var_x"),
+        $"min_x", $"max_x")
+      .orderBy($"dim")
+  }
+
+  val embeddingStatsSql: String =
+    """WITH xs AS (
+      |  SELECT g.i AS dim, CAST(e.embedding[g.i] AS DOUBLE) AS x
+      |  FROM embeddings e,
+      |    LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g),
+      |m AS (
+      |  SELECT dim, count(*) AS n,
+      |    CAST(sum(CAST(round(x, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(round(x, 4) AS DECIMAL(24,4))
+      |      * CAST(round(x, 4) AS DECIMAL(12,4))) AS DOUBLE) AS sxx,
+      |    min(x) AS min_x, max(x) AS max_x
+      |  FROM xs GROUP BY dim)
+      |SELECT dim, n,
+      |  round(sx / CAST(n AS DOUBLE), 4) AS mean_x,
+      |  round((CAST(n AS DOUBLE) * sxx - sx * sx)
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS var_x,
+      |  min_x, max_x
+      |FROM m ORDER BY dim""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_stats" -> (embeddingStats(_, _)),
     "embedding_clusters" -> (embeddingClusters(_, _)),
     "ann_bruteforce" -> (annBruteForce(_, _)),
     "hard_negatives" -> (hardNegatives(_, _)),
@@ -943,6 +1001,7 @@ object Similarity {
     "knn_graph_exact" -> (knnGraphExact(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "embedding_stats" -> embeddingStatsSql,
     "embedding_clusters" -> embeddingClustersSql,
     "ann_bruteforce" -> annBruteForceSql,
     "hard_negatives" -> hardNegativesSql,

@@ -159,6 +159,29 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8)
   }
 
+  test("embedding_stats: every dimension censused, moments consistent, one exchange") {
+    val out = Similarity.embeddingStats(spark, sf)
+    val rows = out.collect()
+    val nVecs = Tables(spark, sf, "embeddings").count()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length),
+      "dims must be dense from 1")
+    rows.foreach { r =>
+      assert(r.getLong(1) == nVecs, s"dim ${r.getInt(0)} count")
+      assert(r.getDouble(3) >= 0.0, s"variance must be non-negative: $r")
+      assert(r.getDouble(4) <= r.getDouble(2) + 1e-9
+        && r.getDouble(2) <= r.getDouble(5) + 1e-9,
+        s"min <= mean <= max: $r")
+    }
+    // the x64 posexplode is absorbed by the partial aggregate in the
+    // scan stage: only the 64-group agg + final-sort exchanges exist,
+    // so the exploded volume never ships
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exchanges = out.queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 2,
+      s"posexplode volume must never ship: ${exchanges.size} exchanges")
+  }
+
   test("embedding_clusters: partitions the corpus, all seeds occupied, deterministic") {
     val out = Similarity.embeddingClusters(spark, sf).collect()
     assert(out.length == Similarity.ClusterK,

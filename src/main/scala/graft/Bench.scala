@@ -115,7 +115,17 @@ object Bench {
       operators.LangModel.clearScoreCache()
       operators.LangModel.trainScores(spark, sfDir)
     } catch { case _: Throwable => }
+    // GRAFT_BENCH_ONLY=<comma-separated names>: targeted re-bench of a
+    // family under iteration (the full sf10 suite is a ~2 h single
+    // sweep — measuring one fix must not cost that). The per-sweep
+    // build stages are SKIPPED and their caches stay warm from the
+    // warmup, so filtered query times measure the same steady state the
+    // full run does; the emitted JSON is a partial artifact for
+    // iteration, never a BENCH_FULL_* replacement.
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(n => only.forall(_.contains(n._1)))
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     // per-query I/O (shuffle read / shuffle write / spill bytes), the
@@ -147,7 +157,13 @@ object Bench {
         io(name) = (math.max(p._1, d._1), math.max(p._2, d._2), math.max(p._3, d._3))
       }
     }
-    for (_ <- 1 to Sweeps) {
+    for (_ <- 1 to Sweeps) if (only.nonEmpty) {
+      // targeted mode: no cache clears, no build-stage pricing — the
+      // warmup above already built every shared table once
+      names.foreach { case (name, fn) =>
+        timed(name) { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      }
+    } else {
       operators.Dedup.clearPairCache()
       // the shared pair-stage build, priced once per sweep as its own
       // entry (ngramPairs materializes eagerly via localCheckpoint, so

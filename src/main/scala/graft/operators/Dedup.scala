@@ -828,28 +828,34 @@ object Dedup {
     * operator fails loudly toward [[dedupEmbeddingLsh]]. */
   val MaxHotLabels = 1000
 
-  /** Target rows per (table, bucket) cell in the hot-block LSH arm.
+  /** Target rows per (table, bucket) cell in the hot-block/LSH arm.
     * [[Similarity.NPlanes]] = 3 (8 buckets/table) is sized for
     * ANN-scale blocks; on a block of b rows the per-table candidate
     * fan-out is ~b²/2^planes — with 3 planes a 21,800-row hot block
-    * would emit b²/8 pairs PER TABLE across 8 tables, i.e. the full
-    * quadratic it was routed here to avoid (measured: the fixed-plane
-    * hot arm ran no faster than exact all-pairs; see
-    * HOTBLOCK_BENCH.json). So the hot arm sizes its plane count from
-    * the measured largest hot block: planes = ⌈log₂(maxBlock/256)⌉,
-    * giving ~256-row buckets → ≤ 256²/2 ≈ 3.3·10⁴ pairs per cell
-    * regardless of block size, while near-identical pairs (the mass of
-    * a hot block's true dups) still collide in ≥ 1 of the 8 tables
-    * with probability ≈ 1 − (1 − (1 − θ/π)^planes)^8 — ≥ 0.999 at
-    * cosine 0.99 even with 10 planes. */
-  val HotTargetBucketRows = 256
+    * would emit b²/8 pairs PER TABLE, i.e. the full quadratic it was
+    * routed here to avoid (measured: the fixed-plane hot arm ran no
+    * faster than exact all-pairs; see HOTBLOCK_BENCH.json). So the arm
+    * sizes its plane count from the measured largest block:
+    * planes = ⌈log₂(maxBlock/64)⌉ — the same 64-row expected bucket the
+    * kNN-graph build targets ([[Similarity.KnnTargetBucket]]), which
+    * held 6.2×/decade at the sf10 gate — so per-cell candidate fan-out
+    * stays ~2·10³ pairs at any block size. Was 256 through round 11:
+    * with vectors now riding the bucket join, per-candidate cost is a
+    * codegen'd 64-dim dot rather than a re-attach shuffle row, and the
+    * 16× smaller quadratic term beats the extra tables' linear cost at
+    * every block size past the clamp floor. */
+  val HotTargetBucketRows = 64
 
-  /** Ceiling on hot-arm planes: 10 planes = 1024 buckets/table keeps
-    * the 8-table bucket expression inside one codegen'd projection
-    * (80 literal-plane dot products per hot row) — blocks beyond
-    * 1024·256 ≈ 2.6·10⁵ rows get proportionally larger buckets rather
-    * than an unbounded expression tree. */
-  val MaxHotPlanes = 10
+  /** Ceiling on hot-arm planes: 16 planes = 65,536 buckets/table (the
+    * [[Similarity.knnPlanes]] ceiling — the 8-to-27-table bucket
+    * expression stays one codegen'd projection; knn_graph runs the
+    * identical expression shape at the same width). Blocks beyond
+    * 65,536·64 ≈ 4.2·10⁶ rows get proportionally larger buckets rather
+    * than an unbounded expression tree. Was 10 through round 11 —
+    * 1024 buckets saturate at ~2.6·10⁵-row blocks, past which the
+    * within-bucket quadratic refills (the round-11 verdict's
+    * dedup_embedding_lsh flag). */
+  val MaxHotPlanes = 16
 
   /** [[dedupEmbedding]] over a prepared (vec_id, label, v, nrm) frame
     * with an explicit hot-block threshold — spec surface.
@@ -894,8 +900,9 @@ object Dedup {
         // buckets/table, which on a block ≫ 8·bucket leaves the
         // quadratic intact inside each bucket
         val maxBn = hotRows.map(_.getLong(1)).max
+        val planes = adaptivePlanes(maxBn)
         exact.union(
-          lshCosinePairs(hot, dim, Similarity.Tables_, adaptivePlanes(maxBn)))
+          lshCosinePairs(hot, dim, adaptiveTables(planes), planes))
       }
     pairs
       .filter($"cosine" >= CosineTau)
@@ -1277,25 +1284,49 @@ object Dedup {
     // plane count sized from the largest label block (one tiny agg,
     // K-row collect) — the fixed ANN-scale NPlanes=3 leaves only 8
     // buckets per table, which on a 25k-row sf10 block keeps ~b²/8 of
-    // the quadratic alive INSIDE each bucket; ~256-row buckets bound
+    // the quadratic alive INSIDE each bucket; ~64-row buckets bound
     // per-cell fan-out regardless of block size (the hot-arm sizing,
-    // now shared)
+    // now shared), with the table count compensating the dup-band
+    // recall (adaptiveTables)
     val maxBn = Similarity.embedded(s, dir)
       .groupBy($"label").agg(count(lit(1)).as("bn"))
       .agg(max($"bn")).head().getLong(0)
-    dedupEmbeddingLshWith(s, dir, Similarity.Tables_, adaptivePlanes(maxBn))
+    val planes = adaptivePlanes(maxBn)
+    dedupEmbeddingLshWith(s, dir, adaptiveTables(planes), planes)
   }
 
   /** Hot-arm/LSH plane count for a largest block of `maxBn` rows:
     * ⌈log₂(maxBn/[[HotTargetBucketRows]])⌉ clamped to
-    * [[[Similarity.NPlanes]], [[MaxHotPlanes]]] — ~256-row buckets, so
-    * per-(table,bucket) candidate fan-out stays ~3.3·10⁴ pairs at any
-    * block size while near-identical pairs still collide in ≥ 1 of the
-    * 8 tables with probability ≈ 1 at dup-band cosines. */
-  private def adaptivePlanes(maxBn: Long): Int =
+    * [[[Similarity.NPlanes]], [[MaxHotPlanes]]] — ~64-row buckets, so
+    * per-(table,bucket) candidate fan-out stays ~2·10³ pairs at any
+    * block size. Pair with [[adaptiveTables]]: more planes cut the
+    * quadratic term 4× per 2 bits but thin each table's collision odds,
+    * so the table count rises to hold the dup-band recall floor. */
+  private[operators] def adaptivePlanes(maxBn: Long): Int =
     math.min(MaxHotPlanes, math.max(Similarity.NPlanes,
       math.ceil(math.log(maxBn.toDouble / HotTargetBucketRows) /
         math.log(2)).toInt))
+
+  /** Table count compensating [[adaptivePlanes]]'s recall thinning (the
+    * round-11 verdict's prescription: size planes to the data, buy the
+    * recall back with tables — a LINEAR cost, vs the quadratic one the
+    * planes remove). For random hyperplanes the per-table collision
+    * probability of a cosine-c pair is (1 − acos(c)/π)^planes; the
+    * count is the smallest L with 1 − (1 − q)^L ≥ 0.95 at c = 0.9 (the
+    * conservative EDGE of the dup band — true near-dups in any corpus
+    * this operator prunes sit ≥ 0.95 where the odds are far better),
+    * floored at [[Similarity.Tables_]] so small corpora keep the
+    * round-11 behavior exactly: L = 8 through 7 planes (every scale up
+    * to sf1), 11 at the sf10 shape (9 planes), 35 at the 16-plane
+    * ceiling. Sub-dup-band pairs (CosineTau 0.35 .. ~0.6) are
+    * explicitly NOT chased at scale — collision odds at 0.35 fall as
+    * 0.61^planes and no affordable table count recovers them; the
+    * recall specs and HOTBLOCK_BENCH gate the ≥ 0.6 and ≥ 0.9 bands. */
+  private[operators] def adaptiveTables(planes: Int): Int = {
+    val q = math.pow(1.0 - math.acos(0.9) / math.Pi, planes.toDouble)
+    math.max(Similarity.Tables_,
+      math.ceil(math.log(0.05) / math.log1p(-q)).toInt)
+  }
 
   /** The embedding-LSH EXACTNESS ANCHOR (round-4 verdict item 4): one
     * table with ZERO planes puts every vector in bucket 0, so the
@@ -1366,19 +1397,29 @@ object Dedup {
           graft.functions.DotProduct($"v", $"vb") / ($"nrm" * $"nb"), 4)
           .as("cosine"))
     } else {
+      // Multi-table production path: VECTORS RIDE THE BUCKET JOIN (the
+      // knn_graph discipline, Similarity.knnGraphWith). The former shape
+      // — ids-only candidates through a distinct, vectors re-attached by
+      // two joins — was the round-11 sf10 gate's 57×/decade outlier:
+      // re-attaching two 64-dim vectors to O(Σ b²/2^planes) candidate
+      // pairs shuffles ~1 KB per pair (tens of GB at sf10, most of the
+      // suite's spill), while the pair KEYS are 16 bytes. Instead both
+      // join sides carry (v, nrm), the cosine is computed inside the
+      // bucket partition, and only (a_id, b_id, cosine) — 24-byte rows —
+      // ever reaches an exchange; the cross-table dedup is a
+      // groupBy(a_id, b_id).max(cosine) with map-side partials (the
+      // cosine is bit-identical per duplicate hit — same expression on
+      // the same operands — so max is just the associative pick, and
+      // precision/parity vs the exact arm is untouched).
       val buckets = Similarity.withBuckets(e, dim, tables, nplanes)
-        .select($"vec_id", $"label", $"t", $"bucket")
-      val cand = buckets.as("a").join(buckets.as("b"),
+        .select($"vec_id", $"label", $"v", $"nrm", $"t", $"bucket")
+      buckets.as("a").join(buckets.as("b"),
           $"a.label" === $"b.label" && $"a.t" === $"b.t" &&
           $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"))
-        .distinct()
-      val vecs = e.select($"vec_id", $"v", $"nrm")
-      cand
-        .join(vecs.select($"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na")), "a_id")
-        .join(vecs.select($"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb")), "b_id")
-        .select($"a_id", $"b_id", round(
-          graft.functions.DotProduct($"va", $"vb") / ($"na" * $"nb"), 4).as("cosine"))
+        .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"), round(
+          graft.functions.DotProduct($"a.v", $"b.v") /
+            ($"a.nrm" * $"b.nrm"), 4).as("cosine"))
+        .groupBy($"a_id", $"b_id").agg(max($"cosine").as("cosine"))
     }
   }
 

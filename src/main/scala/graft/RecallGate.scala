@@ -23,10 +23,14 @@ object RecallGate {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
   private def recallOf(exact: Map[Long, Set[Long]],
-      approx: Map[Long, Set[Long]]): Double =
+      approx: Map[Long, Set[Long]]): Double = {
+    // a malformed/empty sf dir must fail loudly as a data-shape error,
+    // not surface as NaN recall masquerading as a floor violation
+    require(exact.nonEmpty, "empty exact anchor set — malformed sf dir?")
     exact.map { case (q, ns) =>
       ns.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / ns.size
     }.sum / exact.size
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -44,7 +48,30 @@ object RecallGate {
         val approx = sets(S.knnGraph(spark, sfDir)
           .filter(s"q_id < ${S.KnnNodes}"))
         recallOf(anchor, approx)
+      })) ++ {
+      // dedup_embedding_lsh dup-band recall on the clone-closed sample
+      // (Dedup.dedupEmbeddingSampleExact): exact is all-pairs on the
+      // mod-2000 residue window, approx is the PRODUCTION full-corpus
+      // run (corpus-sized planes/tables) restricted to the same window —
+      // so the floor exercises the sizing the shipped operator actually
+      // uses at this scale. The base (underived) corpora hold no
+      // dup-band pairs at all (every sf0.1 pair sits in 0.35..0.6), so
+      // an empty anchor skips the entry instead of reporting vacuously.
+      val D = operators.Dedup
+      val anchor = sets(D.dedupEmbeddingSampleExact(spark, sfDir)
+        .filter(s"cosine >= 0.9"))
+      if (anchor.isEmpty) {
+        System.err.println(
+          "dedup_embedding_lsh: no dup-band pairs in the anchor sample " +
+            "(base corpus?) — entry skipped")
+        Seq.empty
+      } else Seq(("dedup_embedding_lsh", 0.8, () => {
+        val approx = sets(D.dedupEmbeddingLsh(spark, sfDir)
+          .filter(s"a_id % ${D.SampleMod} < ${D.SampleKeep} AND " +
+            s"b_id % ${D.SampleMod} < ${D.SampleKeep} AND cosine >= 0.9"))
+        recallOf(anchor, approx)
       }))
+    }
     val results = families.map { case (name, floor, f) =>
       val r = f()
       (name, floor, r, r >= floor)

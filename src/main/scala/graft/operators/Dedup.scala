@@ -821,6 +821,28 @@ object Dedup {
   def dedupEmbeddingAllPairs(s: SparkSession, dir: String): DataFrame =
     dedupEmbeddingOn(Similarity.embedded(s, dir), Int.MaxValue)
 
+  /** Clone-closed anchor sample for the scale gate's dedup-LSH recall
+    * entry (graft.RecallGate): the derived sf1/sf10 corpora shift
+    * vec_id by r·span per replica with span = [[SampleMod]] at every
+    * decade (the sf0.1 base key span, and sf10's 20,000-span shift is
+    * ≡ 0 mod 2000), so one mod-[[SampleMod]] residue window keeps every
+    * replica of each sampled original and the dup-band (cosine ≥ 0.9)
+    * pairs at scale — which are exactly the clone pairs — stay inside
+    * the sample. Exact all-pairs on the sample is O((N/10)²/labels):
+    * trivial at any gate scale, while full exact is the quadratic the
+    * LSH path exists to avoid. */
+  def dedupEmbeddingSampleExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dedupEmbeddingOn(
+      Similarity.embedded(s, dir).filter($"vec_id" % SampleMod < SampleKeep),
+      Int.MaxValue)
+  }
+
+  /** [[dedupEmbeddingSampleExact]]'s residue window: the sf0.1 key
+    * span (every ScaleUp decade shifts ids by a multiple of it). */
+  val SampleMod = 2000L
+  val SampleKeep = 200L
+
   /** Most over-cap labels the driver will hold as literals — hot
     * labels are structurally few (each owns > cap rows, and isin lists
     * beyond this size stop being codegen-friendly); more than this

@@ -67,7 +67,9 @@ object TpchExtra {
     * value is an integer), so the explicit per-row `round(term, 4)` —
     * one BigDecimal per row, ×|grains| under Expand — is dropped. A
     * term with genuine >4-decimal precision would need the explicit
-    * round back (half-up tie semantics on real 5th decimals). */
+    * round back (half-up tie semantics on real 5th decimals) — the
+    * divergence is pinned by MoneySumSpec's >4-decimal footgun test,
+    * not just this prose. */
   private[graft] def moneySum(term: Column): Column =
     graft.functions.MoneySum(term)
 

@@ -80,6 +80,29 @@ class MoneySumSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.isNullAt(0), "global agg over zero rows must be NULL")
   }
 
+  test("the >4-decimal footgun is REAL: unrounded 5-decimal terms diverge") {
+    // TpchExtra.moneySum drops the per-row round(term, 4) under the
+    // documented precondition (every caller's term is exact at ≤ 4
+    // decimals). This pins what happens when a future caller breaks it
+    // (ADVICE r11): on a genuine 5th decimal, Money4Bits' Math.round
+    // rounds ties toward +inf — so a NEGATIVE tie (-0.00005) lands on
+    // 0, while the oracle contract (DuckDB DECIMAL / Spark round() =
+    // HALF_UP, away from zero) lands on -0.0001. A caller with
+    // unknown-scale input must keep the explicit round(term, 4).
+    val s = spark
+    import s.implicits._
+    val df = Seq(-0.00005).toDF("v")
+    val bare = df.agg(MoneySum($"v").as("m")).head.getDouble(0)
+    val rounded = df.agg(MoneySum(round($"v", 4)).as("m")).head.getDouble(0)
+    val oracle = df.agg(decimalSum($"v").as("m")).head.getDouble(0)
+    assert(rounded == oracle && rounded == -0.0001,
+      s"explicit round must match HALF_UP: $rounded vs $oracle")
+    assert(bare != oracle,
+      "expected divergence vanished — if Money4Bits gained real HALF_UP " +
+        "tie handling, moneySum's precondition doc is stale; update both")
+    assert(bare == 0.0, s"ties-toward-+inf should land on 0, got $bare")
+  }
+
   test("negative totals and the sign-extension path") {
     val s = spark
     import s.implicits._

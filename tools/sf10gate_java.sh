@@ -16,7 +16,10 @@ JAR="${GRAFT_JAR:-/tmp/graft_snapshot.jar}"
 SFDIR="${1:-/tmp/sf10}"
 OUTDIR="${2:-/tmp/verify_sf10}"
 MEM="${SPARK_DRIVER_MEM:-64g}"
-ROUND="${GRAFT_ROUND:-r10}"
+# single versioned default (ADVICE r11): tools/ROUND is bumped once
+# per round so a bare invocation can never overwrite a prior round's
+# artifacts under a stale name
+ROUND="${GRAFT_ROUND:-$(cat "$(dirname "$0")/ROUND" 2>/dev/null || echo rXX)}"
 
 JVM_FLAGS=()
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
@@ -30,6 +33,9 @@ if [ -f /tmp/log4j2-quiet.properties ]; then
   JVM_FLAGS+=("-Dlog4j2.configurationFile=/tmp/log4j2-quiet.properties")
 fi
 
+# a recall floor violation must reach the exit status (ADVICE r11) —
+# but only after the bench phase has run and committed its artifact
+RECALL_FAILED=0
 run_main() {  # run_main <mainClass> [args...]
   java "${JVM_FLAGS[@]}" -cp "$JAR:/opt/spark/jars/*" "$@"
 }
@@ -64,7 +70,8 @@ echo "=== sf10gate_java: ANN recall gate $(date +%T) ==="
 # collects are bounded (query sets / the 200-node anchor sample)
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   run_main graft.RecallGate "$SFDIR" 2>&1 | grep '"metric"' \
-  | tail -1 > "RECALL_SF10_${ROUND}.json" || echo "RECALL GATE FAILED"
+  | tail -1 > "RECALL_SF10_${ROUND}.json" \
+  || { echo "RECALL GATE FAILED"; RECALL_FAILED=1; }
 cat "RECALL_SF10_${ROUND}.json"
 git add "RECALL_SF10_${ROUND}.json" && git commit -q \
   -m "Assert the ANN recall floors at sf10 (${ROUND})" \
@@ -78,3 +85,4 @@ git add BENCH_FULL_SF10.json && git commit -q \
   -m "Record the sf10 single-sweep bench" -- BENCH_FULL_SF10.json || true
 
 echo "=== sf10gate_java: done $(date +%T) ==="
+exit $RECALL_FAILED

@@ -12,7 +12,10 @@ JAR="${GRAFT_JAR:-/tmp/graft_snapshot_sf1.jar}"
 SFDIR="${1:-/tmp/sf1}"
 OUTDIR="${2:-/tmp/verify_sf1}"
 MEM="${SPARK_DRIVER_MEM:-32g}"
-ROUND="${GRAFT_ROUND:-r10}"
+# single versioned default (ADVICE r11): tools/ROUND is bumped once
+# per round so a bare invocation can never overwrite a prior round's
+# artifacts under a stale name
+ROUND="${GRAFT_ROUND:-$(cat "$(dirname "$0")/ROUND" 2>/dev/null || echo rXX)}"
 
 JVM_FLAGS=()
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
@@ -26,6 +29,9 @@ if [ -f /tmp/log4j2-quiet.properties ]; then
   JVM_FLAGS+=("-Dlog4j2.configurationFile=/tmp/log4j2-quiet.properties")
 fi
 
+# a recall floor violation must reach the exit status (ADVICE r11) —
+# but only after the bench phase has run and committed its artifact
+RECALL_FAILED=0
 run_main() { java "${JVM_FLAGS[@]}" -cp "$JAR:/opt/spark/jars/*" "$@"; }
 
 echo "=== sf1gate_java: verify $(date +%T) ==="
@@ -54,7 +60,8 @@ echo "=== sf1gate_java: ANN recall gate $(date +%T) ==="
 # bench phase
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
   run_main graft.RecallGate "$SFDIR" 2>&1 | grep '"metric"' \
-  | tail -1 > "RECALL_SF1_${ROUND}.json" || echo "RECALL GATE FAILED"
+  | tail -1 > "RECALL_SF1_${ROUND}.json" \
+  || { echo "RECALL GATE FAILED"; RECALL_FAILED=1; }
 cat "RECALL_SF1_${ROUND}.json"
 git add "RECALL_SF1_${ROUND}.json" && git commit -q \
   -m "Assert the ANN recall floors at sf1 (${ROUND})" \
@@ -69,3 +76,4 @@ git add BENCH_FULL_SF1.json && git commit -q \
   -- BENCH_FULL_SF1.json || true
 
 echo "=== sf1gate_java: done $(date +%T) ==="
+exit $RECALL_FAILED

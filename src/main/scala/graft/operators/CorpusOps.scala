@@ -387,7 +387,12 @@ object CorpusOps {
   private def sourceMixSqlWith(tokensExpr: String,
       rateSql: String = s"(min_tok * $MixScale) // toks_src",
       salt: String = "#mix"): String = {
-    s"""WITH d AS (
+    // d is MATERIALIZED (round-12 sf1 oracle-timeout fix): DuckDB 1.0
+    // inlines plain CTEs per reference, and d is read twice (per_src,
+    // keyed) — for source_mix_bpe its tokens expression is the
+    // per-character subword fold, so the inline re-ran the most
+    // expensive scalar pipeline in the suite twice. Oracle-side only.
+    s"""WITH d AS MATERIALIZED (
        |  SELECT source, doc_id, CAST($tokensExpr AS BIGINT) AS words
        |  FROM documents),
        |per_src AS (

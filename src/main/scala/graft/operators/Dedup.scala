@@ -400,14 +400,23 @@ object Dedup {
   // Mirrors the hashed pipeline: grams → 62-bit packed dual-base hashes
   // (identical fold, WordNgramHashes.duckSql), DISTINCT per doc, then the
   // same df-capped candidates + exact hash-set Jaccard.
+  //
+  // gh/gdf are MATERIALIZED (round-12, the sf1 oracle-timeout fix):
+  // DuckDB 1.0 inlines plain CTEs at every reference, and gh — whose
+  // body is the full tokenize→n-gram→dual-base-hash fold over the
+  // corpus, the most expensive scalar pipeline in any oracle — is
+  // referenced five times here (sizes, gdf, rare, and both legs of
+  // shared), so the oracle re-ran the fold five times and blew the sf1
+  // budget on pure recomputation. Forcing one materialization is a
+  // pure oracle-side speedup: same rows, same hash gate.
   val dedupNgramSql: String =
     s"""WITH grams AS ($duckGrams),
-       |gh AS (
+       |gh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, lang, lb,
        |    ${WordNgramHashes.duckSql("gram")} AS gh
        |  FROM grams),
        |sizes AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
-       |gdf AS (
+       |gdf AS MATERIALIZED (
        |  SELECT lang, lb, gh, count(*) AS df, min(doc_id) AS mn
        |  FROM gh GROUP BY lang, lb, gh),
        |rare AS (
@@ -1738,7 +1747,7 @@ object Dedup {
   }
 
   val dedupComponentsSql: String =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
        |  SELECT a_id, b_id FROM (${dedupNgramSql.replace("ORDER BY a_id, b_id", "")})),
        |edges AS (
        |  SELECT a_id AS src, b_id AS dst FROM pairs
@@ -1747,7 +1756,12 @@ object Dedup {
        |walk(id, lab) AS (
        |  SELECT id, id FROM nodes
        |  UNION
-       |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
+       |  -- decreasing-label prune: only the component minimum must reach
+       |  -- every member (it is < every id it visits, so its rows always
+       |  -- survive); labels >= their destination can never win the final
+       |  -- min and would only bloat the fixpoint accumulation
+       |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id
+       |  WHERE w.lab < e.dst),
        |comp AS (SELECT id, min(lab) AS component FROM walk GROUP BY id)
        |SELECT component, count(*) AS n_members
        |FROM comp GROUP BY component ORDER BY component""".stripMargin
@@ -1781,7 +1795,7 @@ object Dedup {
 
   val dedupCanonicalSql: String =
     s"""WITH RECURSIVE $exactDropsCte,
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT a_id, b_id FROM (${dedupNgramSql.replace("ORDER BY a_id, b_id", "")})),
        |cedges AS (
        |  SELECT a_id AS src, b_id AS dst FROM pairs
@@ -1790,7 +1804,9 @@ object Dedup {
        |walk(id, lab) AS (
        |  SELECT id, id FROM cnodes
        |  UNION
-       |  SELECT e.dst, w.lab FROM walk w JOIN cedges e ON e.src = w.id),
+       |  -- decreasing-label prune (see dedupComponentsSql)
+       |  SELECT e.dst, w.lab FROM walk w JOIN cedges e ON e.src = w.id
+       |  WHERE w.lab < e.dst),
        |canon_drops AS (
        |  SELECT id AS doc_id FROM (
        |    SELECT id, min(lab) AS component FROM walk GROUP BY id)
@@ -2001,7 +2017,7 @@ object Dedup {
 
   val dedupPipelineSql: String =
     s"""WITH RECURSIVE $exactDropsCte,
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT a_id, b_id FROM (${dedupNgramSql.replace("ORDER BY a_id, b_id", "")})),
        |cedges AS (
        |  SELECT a_id AS src, b_id AS dst FROM pairs
@@ -2010,7 +2026,9 @@ object Dedup {
        |walk(id, lab) AS (
        |  SELECT id, id FROM cnodes
        |  UNION
-       |  SELECT e.dst, w.lab FROM walk w JOIN cedges e ON e.src = w.id),
+       |  -- decreasing-label prune (see dedupComponentsSql)
+       |  SELECT e.dst, w.lab FROM walk w JOIN cedges e ON e.src = w.id
+       |  WHERE w.lab < e.dst),
        |comp AS (SELECT id, min(lab) AS component FROM walk GROUP BY id),
        |drops AS (
        |  SELECT doc_id FROM exact_drops

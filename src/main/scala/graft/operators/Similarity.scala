@@ -510,6 +510,61 @@ object Similarity {
       .orderBy($"q_id", $"rk")
   }
 
+  // ------------------------------------------- label spread over the graph
+
+  /** Graph-propagated label/quality transfer — the consumer the kNN
+    * graph was built FOR (SemDeDup-style pruning and the
+    * expensive-classifier spread: score a slice of the corpus with a
+    * costly labeler, propagate to everything else through embedding
+    * neighborhoods; Abbas et al. 2023 §4 use exactly this read). Each
+    * node takes the cosine-weighted majority label of its top-
+    * [[KnnK]] neighbors: votes are INTEGER ten-thousandths of the
+    * 4-decimal edge cosine (exact integers — sums are order-free on
+    * both engines, the er_pagerank fixpoint discipline), the winning
+    * label is max total weight with min-label tie-break, and the row
+    * carries the node's own label beside the vote so disagreement —
+    * the actual signal: mislabeled docs, boundary clusters — is one
+    * `agree = 0` filter away.
+    *
+    * Scale shape: edges ⨝ labels is an O(N·K) equi-join, the vote is a
+    * (q_id, n_label)-keyed partial agg, the winner a row_number over
+    * N distinct q_id partitions (WindowGroupLimit heaps before the
+    * exchange — the topk_window discipline). Nothing quadratic;
+    * isolated nodes (no bucket collision in any table) are absent from
+    * the approximate graph and so from this read — rows-only, with
+    * [[knnLabelSpreadExact]] the oracle-gated anchor. */
+  def knnLabelSpread(s: SparkSession, dir: String): DataFrame =
+    labelSpreadOn(embedded(s, dir), knnGraph(s, dir))
+
+  /** The label-spread EXACTNESS ANCHOR: the same vote over
+    * [[knnGraphExact]]'s brute-force-exact edges for the
+    * [[KnnNodes]]-node sample — every stage downstream of the edge
+    * list is shared with [[knnLabelSpread]], so the DuckDB hash gate
+    * on this anchor pins the vote arithmetic (integer weights,
+    * tie-break, agree flag) end-to-end. */
+  def knnLabelSpreadExact(s: SparkSession, dir: String): DataFrame =
+    labelSpreadOn(embedded(s, dir), knnGraphExact(s, dir))
+
+  private def labelSpreadOn(e: DataFrame, edges: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val lbl = e.select($"vec_id", $"label")
+    val votes = edges
+      .join(lbl.select($"vec_id".as("n_id"), $"label".as("n_label")), "n_id")
+      // integer ten-thousandths of the already-4-decimal cosine: the
+      // true scaled value is an integer, so round() only strips float
+      // noise and the vote sum is exact and order-free
+      .withColumn("w", round($"cosine" * 10000).cast("long"))
+      .groupBy($"q_id", $"n_label")
+      .agg(sum($"w").as("vote_w"), count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy($"q_id").orderBy($"vote_w".desc, $"n_label")
+    votes.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .join(lbl.select($"vec_id".as("q_id"), $"label"), "q_id")
+      .select($"q_id".as("vec_id"), $"label", $"n_label".as("voted_label"),
+        $"vote_w", $"n_votes",
+        ($"label" === $"n_label").cast("int").as("agree"))
+      .orderBy($"vec_id")
+  }
+
   val knnGraphExactSql: String =
     s"""WITH e AS (
        |  SELECT vec_id,
@@ -535,6 +590,33 @@ object Similarity {
        |SELECT q_id, n_id, rk, round(cos, 4) AS cosine
        |FROM ranked WHERE rk <= $KnnK
        |ORDER BY q_id, rk""".stripMargin
+
+  /** Oracle for [[knnLabelSpreadExact]]: [[knnGraphExactSql]] as the
+    * edge CTE, then the identical integer-weight vote — sum(BIGINT) is
+    * HUGEINT in DuckDB, cast back (house rule). */
+  val knnLabelSpreadExactSql: String =
+    s"""WITH base AS (
+       |  ${knnGraphExactSql.replace("ORDER BY q_id, rk", "")}),
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |votes AS (
+       |  SELECT b.q_id, l.label AS n_label,
+       |    CAST(sum(CAST(round(b.cosine * 10000) AS BIGINT)) AS BIGINT)
+       |      AS vote_w,
+       |    count(*) AS n_votes
+       |  FROM base b JOIN lbl l ON l.vec_id = b.n_id
+       |  GROUP BY b.q_id, l.label),
+       |best AS (
+       |  SELECT q_id, n_label, vote_w, n_votes,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY vote_w DESC, n_label) AS rk
+       |  FROM votes)
+       |SELECT b.q_id AS vec_id, l0.label AS label, b.n_label AS voted_label,
+       |  b.vote_w, b.n_votes,
+       |  CAST(CASE WHEN l0.label = b.n_label THEN 1 ELSE 0 END AS INTEGER)
+       |    AS agree
+       |FROM best b JOIN lbl l0 ON l0.vec_id = b.q_id
+       |WHERE b.rk = 1
+       |ORDER BY vec_id""".stripMargin
 
   // ------------------------------------------------------------------- PQ
 
@@ -998,7 +1080,9 @@ object Similarity {
     "ann_lsh" -> (annLsh(_, _)),
     "ann_lsh_exact" -> (annLshExact(_, _)),
     "knn_graph" -> (knnGraph(_, _)),
-    "knn_graph_exact" -> (knnGraphExact(_, _)))
+    "knn_graph_exact" -> (knnGraphExact(_, _)),
+    "knn_label_spread" -> (knnLabelSpread(_, _)),
+    "knn_label_spread_exact" -> (knnLabelSpreadExact(_, _)))
 
   def oracles: Map[String, String] = Map(
     "embedding_stats" -> embeddingStatsSql,
@@ -1012,5 +1096,6 @@ object Similarity {
     "ann_pq_exact" -> annBruteForceSql,
     "ann_ivf_pq_exact" -> annBruteForceSql,
     "ann_lsh_exact" -> annBruteForceSql,
-    "knn_graph_exact" -> knnGraphExactSql)
+    "knn_graph_exact" -> knnGraphExactSql,
+    "knn_label_spread_exact" -> knnLabelSpreadExactSql)
 }

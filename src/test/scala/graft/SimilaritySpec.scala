@@ -182,6 +182,32 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"posexplode volume must never ship: ${exchanges.size} exchanges")
   }
 
+  test("knn_label_spread: vote arithmetic reproducible from the edge list") {
+    // recompute every node's expected vote from the knnGraph edges +
+    // labels by hand (sf0.01: 500×5 edges) and require the operator's
+    // rows to match exactly — weights, tie-break, agree flag
+    val labels = Tables(spark, sf, "embeddings").select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = Similarity.knnGraph(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val expected = edges.groupBy(_._1).map { case (q, es) =>
+      val votes = es.groupBy(e => labels(e._2)).map { case (l, g) =>
+        l -> (g.map(e => math.round(e._3 * 10000)).sum, g.size)
+      }
+      val (lab, (w, n)) = votes.minBy { case (l, (w, _)) => (-w, l) }
+      q -> (labels(q), lab, w, n.toLong, if (labels(q) == lab) 1 else 0)
+    }
+    val got = Similarity.knnLabelSpread(spark, sf).collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getInt(5))).toMap
+    assert(got == expected, "operator rows must equal the hand vote")
+    // exact anchor shares the vote stage verbatim: sample-sized, full
+    // degree (the exact graph always yields K edges per node)
+    val ex = Similarity.knnLabelSpreadExact(spark, sf).collect()
+    assert(ex.length == Similarity.KnnNodes)
+    assert(ex.forall(_.getLong(4) <= Similarity.KnnK))
+  }
+
   test("embedding_clusters: partitions the corpus, all seeds occupied, deterministic") {
     val out = Similarity.embeddingClusters(spark, sf).collect()
     assert(out.length == Similarity.ClusterK,

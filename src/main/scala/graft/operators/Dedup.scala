@@ -446,6 +446,74 @@ object Dedup {
        |WHERE jaccard >= $JaccardTau
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ------------------------------------------------------- source census
+
+  /** Cross-source near-duplication census — the provenance-granularity
+    * dedup report (RefinedWeb, Penedo 2023, runs the same census at URL/
+    * host granularity; this schema's provenance key is `source`): for
+    * every unordered source pair, how many verified near-dup pairs
+    * ([[ngramPairs]], exact-Jaccard ≥ τ) cross them, with max/avg
+    * similarity. The diagonal (src_a = src_b) is each source's internal
+    * near-dup load; off-diagonal rows are the source-to-source copy
+    * matrix — which feeds drive dedup budgets and mixing decisions
+    * (a source that is 90 % near-dups of another adds no new tokens).
+    *
+    * Exactness discipline: jaccards aggregate as integer
+    * ten-thousandths (the values are already round(·,4), so ·10⁴ is an
+    * integer up to float noise and `round(·,0)` strips it) — order-free
+    * exact sums, one final division per group, identical IEEE result in
+    * both engines (the [[graft.operators.Similarity]] label-spread vote
+    * discipline).
+    *
+    * Scale shape: the pair list is the already-sub-quadratic
+    * candidate+verify output, materialized once per (session, dir) and
+    * shared with every other consumer; the two source-attach joins
+    * shuffle only (a_id, b_id, j_e4) rows keyed by doc_id — AQE is free
+    * to broadcast the pair side when it is small relative to the
+    * corpus; the final aggregate is ≤ |sources|² rows. Nothing here
+    * touches text or gram sets again. */
+  def dedupSourceCensus(s: SparkSession, dir: String): DataFrame =
+    dedupSourceCensusOn(Tables(s, dir, "documents"), ngramPairs(s, dir))
+
+  /** The census over any (a_id, b_id, jaccard) pair frame — public so
+    * DedupSpec can drive crafted corpora through it. */
+  def dedupSourceCensusOn(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val src = docs.select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("a_id"), $"source".as("sa")), "a_id")
+      .join(src.select($"doc_id".as("b_id"), $"source".as("sb")), "b_id")
+      .select(least($"sa", $"sb").as("src_a"),
+        greatest($"sa", $"sb").as("src_b"),
+        round($"jaccard" * 10000, 0).cast("long").as("j_e4"))
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("dup_pairs"),
+        sum($"j_e4").as("j_sum"), max($"j_e4").as("j_max"))
+      .select($"src_a", $"src_b", $"dup_pairs",
+        round($"j_max" / lit(10000.0), 4).as("max_jaccard"),
+        round($"j_sum".cast("double") / (lit(10000.0) * $"dup_pairs"), 4)
+          .as("avg_jaccard"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val dedupSourceCensusSql: String =
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a_id, b_id, jaccard
+       |  FROM (${dedupNgramSql.replace("ORDER BY a_id, b_id", "")})),
+       |lab AS (
+       |  SELECT least(sa.source, sb.source) AS src_a,
+       |    greatest(sa.source, sb.source) AS src_b,
+       |    CAST(round(jaccard * 10000, 0) AS BIGINT) AS j_e4
+       |  FROM pairs
+       |  JOIN documents sa ON a_id = sa.doc_id
+       |  JOIN documents sb ON b_id = sb.doc_id)
+       |SELECT src_a, src_b, count(*) AS dup_pairs,
+       |  round(max(j_e4) / 10000.0, 4) AS max_jaccard,
+       |  round(CAST(sum(j_e4) AS DOUBLE) / (10000.0 * count(*)), 4)
+       |    AS avg_jaccard
+       |FROM lab GROUP BY src_a, src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
   // ---------------------------------------------------------- containment
 
   val ContainmentTau = 0.8
@@ -2219,6 +2287,7 @@ object Dedup {
     "dedup_components" -> (dedupComponents(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram" -> (dedupNgram(_, _)),
+    "dedup_source_census" -> (dedupSourceCensus(_, _)),
     "dedup_containment" -> (dedupContainment(_, _)),
     "dedup_minhash" -> (dedupMinHash(_, _)),
     "dedup_simhash" -> (dedupSimHash(_, _)),
@@ -2239,6 +2308,7 @@ object Dedup {
     "dedup_components" -> dedupComponentsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
+    "dedup_source_census" -> dedupSourceCensusSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash" -> dedupMinHashSql,
     "dedup_simhash" -> dedupSimHashSql,

@@ -191,6 +191,33 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(_.getDouble(2) >= Dedup.JaccardTau))
   }
 
+  test("dedup_source_census: hand-computed matrix on a crafted corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"), (5L, "C"))
+      .toDF("doc_id", "source")
+    // pairs: (1,2) within A; (1,3),(2,3) across A-B; (4,5) across B-C
+    val pairs = Seq(
+      (1L, 2L, 0.9), (1L, 3L, 0.6), (2L, 3L, 0.8), (4L, 5L, 0.5))
+      .toDF("a_id", "b_id", "jaccard")
+    val out = Dedup.dedupSourceCensusOn(docs, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out == Map(
+      ("A", "A") -> ((1L, 0.9, 0.9)),
+      ("A", "B") -> ((2L, 0.8, 0.7)), // (0.6 + 0.8) / 2
+      ("B", "C") -> ((1L, 0.5, 0.5))))
+  }
+
+  test("dedup_source_census: totals reconcile with the pair list") {
+    val census = Dedup.dedupSourceCensus(spark, sf).collect()
+    val nPairs = Dedup.dedupNgram(spark, sf).count()
+    assert(census.map(_.getLong(2)).sum == nPairs,
+      "census pair counts must partition the verified pair list")
+    assert(census.forall(r => r.getString(0) <= r.getString(1)),
+      "source pairs must be unordered-canonical (src_a <= src_b)")
+  }
+
   test("minhash candidates recover the high-jaccard ngram pairs") {
     // At J ≥ 0.5 with 4 bands × 4 rows, P(candidate) = 1-(1-J^4)^4 ≥ 0.23;
     // the planted near-dups sit at J ≈ 0.96+ where P ≈ 1 — minhash must

@@ -1834,6 +1834,64 @@ object Dedup {
        |SELECT component, count(*) AS n_members
        |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
+  /** Cluster-SIZE distribution of the near-dup component graph — the
+    * shape report a dedup run is judged by (RefinedWeb §5.2 reports
+    * exactly this curve: how many duplicate families, how large, how
+    * much volume they hold): one row per observed cluster size with the
+    * cluster count, the document count, and the REDUNDANT character
+    * volume (members minus each cluster's representative — what
+    * canonical dedup would reclaim). A long tail of giant clusters
+    * means template/boilerplate contamination; mass at size 2 means
+    * mirror copies — the histogram is what distinguishes them.
+    *
+    * Composition of two verified pieces: [[labelsOf]]'s min-label
+    * fixpoint supplies membership; the rest is two integer aggregations
+    * (per-cluster size/chars keyed by label, then the size rollup), so
+    * every output cell is an exact integer and the oracle reuses the
+    * recursive-CTE fixpoint with the decreasing-label prune. Scale: the
+    * joins ship only (id, lab) / (doc_id, n_chars) skinny rows; both
+    * groupBys are map-side-partial sums. */
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id", $"n_chars")
+    labelsOf(ngramPairs(s, dir))
+      .join(docs, $"id" === $"doc_id")
+      .groupBy($"lab")
+      .agg(count(lit(1)).as("sz"),
+        sum(when($"id" =!= $"lab", $"n_chars").otherwise(lit(0L)))
+          .as("dup_chars"))
+      .groupBy($"sz".as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"sz").as("n_docs"),
+        sum($"dup_chars").as("dup_chars"))
+      .orderBy($"cluster_size")
+  }
+
+  val dedupClusterSizesSql: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM (${dedupNgramSql.replace("ORDER BY a_id, b_id", "")})),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |walk(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  -- decreasing-label prune (see dedupComponentsSql)
+       |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id
+       |  WHERE w.lab < e.dst),
+       |comp AS (SELECT id, min(lab) AS component FROM walk GROUP BY id),
+       |sized AS (
+       |  SELECT c.component, count(*) AS sz,
+       |    CAST(sum(CASE WHEN c.id != c.component THEN d.n_chars
+       |      ELSE 0 END) AS BIGINT) AS dup_chars
+       |  FROM comp c JOIN documents d ON d.doc_id = c.id
+       |  GROUP BY c.component)
+       |SELECT sz AS cluster_size, count(*) AS n_clusters,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs,
+       |  CAST(sum(dup_chars) AS BIGINT) AS dup_chars
+       |FROM sized GROUP BY sz ORDER BY sz""".stripMargin
+
   /** Component-canonical dedup — the TRANSITIVE drop policy, as
     * opposed to [[dedupSurvivors]]'s conservative pairwise one: of
     * each near-dup CONNECTED COMPONENT only the representative (min
@@ -2285,6 +2343,7 @@ object Dedup {
     "dedup_pipeline" -> (dedupPipeline(_, _)),
     "dedup_canonical" -> (dedupCanonical(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
+    "dedup_cluster_sizes" -> (dedupClusterSizes(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram" -> (dedupNgram(_, _)),
     "dedup_source_census" -> (dedupSourceCensus(_, _)),
@@ -2306,6 +2365,7 @@ object Dedup {
     "dedup_pipeline" -> dedupPipelineSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "dedup_components" -> dedupComponentsSql,
+    "dedup_cluster_sizes" -> dedupClusterSizesSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_source_census" -> dedupSourceCensusSql,

@@ -588,6 +588,65 @@ object LangModel {
        |  round(max(xent), 4) AS max_xent
        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Filter CALIBRATION census — heuristic bucket × LM fluency, the
+    * agreement check a pipeline runs before trusting its cheap filter
+    * (the CCNet/FineWeb ablation question: does the rule-based quality
+    * score order documents the way the perplexity filter does?): join
+    * the per-document heuristic score
+    * ([[TextAnalysis.qualityDocScore]]) with the per-document LM
+    * cross-entropy ([[docScores]]), bucket by heuristic decile, and
+    * report each bucket's TOKEN-WEIGHTED cross-entropy. A monotone
+    * xent-vs-bucket curve means the heuristic is a usable cheap proxy;
+    * a flat one means it is noise.
+    *
+    * Exactness: the bucket cut replays the `quality_score` doubles
+    * (bit-identical in both engines), and the per-bucket xent is a
+    * ratio of two exact integer sums (Σ lbits fixed-point bits /
+    * Σ events · scale) — no float accumulation; avg_score carries the
+    * round-4 avg discipline. Scale: both inputs are the memoized
+    * score-once tables ([[trainScores]] / [[TextAnalysis
+    * .trainQualityScores]]), the join keys doc_id against doc_id — at
+    * 100 TB both sides bucket on it — and the rollup is ≤ 11 groups
+    * with map-side partials. */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = TextAnalysis.trainQualityScores(s, dir)
+      .select($"doc_id", $"score")
+    trainScores(s, dir)
+      .join(q, Seq("doc_id"))
+      .withColumn("bucket", floor($"score" * 10).cast("int"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_events").as("n_tokens"),
+        sum($"bits_sum").as("bits_total"),
+        round(avg($"score"), 4).as("avg_score"))
+      .select($"bucket", $"n_docs", $"n_tokens",
+        round($"bits_total".cast("double") /
+          ($"n_tokens" * lit(Log2Fixed.Scale)).cast("double"), 4)
+          .as("xent_bits"),
+        $"avg_score")
+      .orderBy($"bucket")
+  }
+
+  val qualityCalibrationSql: String =
+    s"""WITH $duckModel,
+       |sc AS (
+       |  SELECT e.doc_id, count(*) AS n_events,
+       |    CAST(sum(lbits) AS BIGINT) AS bits_sum
+       |  FROM ev e JOIN lt ON e.w1 = lt.w1 AND e.w2 = lt.w2
+       |  GROUP BY e.doc_id),
+       |qs AS (${TextAnalysis.qualityDocScoreSql}),
+       |j AS (
+       |  SELECT CAST(floor(q.score * 10) AS INT) AS bucket, q.score,
+       |    s.n_events, s.bits_sum
+       |  FROM qs q JOIN sc s ON q.doc_id = s.doc_id)
+       |SELECT bucket, count(*) AS n_docs,
+       |  CAST(sum(n_events) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(bits_sum) AS DOUBLE) /
+       |    CAST(sum(n_events) * ${Log2Fixed.Scale} AS DOUBLE), 4) AS xent_bits,
+       |  round(avg(score), 4) AS avg_score
+       |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** The 100-TB twin of [[lmBuckets]]: the same per-document scores and
     * the same 3-row report, but the tercile cut comes from
     * `approx_percentile`'s bounded sketch instead of the partition-less
@@ -700,6 +759,7 @@ object LangModel {
     "lm_trigram_score" -> (lmTrigramScore(_, _)),
     "lm_score" -> (lmScore(_, _)),
     "lm_buckets" -> (lmBuckets(_, _)),
+    "quality_calibration" -> (qualityCalibration(_, _)),
     "lm_buckets_approx" -> (lmBucketsApprox(_, _)),
     "lm_domain" -> (lmDomain(_, _)),
     "source_kl" -> (sourceKl(_, _)),
@@ -711,6 +771,7 @@ object LangModel {
     "lm_trigram_score" -> lmTrigramScoreSql,
     "lm_score" -> lmScoreSql,
     "lm_buckets" -> lmBucketsSql,
+    "quality_calibration" -> qualityCalibrationSql,
     "lm_domain" -> lmDomainSql,
     "source_kl" -> sourceKlSql,
     "quality_classifier" -> qualityClassifierSql)

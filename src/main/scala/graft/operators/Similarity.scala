@@ -1066,7 +1066,110 @@ object Similarity {
       |  min_x, max_x
       |FROM m ORDER BY dim""".stripMargin
 
+  /** Per-label outliers reported by [[embeddingOutliers]]. */
+  val OutlierK = 10
+
+  /** Partial-top-k fan width of [[embeddingOutliers]]'s first pass. */
+  val OutlierSalts = 32
+
+  /** Prototype-distance outlier screen — the per-class mislabel/junk
+    * detector a curation pipeline runs before trusting labels (the
+    * ranking half of self-supervised prototype pruning, Sorscher et
+    * al. NeurIPS 2022: distance to the class prototype orders examples
+    * from redundant to outlying): per label, the [[OutlierK]] vectors
+    * FARTHEST (lowest cosine) from the label centroid.
+    *
+    * Exactness: the centroid is an exact per-(label, dim) mean — each
+    * component rounds to its 4 written decimals and sums in
+    * [[graft.functions.MoneySum]]'s 128-bit integer buffer (the
+    * `embedding_stats` discipline), so centroid doubles are
+    * bit-identical in both engines; cosines are the shared sequential
+    * fold ([[graft.functions.DotProduct]] ≡ the oracle's list_reduce),
+    * so the RANKING compares identical doubles and the (cos, vec_id)
+    * tie-break is total.
+    *
+    * Scale shape: the centroid aggregate absorbs the ×D posexplode
+    * map-side (D×L groups reach the exchange) and broadcasts (L×D
+    * doubles); scoring is one shuffle-free scan. The top-k is TWO
+    * windows, neither label-wide: labels are few (|L| ≈ 10) so a
+    * per-label window would drag N/|L| rows through one task at 100 TB
+    * — instead pass 1 ranks inside (label, vec_id mod [[OutlierSalts]])
+    * partitions and keeps k per salt, and pass 2 ranks the surviving
+    * |L|·salts·k rows per label (global bottom-k ⊆ union of per-salt
+    * bottom-k, so the composition is exact — SimilaritySpec asserts
+    * equality with the one-window form). */
+  def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Money4Bits, MoneySum}
+    val b = Money4Bits(round($"x", 4))
+    val cent = Tables(s, dir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("dim", "xf")))
+      .select($"label", $"dim", $"xf".cast("double").as("x"))
+      .groupBy($"label", $"dim")
+      .agg(MoneySum.ofBits(b, 4).as("sx"), count(lit(1)).as("n"))
+      .select($"label", $"dim", ($"sx" / $"n".cast("double")).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"c"))),
+        p => p.getField("c")).as("cv"))
+      .withColumn("cnrm", graft.functions.DotProduct.norm($"cv"))
+    val scored = embedded(s, dir)
+      .join(broadcast(cent), Seq("label"))
+      .withColumn("cos",
+        graft.functions.DotProduct($"v", $"cv") / ($"nrm" * $"cnrm"))
+      .select($"label", $"vec_id", $"cos")
+    val bySalt = Window
+      .partitionBy($"label", pmod($"vec_id", lit(OutlierSalts.toLong)))
+      .orderBy($"cos", $"vec_id")
+    val byLabel = Window.partitionBy($"label").orderBy($"cos", $"vec_id")
+    scored
+      .withColumn("srk", row_number().over(bySalt))
+      .filter($"srk" <= OutlierK)
+      .withColumn("rk", row_number().over(byLabel))
+      .filter($"rk" <= OutlierK)
+      .select($"label", $"rk", $"vec_id", round($"cos", 4).as("cos_c"))
+      .orderBy($"label", $"rk")
+  }
+
+  val embeddingOutliersSql: String =
+    s"""WITH xs AS (
+       |  SELECT e.label, g.i AS dim, CAST(e.embedding[g.i] AS DOUBLE) AS x
+       |  FROM embeddings e,
+       |    LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g),
+       |cm AS (
+       |  SELECT label, dim,
+       |    CAST(sum(CAST(round(x, 4) AS DECIMAL(28,4))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS c
+       |  FROM xs GROUP BY label, dim),
+       |ca AS (
+       |  SELECT label, list(c ORDER BY dim) AS cv FROM cm GROUP BY label),
+       |cn AS (
+       |  SELECT label, cv,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(cv, z -> z * z)), (a, z) -> a + z)) AS cnrm
+       |  FROM ca),
+       |en AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |nn AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |  FROM en),
+       |sc AS (
+       |  SELECT e.vec_id, e.label,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i])),
+       |      (a, x) -> a + x) / (e.nrm * c.cnrm) AS cos
+       |  FROM nn e JOIN cn c USING (label)),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY label
+       |    ORDER BY cos, vec_id) AS rk FROM sc)
+       |SELECT label, rk, vec_id, round(cos, 4) AS cos_c
+       |FROM rk WHERE rk <= $OutlierK ORDER BY label, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_outliers" -> (embeddingOutliers(_, _)),
     "embedding_stats" -> (embeddingStats(_, _)),
     "embedding_clusters" -> (embeddingClusters(_, _)),
     "ann_bruteforce" -> (annBruteForce(_, _)),
@@ -1085,6 +1188,7 @@ object Similarity {
     "knn_label_spread_exact" -> (knnLabelSpreadExact(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "embedding_outliers" -> embeddingOutliersSql,
     "embedding_stats" -> embeddingStatsSql,
     "embedding_clusters" -> embeddingClustersSql,
     "ann_bruteforce" -> annBruteForceSql,

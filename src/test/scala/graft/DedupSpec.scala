@@ -461,6 +461,31 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.isEmpty)
   }
 
+  test("dedup_cluster_sizes: histogram reconciles with the hand-computed membership") {
+    // recompute the expected histogram from labelsOf + documents by hand
+    // on sf0.01 (the scale with real near-dup pairs) and require every
+    // cell — counts AND redundant char volume — to match exactly
+    val labs = Dedup.labelsOf(Dedup.ngramPairs(spark, "/root/testdata/sf0.01"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val chars = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // .values.toSeq before mapping: a Map.map over size-keyed tuples
+    // would silently collapse same-size clusters
+    val perCluster = labs.groupBy(_._2).values.toSeq.map { members =>
+      (members.length.toLong,
+        members.filter(m => m._1 != m._2).map(m => chars(m._1)).sum)
+    }
+    val expected = perCluster.groupBy(_._1).map { case (sz, cs) =>
+      sz -> (cs.size.toLong, sz * cs.size, cs.map(_._2).sum)
+    }
+    val got = Dedup.dedupClusterSizes(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, "histogram must equal the hand rollup")
+    assert(got.nonEmpty, "sf0.01 must have near-dup clusters")
+  }
+
   test("dedup_lines: multi-line boilerplate census, doc-distinct frequency") {
     import spark.implicits._
     // "cookie banner" rides 4 distinct docs (>= LineMinDocs=3, incl. one

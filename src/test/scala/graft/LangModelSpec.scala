@@ -146,6 +146,26 @@ class LangModelSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"bucket $b drift exceeds $bound: approx=${a.get(b)} exact=${e.get(b)}")
   }
 
+  test("quality_calibration: mass conserved, buckets bound their scores") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = LangModel.qualityCalibration(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every LM-scored doc carries exactly one heuristic bucket: doc and
+    // token mass must reconcile with the score table's totals
+    val scored = LangModel.trainScores(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == scored.length,
+      "bucketed docs must equal the scored-doc count")
+    assert(rows.map(_.getLong(2)).sum == scored.map(_.getLong(1)).sum,
+      "bucketed tokens must equal the scored event total")
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      val avg = r.getDouble(4)
+      assert(avg >= b / 10.0 - 5e-5 && avg < (b + 1) / 10.0 + 5e-5,
+        s"bucket $b avg_score $avg outside its decile")
+      assert(r.getDouble(3) > 0.0, s"bucket $b xent must be positive")
+    }
+  }
+
   test("Log2Fixed rejects out-of-contract inputs loudly") {
     // the public log2_fixed SQL surface must not return garbage: a=0
     // previously died on a bare div-by-zero, a>b / b>=2^50 silently

@@ -182,6 +182,50 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"posexplode volume must never ship: ${exchanges.size} exchanges")
   }
 
+  test("embedding_outliers: salted two-phase top-k ≡ the one-window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.{Money4Bits, MoneySum}
+    val out = Similarity.embeddingOutliers(spark, sf).collect()
+    // shape: dense ranks from 1, <= K rows per label, sorted output
+    out.groupBy(_.getInt(0)).foreach { case (l, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length),
+        s"label $l ranks must be dense from 1")
+      assert(rs.length <= Similarity.OutlierK)
+    }
+    // the naive form: identical centroid + cosine arithmetic, but ONE
+    // label-wide window — the salted composition must reproduce it
+    // exactly (global bottom-k ⊆ union of per-salt bottom-k)
+    val b = Money4Bits(round($"x", 4))
+    val cent = Tables(spark, sf, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("dim", "xf")))
+      .select($"label", $"dim", $"xf".cast("double").as("x"))
+      .groupBy($"label", $"dim")
+      .agg(MoneySum.ofBits(b, 4).as("sx"), count(lit(1)).as("n"))
+      .select($"label", $"dim", ($"sx" / $"n".cast("double")).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"c"))),
+        p => p.getField("c")).as("cv"))
+      .withColumn("cnrm", graft.functions.DotProduct.norm($"cv"))
+    val naive = Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", graft.functions.DotProduct.norm($"v"))
+      .join(broadcast(cent), Seq("label"))
+      .withColumn("cos",
+        graft.functions.DotProduct($"v", $"cv") / ($"nrm" * $"cnrm"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"label").orderBy($"cos", $"vec_id")))
+      .filter($"rk" <= Similarity.OutlierK)
+      .select($"label", $"rk", $"vec_id", round($"cos", 4).as("cos_c"))
+      .collect()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))
+    assert(out.map(key).toMap == naive.map(key).toMap,
+      "salted two-phase must equal the single-window bottom-k")
+  }
+
   test("knn_label_spread: vote arithmetic reproducible from the edge list") {
     // recompute every node's expected vote from the knnGraph edges +
     // labels by hand (sf0.01: 500×5 edges) and require the operator's

@@ -169,6 +169,41 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("embedding_outliers: posexplode absorbed map-side, no shuffle carries vectors") {
+    val plan = SparkEntry.queries("embedding_outliers")(spark, sf)
+      .queryExecution.executedPlan
+    // the centroid is a broadcast (L rows) and scoring is in-scan: every
+    // shuffle moves either (label, dim) centroid partials or the slim
+    // (label, vec_id, cos) ranking rows — never a 64-wide vector
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val fields = e.child.schema.fieldNames.toSet
+      assert(!fields.contains("v") && !fields.contains("cv")
+        && !fields.contains("embedding"),
+        s"no shuffle may carry vectors, got $fields")
+    }
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "the L-row centroid table must broadcast")
+  }
+
+  test("dedup_cluster_sizes / quality_calibration: exchanges carry only slim keyed rows") {
+    for (q <- Seq("dedup_cluster_sizes", "quality_calibration")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      exchanges.foreach { e =>
+        val fields = e.child.schema.fieldNames.toSet
+        assert(!fields.contains("text"),
+          s"$q exchange must not carry document text, got $fields")
+        assert(e.child.schema.fields.forall(f =>
+          f.dataType.defaultSize <= 8 || f.dataType ==
+            org.apache.spark.sql.types.StringType),
+          s"$q exchange rows must be scalar-narrow, got ${e.child.schema}")
+      }
+    }
+  }
+
   test("ann_ivf_pq: no exchange carries full vectors") {
     // the composite's contract: vectors are read only by the routing
     // scan and the re-rank probe — every shuffle moves codes, slim

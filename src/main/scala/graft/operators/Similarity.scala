@@ -1098,11 +1098,15 @@ object Similarity {
     * |L|·salts·k rows per label (global bottom-k ⊆ union of per-salt
     * bottom-k, so the composition is exact — SimilaritySpec asserts
     * equality with the one-window form). */
-  def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+  /** The exact per-label centroid table (label, cv, cnrm) —
+    * [[embeddingOutliers]]'s broadcast side, public so the streaming
+    * at-ingest gate can collect the L-row artifact and ship it as
+    * literals (the batch-train → stream-score artifact story). */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{Money4Bits, MoneySum}
     val b = Money4Bits(round($"x", 4))
-    val cent = Tables(s, dir, "embeddings")
+    Tables(s, dir, "embeddings")
       .select($"label", posexplode($"embedding").as(Seq("dim", "xf")))
       .select($"label", $"dim", $"xf".cast("double").as("x"))
       .groupBy($"label", $"dim")
@@ -1112,6 +1116,11 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct($"dim", $"c"))),
         p => p.getField("c")).as("cv"))
       .withColumn("cnrm", graft.functions.DotProduct.norm($"cv"))
+  }
+
+  def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cent = labelCentroids(s, dir)
     val scored = embedded(s, dir)
       .join(broadcast(cent), Seq("label"))
       .withColumn("cos",

@@ -71,6 +71,47 @@ object StreamOps {
       .withColumn("keep", col("margin") > 0)
   }
 
+  /** At-ingest embedding outlier gate — the deployment shape of
+    * [[graft.operators.Similarity.embeddingOutliers]]: the L-row
+    * per-label centroid table (batch-trained, exact `MoneySum` means)
+    * collects to the driver and ships as LITERALS (arrays of doubles +
+    * precomputed norms, the K-row-artifact discipline), so scoring an
+    * incoming vector is PURE per-row expression work — look up the
+    * label's centroid, sequential-fold cosine ([[graft.functions
+    * .DotProduct]], the batch fold), keep = cos ≥ floor — no state, no
+    * join, no shuffle; append-safe by construction. A label absent
+    * from training scores NULL cosine and keep = false (fail CLOSED: a
+    * vector that can't be screened must not enter the corpus
+    * silently). Model refresh = restart with re-collected centroids.
+    * Inputs: vecs (vec_id, embedding, label) batch or stream;
+    * centroids = [[graft.operators.Similarity.labelCentroids]] rows.
+    * StreamingSpec asserts batch-equality on out-of-order
+    * micro-batches and the fail-closed path. */
+  def streamingOutlierGate(vecs: DataFrame,
+      centroids: Seq[(Int, Seq[Double], Double)],
+      floor: Double): DataFrame = {
+    val maxLabel = centroids.map(_._1).max
+    val cvByLabel: Seq[Seq[Double]] = (0 to maxLabel).map(l =>
+      centroids.find(_._1 == l).map(_._2).getOrElse(Seq.empty))
+    val nrmByLabel: Seq[Double] = (0 to maxLabel).map(l =>
+      centroids.find(_._1 == l).map(_._3).getOrElse(0.0))
+    val v = transform(col("embedding"), x => x.cast("double"))
+    // clamp the lookup index into [1, maxLabel+1] — the between() guard
+    // already nullifies out-of-range labels, but element_at must never
+    // see index <= 0 (ANSI error, not null)
+    val idx = (greatest(least(col("label"), lit(maxLabel)), lit(0)) + 1)
+      .cast("int")
+    val cv = element_at(typedlit(cvByLabel), idx)
+    val cnrm = element_at(typedlit(nrmByLabel), idx)
+    vecs.select(
+      col("vec_id"), col("label"),
+      when(col("label").between(0, maxLabel) && cnrm =!= 0.0,
+        graft.functions.DotProduct(v, cv) /
+          (graft.functions.DotProduct.norm(v) * cnrm))
+        .as("cos"))
+      .withColumn("keep", coalesce(col("cos") >= floor, lit(false)))
+  }
+
   /** At-ingest DSIR selection — the deployment shape of
     * [[graft.operators.DataSelection]]: the batch-trained bucket
     * weight table (≤ [[graft.operators.DataSelection.Buckets]] rows,

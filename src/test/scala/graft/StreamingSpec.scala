@@ -213,6 +213,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch(2L)._3 == 1L, "one OOV token in doc 2")
   }
 
+  test("streamingOutlierGate: stream scoring equals batch, unknown label fails closed") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    // batch-trained artifact: two labels with hand-sized centroids
+    val cents = Seq(
+      (0, Seq(1.0, 0.0), 1.0),
+      (1, Seq(0.6, 0.8), 1.0))
+    val rows = Seq(
+      (1L, Seq(2.0f, 0.0f), 0),   // cos 1.0 to label 0 -> keep
+      (2L, Seq(0.0f, 3.0f), 0),   // cos 0.0 -> drop
+      (3L, Seq(0.6f, 0.8f), 1),   // cos 1.0 to label 1 -> keep
+      (4L, Seq(1.0f, 0.0f), 7))   // untrained label: fail CLOSED
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val q = StreamOps.streamingOutlierGate(
+        mem.toDF().toDF("vec_id", "embedding", "label"), cents, floor = 0.5)
+      .writeStream.format("memory").queryName("sogate")
+      .outputMode("append").start()
+    mem.addData(rows(3), rows(1)) // out of order across batches
+    q.processAllAvailable()
+    mem.addData(rows(0), rows(2))
+    q.processAllAvailable()
+    q.stop()
+    def keyOf(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getBoolean(3))
+    val streamed = spark.table("sogate").collect().map(keyOf).toMap
+    val batch = StreamOps.streamingOutlierGate(
+        rows.toDF("vec_id", "embedding", "label"), cents, floor = 0.5)
+      .collect().map(keyOf).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(batch(1L)._2 && batch(3L)._2, "on-centroid vectors keep")
+    assert(!batch(2L)._2, "orthogonal vector drops")
+    assert(batch(4L) == ((None, false)), "untrained label must fail closed")
+  }
+
   test("streamingBoilerplate: threshold crossing, within-doc repeats count once") {
     val s = spark
     import s.implicits._

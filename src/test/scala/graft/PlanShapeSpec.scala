@@ -285,7 +285,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("knn_graph: bucket equi-join (no nested loop), edge-only dedup exchange, group-limited top-k") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    val plan = SparkEntry.queries("knn_graph")(spark, sf).queryExecution.executedPlan
+    // the registry query reads the memoized edge checkpoint — the build
+    // shape lives in knnGraphFresh, which is what this test pins
+    val plan = graft.operators.Similarity.knnGraphFresh(spark, sf)
+      .queryExecution.executedPlan
     // the self-join must be a hash/merge join on (t, bucket) — a nested
     // loop here is the O(N²) regime the bucketing exists to avoid
     val loops = plan.collect { case j: BroadcastNestedLoopJoinExec => j }

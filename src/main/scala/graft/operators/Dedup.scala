@@ -1591,7 +1591,24 @@ object Dedup {
     * recursive CTE (min reachable id per node). Output is per-cluster:
     * representative (= min doc_id), member count. */
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
-    componentsOf(ngramPairs(s, dir))
+    sizesOfLabels(ngramLabels(s, dir))
+
+  /** The corpus near-dup MEMBERSHIP fixpoint, memoized per (session,
+    * dir) — FOUR registry consumers read it (`dedup_components`,
+    * `dedup_canonical`, `dedup_cluster_sizes`, `dedup_pipeline`), and
+    * each previously re-ran the whole [[labelsOf]] propagation
+    * (~15-28 s EACH at sf10) — the same rebuild-per-consumer class the
+    * round-3 verdict flagged for the pair list itself. [[labelsOf]]
+    * already returns a persisted frame, so the memo holds the reference;
+    * priced per bench sweep as `dedup_labels_build` (the
+    * `dedup_pairs_build` accounting), [[graft.SessionCache]] lifecycle. */
+  def ngramLabels(s: SparkSession, dir: String): DataFrame =
+    labelCache.getOrCompute(s, dir) { labelsOf(ngramPairs(s, dir)) }
+
+  private val labelCache = new graft.SessionCache[DataFrame]()
+
+  /** Test/bench hook: drop memoized membership fixpoints. */
+  def clearLabelCache(): Unit = labelCache.clear()
 
   /** Rounds of [[labelsOf]] composed per convergence-check action. */
   val LabelRoundsPerBatch = 4
@@ -1806,9 +1823,15 @@ object Dedup {
   /** CC aggregation over any (a_id, b_id) pair frame — public so
     * DedupSpec can drive synthetic graphs (chains, stars, forests)
     * through it. One row per cluster: representative + size. */
-  def componentsOf(pairs: DataFrame): DataFrame = {
-    import pairs.sparkSession.implicits._
-    labelsOf(pairs)
+  def componentsOf(pairs: DataFrame): DataFrame =
+    sizesOfLabels(labelsOf(pairs))
+
+  /** The per-cluster aggregation over a (id, lab) membership frame —
+    * shared by the pair-driven [[componentsOf]] (spec fixtures) and the
+    * memoized-fixpoint [[dedupComponents]]. */
+  private def sizesOfLabels(labels: DataFrame): DataFrame = {
+    import labels.sparkSession.implicits._
+    labels
       .groupBy($"lab".as("component"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy($"component")
@@ -1854,7 +1877,7 @@ object Dedup {
   def dedupClusterSizes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents").select($"doc_id", $"n_chars")
-    labelsOf(ngramPairs(s, dir))
+    ngramLabels(s, dir)
       .join(docs, $"id" === $"doc_id")
       .groupBy($"lab")
       .agg(count(lit(1)).as("sz"),
@@ -1909,7 +1932,7 @@ object Dedup {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     val exactDrops = exactDropIds(docs)
-    val canonicalDrops = labelsOf(ngramPairs(s, dir))
+    val canonicalDrops = ngramLabels(s, dir)
       .filter($"id" =!= $"lab")
       .select($"id".as("doc_id"))
     docs.join(exactDrops.union(canonicalDrops).distinct(),
@@ -2124,7 +2147,7 @@ object Dedup {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     val pairs = ngramPairs(s, dir)
-    val labels = labelsOf(pairs)
+    val labels = ngramLabels(s, dir)
     val exactDrops = exactDropIds(docs).persist()
     val canonicalDrops = labels.filter($"id" =!= $"lab").select($"id".as("doc_id"))
     val kept = docs.join(exactDrops.union(canonicalDrops).distinct(),

@@ -1090,6 +1090,26 @@ object Similarity {
   /** Partial-top-k fan width of [[embeddingOutliers]]'s first pass. */
   val OutlierSalts = 32
 
+  /** The exact per-label centroid table (label, cv, cnrm) —
+    * [[embeddingOutliers]]'s broadcast side, public so the streaming
+    * at-ingest gate can collect the L-row artifact and ship it as
+    * literals (the batch-train → stream-score artifact story). */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Money4Bits, MoneySum}
+    val b = Money4Bits(round($"x", 4))
+    Tables(s, dir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("dim", "xf")))
+      .select($"label", $"dim", $"xf".cast("double").as("x"))
+      .groupBy($"label", $"dim")
+      .agg(MoneySum.ofBits(b, 4).as("sx"), count(lit(1)).as("n"))
+      .select($"label", $"dim", ($"sx" / $"n".cast("double")).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"c"))),
+        p => p.getField("c")).as("cv"))
+      .withColumn("cnrm", graft.functions.DotProduct.norm($"cv"))
+  }
+
   /** Prototype-distance outlier screen — the per-class mislabel/junk
     * detector a curation pipeline runs before trusting labels (the
     * ranking half of self-supervised prototype pruning, Sorscher et
@@ -1116,26 +1136,6 @@ object Similarity {
     * |L|·salts·k rows per label (global bottom-k ⊆ union of per-salt
     * bottom-k, so the composition is exact — SimilaritySpec asserts
     * equality with the one-window form). */
-  /** The exact per-label centroid table (label, cv, cnrm) —
-    * [[embeddingOutliers]]'s broadcast side, public so the streaming
-    * at-ingest gate can collect the L-row artifact and ship it as
-    * literals (the batch-train → stream-score artifact story). */
-  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.functions.{Money4Bits, MoneySum}
-    val b = Money4Bits(round($"x", 4))
-    Tables(s, dir, "embeddings")
-      .select($"label", posexplode($"embedding").as(Seq("dim", "xf")))
-      .select($"label", $"dim", $"xf".cast("double").as("x"))
-      .groupBy($"label", $"dim")
-      .agg(MoneySum.ofBits(b, 4).as("sx"), count(lit(1)).as("n"))
-      .select($"label", $"dim", ($"sx" / $"n".cast("double")).as("c"))
-      .groupBy($"label")
-      .agg(transform(array_sort(collect_list(struct($"dim", $"c"))),
-        p => p.getField("c")).as("cv"))
-      .withColumn("cnrm", graft.functions.DotProduct.norm($"cv"))
-  }
-
   def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cent = labelCentroids(s, dir)

@@ -90,24 +90,28 @@ object StreamOps {
   def streamingOutlierGate(vecs: DataFrame,
       centroids: Seq[(Int, Seq[Double], Double)],
       floor: Double): DataFrame = {
-    val maxLabel = centroids.map(_._1).max
-    val cvByLabel: Seq[Seq[Double]] = (0 to maxLabel).map(l =>
-      centroids.find(_._1 == l).map(_._2).getOrElse(Seq.empty))
-    val nrmByLabel: Seq[Double] = (0 to maxLabel).map(l =>
-      centroids.find(_._1 == l).map(_._3).getOrElse(0.0))
+    // a deploy with no trained centroids is a broken artifact, not a
+    // stream to silently drop — fail loudly at plan time
+    require(centroids.nonEmpty,
+      "streamingOutlierGate: empty centroid artifact — retrain labelCentroids")
+    // MAP literals keyed by label (L entries — the artifact stays
+    // L-sized no matter how sparse the label ids); try_element_at
+    // returns NULL for an untrained label under ANSI, which the
+    // fail-closed coalesce below turns into keep=false
+    val cvMap: Map[Int, Seq[Double]] =
+      centroids.map(c => c._1 -> c._2).toMap
+    val nrmMap: Map[Int, Double] = centroids.map(c => c._1 -> c._3).toMap
     val v = transform(col("embedding"), x => x.cast("double"))
-    // clamp the lookup index into [1, maxLabel+1] — the between() guard
-    // already nullifies out-of-range labels, but element_at must never
-    // see index <= 0 (ANSI error, not null)
-    val idx = (greatest(least(col("label"), lit(maxLabel)), lit(0)) + 1)
-      .cast("int")
-    val cv = element_at(typedlit(cvByLabel), idx)
-    val cnrm = element_at(typedlit(nrmByLabel), idx)
+    val cv = try_element_at(typedlit(cvMap), col("label"))
+    val cnrm = try_element_at(typedlit(nrmMap), col("label"))
+    val nrm = graft.functions.DotProduct.norm(v)
     vecs.select(
       col("vec_id"), col("label"),
-      when(col("label").between(0, maxLabel) && cnrm =!= 0.0,
-        graft.functions.DotProduct(v, cv) /
-          (graft.functions.DotProduct.norm(v) * cnrm))
+      // both norms guarded: a zero-norm INPUT vector would make the
+      // cosine NaN, and Spark orders NaN above every number, so an
+      // unguarded `cos >= floor` would fail OPEN
+      when(cnrm =!= 0.0 && nrm =!= 0.0,
+        graft.functions.DotProduct(v, cv) / (nrm * cnrm))
         .as("cos"))
       .withColumn("keep", coalesce(col("cos") >= floor, lit(false)))
   }

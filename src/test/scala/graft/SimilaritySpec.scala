@@ -186,7 +186,6 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    import graft.functions.{Money4Bits, MoneySum}
     val out = Similarity.embeddingOutliers(spark, sf).collect()
     // shape: dense ranks from 1, <= K rows per label, sorted output
     out.groupBy(_.getInt(0)).foreach { case (l, rs) =>
@@ -194,20 +193,11 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"label $l ranks must be dense from 1")
       assert(rs.length <= Similarity.OutlierK)
     }
-    // the naive form: identical centroid + cosine arithmetic, but ONE
-    // label-wide window — the salted composition must reproduce it
-    // exactly (global bottom-k ⊆ union of per-salt bottom-k)
-    val b = Money4Bits(round($"x", 4))
-    val cent = Tables(spark, sf, "embeddings")
-      .select($"label", posexplode($"embedding").as(Seq("dim", "xf")))
-      .select($"label", $"dim", $"xf".cast("double").as("x"))
-      .groupBy($"label", $"dim")
-      .agg(MoneySum.ofBits(b, 4).as("sx"), count(lit(1)).as("n"))
-      .select($"label", $"dim", ($"sx" / $"n".cast("double")).as("c"))
-      .groupBy($"label")
-      .agg(transform(array_sort(collect_list(struct($"dim", $"c"))),
-        p => p.getField("c")).as("cv"))
-      .withColumn("cnrm", graft.functions.DotProduct.norm($"cv"))
+    // the naive form: the PRODUCTION centroid (so a centroid change can
+    // never silently diverge this reference), but ONE label-wide window
+    // — the salted composition must reproduce it exactly (global
+    // bottom-k ⊆ union of per-salt bottom-k)
+    val cent = Similarity.labelCentroids(spark, sf)
     val naive = Tables(spark, sf, "embeddings")
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))

@@ -225,13 +225,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, Seq(2.0f, 0.0f), 0),   // cos 1.0 to label 0 -> keep
       (2L, Seq(0.0f, 3.0f), 0),   // cos 0.0 -> drop
       (3L, Seq(0.6f, 0.8f), 1),   // cos 1.0 to label 1 -> keep
-      (4L, Seq(1.0f, 0.0f), 7))   // untrained label: fail CLOSED
+      (4L, Seq(1.0f, 0.0f), 7),   // untrained label: fail CLOSED
+      (5L, Seq(0.0f, 0.0f), 0))   // zero-norm vector: NaN guard, CLOSED
     val mem = MemoryStream[(Long, Seq[Float], Int)]
     val q = StreamOps.streamingOutlierGate(
         mem.toDF().toDF("vec_id", "embedding", "label"), cents, floor = 0.5)
       .writeStream.format("memory").queryName("sogate")
       .outputMode("append").start()
-    mem.addData(rows(3), rows(1)) // out of order across batches
+    mem.addData(rows(3), rows(1), rows(4)) // out of order across batches
     q.processAllAvailable()
     mem.addData(rows(0), rows(2))
     q.processAllAvailable()
@@ -247,6 +248,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch(1L)._2 && batch(3L)._2, "on-centroid vectors keep")
     assert(!batch(2L)._2, "orthogonal vector drops")
     assert(batch(4L) == ((None, false)), "untrained label must fail closed")
+    assert(batch(5L) == ((None, false)),
+      "zero-norm vector must fail closed, not NaN-keep")
+    intercept[IllegalArgumentException] {
+      StreamOps.streamingOutlierGate(
+        rows.toDF("vec_id", "embedding", "label"), Seq.empty, floor = 0.5)
+    }
   }
 
   test("streamingBoilerplate: threshold crossing, within-doc repeats count once") {

@@ -27,8 +27,17 @@ point at scale is overlapping the TIMEOUT waits: a sequential sf10 run
 pays 600 s of pure wall-clock per infeasible oracle, a 4-worker run
 overlaps four of them.  DuckDB releases the GIL during execute, so
 plain threads suffice.
+
+GRAFT_ORACLE_SPILL=<size> caps each worker's spill directory via
+DuckDB's max_temp_directory_size.  Default: (free /tmp space - 8GB
+headroom) / workers, measured at startup — the round-12 sf10 gate
+twice filled the disk because N concurrent 36GB+ spills had no
+budget, poisoning six entries with IO errors AND threatening every
+other process on the host.  A query that exceeds the cap is recorded
+as ORACLE SPILL LIMIT (like a timeout: an oracle-feasibility verdict,
+not an engine failure) and does not fail the exit code.
 """
-import sys, json, glob, os, math, threading
+import sys, json, glob, os, math, shutil, threading
 import duckdb
 import pandas as pd
 
@@ -79,6 +88,12 @@ def main(sfdir, outdir, only=None):
     mem = os.environ.get("GRAFT_ORACLE_MEM", "100GB")
     timeout = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0")) or None
     workers = max(1, int(os.environ.get("GRAFT_ORACLE_WORKERS", "1")))
+    spill = os.environ.get("GRAFT_ORACLE_SPILL")
+    if not spill:
+        free_gb = shutil.disk_usage("/tmp").free // (1 << 30)
+        spill = f"{max(4, (free_gb - 8) // workers)}GB"
+    print(f"[..] spill budget: {spill}/worker ({workers} workers)",
+          file=sys.stderr, flush=True)
 
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
@@ -108,6 +123,7 @@ def main(sfdir, outdir, only=None):
         # the round-10 sf1 gate died on dedup_components' timeout).
         con.execute(
             f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}_{wid}'")
+        con.execute(f"SET max_temp_directory_size='{spill}'")
         if workers > 1:
             con.execute(f"SET threads={max(1, (os.cpu_count() or 8) // workers)}")
         for t in TABLES:
@@ -167,6 +183,9 @@ def main(sfdir, outdir, only=None):
                         "interrupt" in str(e).lower()
                     if timeout and interrupted:
                         res = f"ORACLE TIMEOUT ({timeout:.0f}s budget)"
+                    elif "max_temp_directory_size" in str(e) \
+                            or "temp directory" in str(e).lower():
+                        res = f"ORACLE SPILL LIMIT ({spill} budget)"
                     else:
                         res = f"ORACLE SQL ERROR: {e}"
                     duck_df = None
@@ -198,19 +217,23 @@ def main(sfdir, outdir, only=None):
     for t in threads:
         t.join()
 
-    bad = timed_out = 0
+    bad = timed_out = spilled = 0
     for k, v in sorted(results.items()):
         if v.startswith(("OK", "rows-only")):
             flag = "PASS"
         elif v.startswith("ORACLE TIMEOUT"):
             flag = "TIME"
             timed_out += 1
+        elif v.startswith("ORACLE SPILL LIMIT"):
+            flag = "SPIL"
+            spilled += 1
         else:
             flag = "FAIL"
             bad += 1
         print(f"[{flag}] {k}: {v}")
     tail = f", {timed_out} oracle-timeout" if timed_out else ""
-    print(f"\n{len(results) - bad - timed_out}/{len(results)} pass{tail}")
+    tail += f", {spilled} oracle-spill-limit" if spilled else ""
+    print(f"\n{len(results) - bad - timed_out - spilled}/{len(results)} pass{tail}")
     sys.exit(1 if bad else 0)
 
 if __name__ == "__main__":

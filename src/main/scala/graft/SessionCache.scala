@@ -16,25 +16,56 @@ import org.apache.spark.sql.SparkSession
   * driver collect while holding one global lock, serializing every
   * concurrent session through one fit. Stopped-session purging also
   * drops the strong SparkSession references the ADVICE noted.
+  *
+  * [[onEvict]] runs for every FORCED value leaving the cache through
+  * LRU eviction or [[clear]] — the hook the DataFrame caches use to
+  * unpersist their storage blocks eagerly instead of leaving them to
+  * GC + ContextCleaner (round-12 ADVICE: per-sweep Bench clears and
+  * long-lived multi-dir sessions accumulated stale persisted frames in
+  * executor storage). Unforced holders evict silently (nothing was
+  * built), and stopped-session purges skip the hook (their blocks died
+  * with the context). The hook runs outside the map monitor.
   */
-final class SessionCache[V](maxEntries: Int = 4) {
-  private final class Holder(build: () => V) { lazy val value: V = build() }
+final class SessionCache[V](maxEntries: Int = 4,
+    onEvict: V => Unit = (_: V) => ()) {
+  private final class Holder(build: () => V) {
+    @volatile var forced = false
+    lazy val value: V = { val v = build(); forced = true; v }
+  }
 
   private val m =
     scala.collection.mutable.LinkedHashMap[(SparkSession, String), Holder]()
 
+  private def evictHook(h: Holder): Unit =
+    if (h.forced) {
+      try onEvict(h.value)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   def getOrCompute(s: SparkSession, key: String)(build: => V): V = {
+    val evicted = List.newBuilder[Holder]
     val h = m.synchronized {
       m.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
       // re-insert on hit = LRU order; a miss reserves the slot with an
       // unforced holder so a concurrent same-key caller joins this fit
       val hh = m.remove((s, key)).getOrElse(new Holder(() => build))
       m.put((s, key), hh)
-      while (m.size > maxEntries) m.remove(m.head._1)
+      while (m.size > maxEntries) {
+        evicted += m.head._2
+        m.remove(m.head._1)
+      }
       hh
     }
+    evicted.result().foreach(evictHook)
     h.value
   }
 
-  def clear(): Unit = m.synchronized(m.clear())
+  def clear(): Unit = {
+    val all = m.synchronized {
+      val vs = m.values.toList
+      m.clear()
+      vs
+    }
+    all.foreach(evictHook)
+  }
 }

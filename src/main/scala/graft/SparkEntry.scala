@@ -51,6 +51,18 @@ object SparkEntry {
     }
   )
 
+  /** Oracle applicability guards — consulted by [[Verify]] PER DATA
+    * DIR: a query whose oracle models only one regime of an adaptive
+    * plan (e.g. dedup_semantic's exact arm) returns Some(reason) in
+    * the regime where the compare is designed to fail, and Verify then
+    * omits its oracle (→ rows-only in the gate) and records the reason
+    * in oracle_waivers.json. Guards must be CHEAP (one aggregate) —
+    * they run inside every Verify invocation. */
+  def oracleGuards: Map[String, (SparkSession, String) => Option[String]] =
+    Map(
+      "dedup_embedding" -> (operators.Dedup.embeddingOverCapReason(_, _)),
+      "dedup_semantic" -> (operators.Dedup.semanticOverCapReason(_, _)))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

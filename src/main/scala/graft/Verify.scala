@@ -32,10 +32,28 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // scale-conditional oracle waivers: a guard that fires for THIS
+    // data dir drops the query's oracle (gate records rows-only) and
+    // the reason lands machine-readable beside the SQL — an adaptive
+    // plan's off-oracle regime must self-declare, not fail a compare
+    // it is designed to fail (round-12 verdict #2)
+    val waivers = SparkEntry.oracleGuards
       .filter { case (k, _) => only.forall(_.contains(k)) }
+      .flatMap { case (k, g) =>
+        try g(spark, sfDir).map(k -> _)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] guard $k failed: ${e.getMessage}")
+          None
+        }
+      }
+    waivers.foreach { case (k, r) =>
+      System.err.println(s"[verify] oracle waived for $k: $r") }
+    val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) && !waivers.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_waivers.json"),
+      waivers.map { case (k, r) => s"${q(k)}: ${q(r)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -186,7 +186,7 @@ object DataSelection {
     * all three registry queries consume it, and Bench prices the build
     * as `dsir_score_build`. Values identical to [[docWeights]] — the
     * oracle SQL is untouched. */
-  private val scoreCache = new graft.SessionCache[DataFrame]()
+  private val scoreCache = new graft.SessionCache[DataFrame](onEvict = _.unpersist(false))
 
   def trainScored(s: SparkSession, dir: String): DataFrame =
     scoreCache.getOrCompute(s, dir) { docWeights(s, dir).localCheckpoint() }

@@ -898,6 +898,40 @@ object Dedup {
   def dedupEmbeddingAllPairs(s: SparkSession, dir: String): DataFrame =
     dedupEmbeddingOn(Similarity.embedded(s, dir), Int.MaxValue)
 
+  /** True when any label block of `e0` crosses `cap` — the regime
+    * detector behind the Verify ORACLE WAIVERS (round-12 verdict #2):
+    * over the cap, [[dedupEmbeddingOn]] routes the block to the LSH
+    * arm whose sub-dup-band recall is < 1 BY DESIGN, while the DuckDB
+    * oracle models only the exact arm — a compare in that regime is
+    * designed to fail and must self-declare rows-only (the recall
+    * floors in RECALL_SF*.json are the real gate there) instead of
+    * recording a structural trade as a mismatch. One tiny aggregate,
+    * stopped at the first hot block. */
+  private[graft] def overCap(e0: DataFrame, cap: Int): Boolean =
+    e0.groupBy(col("label")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > cap).limit(1).count() > 0
+
+  /** [[overCap]] waiver for `dedup_embedding` (metadata-label blocks). */
+  def embeddingOverCapReason(s: SparkSession, dir: String): Option[String] =
+    if (overCap(Similarity.embedded(s, dir), HotBlockCap))
+      Some(s"over-cap regime: a label block exceeds HotBlockCap=$HotBlockCap;" +
+        " the routed LSH arm's sub-dup-band recall is < 1 by design —" +
+        " recall-gated (RECALL_SF*.json) instead of oracle-compared")
+    else None
+
+  /** [[overCap]] waiver for `dedup_semantic` (K-Means cluster blocks —
+    * the skew-prone key: at sf10 every cluster crosses the cap). */
+  def semanticOverCapReason(s: SparkSession, dir: String): Option[String] = {
+    import s.implicits._
+    val assigned = Similarity.clusterAssigned(s, dir)
+      .select($"vec_id", $"cluster_seed".as("label"), $"v", $"nrm")
+    if (overCap(assigned, HotBlockCap))
+      Some(s"over-cap regime: a cluster exceeds HotBlockCap=$HotBlockCap;" +
+        " the routed LSH arm's sub-dup-band recall is < 1 by design —" +
+        " recall-gated (RECALL_SF*.json) instead of oracle-compared")
+    else None
+  }
+
   /** Clone-closed anchor sample for the scale gate's dedup-LSH recall
     * entry (graft.RecallGate): the derived sf1/sf10 corpora shift
     * vec_id by r·span per replica with span = [[SampleMod]] at every
@@ -1605,7 +1639,7 @@ object Dedup {
   def ngramLabels(s: SparkSession, dir: String): DataFrame =
     labelCache.getOrCompute(s, dir) { labelsOf(ngramPairs(s, dir)) }
 
-  private val labelCache = new graft.SessionCache[DataFrame]()
+  private val labelCache = new graft.SessionCache[DataFrame](onEvict = _.unpersist(false))
 
   /** Test/bench hook: drop memoized membership fixpoints. */
   def clearLabelCache(): Unit = labelCache.clear()

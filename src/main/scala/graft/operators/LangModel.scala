@@ -294,7 +294,7 @@ object LangModel {
     * `lm_score_build` and the three consuming queries then measure
     * pure consumption. Values are identical to [[docScores]] — the
     * oracle SQL is untouched. */
-  private val scoreCache = new graft.SessionCache[DataFrame]()
+  private val scoreCache = new graft.SessionCache[DataFrame](onEvict = _.unpersist(false))
 
   def trainScores(s: SparkSession, dir: String): DataFrame =
     scoreCache.getOrCompute(s, dir) { docScores(s, dir).localCheckpoint() }

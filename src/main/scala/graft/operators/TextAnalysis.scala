@@ -256,7 +256,7 @@ object TextAnalysis {
     * bench as `quality_score_build` — the same score-once accounting as
     * `lm_score_build`/`dsir_score_build` ([[graft.SessionCache]]
     * lifecycle: stopped-session purge, LRU, fit outside the monitor). */
-  private val scoreCache = new graft.SessionCache[DataFrame]()
+  private val scoreCache = new graft.SessionCache[DataFrame](onEvict = _.unpersist(false))
 
   def trainQualityScores(s: SparkSession, dir: String): DataFrame =
     scoreCache.getOrCompute(s, dir) {

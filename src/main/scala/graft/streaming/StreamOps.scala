@@ -102,8 +102,14 @@ object StreamOps {
       centroids.map(c => c._1 -> c._2).toMap
     val nrmMap: Map[Int, Double] = centroids.map(c => c._1 -> c._3).toMap
     val v = transform(col("embedding"), x => x.cast("double"))
-    val cv = try_element_at(typedlit(cvMap), col("label"))
-    val cnrm = try_element_at(typedlit(nrmMap), col("label"))
+    // the map literal is keyed by Int; an ingest schema with a wider
+    // label (long) must still LOOK UP, not fail analysis (ANSI cast
+    // throws on overflow) or wrap onto some trained label's key —
+    // try_cast turns an overflowing label into NULL → lookup NULL →
+    // keep=false (the gate's fail-closed contract)
+    val labelKey = col("label").try_cast("int")
+    val cv = try_element_at(typedlit(cvMap), labelKey)
+    val cnrm = try_element_at(typedlit(nrmMap), labelKey)
     val nrm = graft.functions.DotProduct.norm(v)
     vecs.select(
       col("vec_id"), col("label"),

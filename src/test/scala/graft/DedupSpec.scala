@@ -628,6 +628,26 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"real-data hot-arm recall $recall (${routed.size}/${exact.size})")
   }
 
+  test("oracle waivers: overCap detects the routed regime; test scales stay oracle-compared") {
+    import spark.implicits._
+    val e = Seq.tabulate(12)(i => (i.toLong, if (i < 9) "big" else "small",
+        Seq(1.0, 0.0)))
+      .toDF("vec_id", "label", "v")
+      .withColumn("nrm", graft.functions.DotProduct.norm($"v"))
+    assert(Dedup.overCap(e, 8), "a 9-row block must cross cap 8")
+    assert(!Dedup.overCap(e, 9), "no block crosses cap 9")
+    // at test scale every block sits under HotBlockCap, so both guards
+    // must leave the oracle in force (the sf0.01 gate keeps comparing)
+    assert(Dedup.embeddingOverCapReason(spark, sf).isEmpty)
+    assert(Dedup.semanticOverCapReason(spark, sf).isEmpty)
+    // every guard key must be a registered query with an oracle —
+    // a guard on an oracle-less query could never waive anything
+    SparkEntry.oracleGuards.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"guard $k not a query")
+      assert(SparkEntry.oracleSql.contains(k), s"guard $k has no oracle")
+    }
+  }
+
   test("pairCache: LRU-bounded; evicted frames stay executable") {
     Dedup.clearPairCache()
     // path variants of the same physical dir give distinct cache keys

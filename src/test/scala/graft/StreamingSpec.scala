@@ -254,6 +254,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       StreamOps.streamingOutlierGate(
         rows.toDF("vec_id", "embedding", "label"), Seq.empty, floor = 0.5)
     }
+    // an ingest schema with a LONG label column must still look up the
+    // Int-keyed map, and a label past Int range must fail CLOSED (a
+    // bare int cast would wrap 2^32+1 onto trained label 1)
+    val longLabeled = Seq(
+      (1L, Seq(2.0f, 0.0f), 0L),
+      (6L, Seq(1.0f, 0.0f), (1L << 32) + 1L))
+      .toDF("vec_id", "embedding", "label")
+    val wide = StreamOps.streamingOutlierGate(longLabeled, cents, floor = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(wide(1L), "long-typed in-range label must match its centroid")
+    assert(!wide(6L), "int-overflow label must fail closed, not wrap")
   }
 
   test("streamingBoilerplate: threshold crossing, within-doc repeats count once") {

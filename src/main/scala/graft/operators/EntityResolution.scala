@@ -252,7 +252,7 @@ object EntityResolution {
     s"""cust AS (
        |  SELECT c_custkey AS key, c_name AS name, c_nationkey AS nation
        |  FROM customer),
-       |keyed AS (
+       |keyed AS MATERIALIZED (
        |  SELECT key, name, nation,
        |    unnest(list_transform(
        |      range(0, greatest((length(name) - 1) // $ChunkLen, 0) + 1),
@@ -263,14 +263,21 @@ object EntityResolution {
        |  FROM cust)""".stripMargin
 
   /** DuckDB CTE chain ending in the verified edge list `pairs`
-    * (a_key, b_key, nation, dist) — the [[pairsOf]] mirror. */
+    * (a_key, b_key, nation, dist) — the [[pairsOf]] mirror. Every
+    * stage is MATERIALIZED: keyed is referenced twice by capped,
+    * capped twice by the pair self-join, and pairs 2-18× by the
+    * consumers (er_pagerank's 8 unrolled rounds each reach edges →
+    * pairs) — inlining re-EXECUTES the levenshtein block join per
+    * reference, which at sf10 turned the pagerank oracle into ~18
+    * full pair generations (>67 GB spill, never finished; the
+    * round-12 poisoned entry). */
   private def duckPairs: String =
     s"""$duckPairsPreamble,
-       |capped AS (
+       |capped AS MATERIALIZED (
        |  SELECT k.* FROM keyed k
        |  JOIN (SELECT bk FROM keyed GROUP BY bk
        |        HAVING count(*) <= $BlockCap) ok USING (bk)),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT DISTINCT a.key AS a_key, b.key AS b_key, a.nation,
        |    levenshtein(a.name, b.name) AS dist
        |  FROM capped a JOIN capped b
@@ -341,14 +348,18 @@ object EntityResolution {
 
   val erClustersSql: String =
     s"""WITH RECURSIVE $duckPairs,
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT a_key AS src, b_key AS dst FROM pairs
        |  UNION SELECT b_key, a_key FROM pairs),
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
        |walk(id, lab) AS (
        |  SELECT id, id FROM nodes
        |  UNION
-       |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
+       |  -- decreasing-label prune (the Dedup oracle-walk discipline):
+       |  -- only the component minimum must reach every member; labels
+       |  -- >= their destination can never win the final min
+       |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id
+       |  WHERE w.lab < e.dst),
        |comp AS (SELECT id, min(lab) AS entity FROM walk GROUP BY id)
        |SELECT entity, count(*) AS n_members
        |FROM comp GROUP BY entity ORDER BY entity""".stripMargin
@@ -448,14 +459,16 @@ object EntityResolution {
 
   val erGoldenSql: String =
     s"""WITH RECURSIVE $duckPairs,
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT a_key AS src, b_key AS dst FROM pairs
        |  UNION SELECT b_key, a_key FROM pairs),
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
        |walk(id, lab) AS (
        |  SELECT id, id FROM nodes
        |  UNION
-       |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
+       |  -- decreasing-label prune — see [[erClustersSql]]
+       |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id
+       |  WHERE w.lab < e.dst),
        |comp AS (SELECT id, min(lab) AS entity FROM walk GROUP BY id)
        |SELECT entity, count(*) AS n_members,
        |  min_by(c_name, c_custkey) AS g_name,
@@ -556,16 +569,16 @@ object EntityResolution {
          |  SELECT e.dst, CAST(sum(r.rank // r.deg) AS BIGINT) AS inc
          |  FROM r${k - 1} r JOIN edges e ON r.id = e.src
          |  GROUP BY e.dst),
-         |r$k AS (
+         |r$k AS MATERIALIZED (
          |  SELECT d.id, d.deg,
          |    $base + ($PrDampNum * coalesce(c.inc, 0)) // $PrDampDen AS rank
          |  FROM deg0 d LEFT JOIN c$k c ON d.id = c.dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH $duckPairs,
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT a_key AS src, b_key AS dst FROM pairs
        |  UNION ALL SELECT b_key, a_key FROM pairs),
-       |deg0 AS (
+       |deg0 AS MATERIALIZED (
        |  SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
        |r0 AS (
        |  SELECT id, deg, CAST($PrScale AS BIGINT) AS rank FROM deg0),

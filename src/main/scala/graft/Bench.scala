@@ -238,6 +238,13 @@ object Bench {
       timed("bpe_train_build") {
         operators.TextAnalysis.trainBpe(spark, sfDir); ()
       }
+      // the learned-classifier NB weight fit (one token scan into a
+      // 64-bucket aggregate + 64-row collect) — quality_classifier then
+      // measures pure literal-lookup scoring
+      operators.LangModel.clearClfCache()
+      timed("clf_train_build") {
+        operators.LangModel.clfLearnedWeights(spark, sfDir); ()
+      }
       names.foreach { case (name, fn) =>
         timed(name) { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       }

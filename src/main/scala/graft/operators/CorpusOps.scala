@@ -242,13 +242,19 @@ object CorpusOps {
   val packSequencesSql: String =
     packSequencesSqlWith(s"len(${graft.functions.TextFeatures.duckToks})")
 
+  // the _bpe twin reads the distinct-word-materialized subword totals
+  // (Subword.duckDocCte — the round-12-verdict #6 sf10 timeout fix)
+  // instead of folding per occurrence inline
   val packSequencesBpeSql: String =
-    packSequencesSqlWith(
-      graft.functions.Subword.duckDoc(graft.functions.TextFeatures.duckToks))
+    packSequencesSqlWith("coalesce(sd.subw, 0)",
+      graft.functions.Subword.duckDocCte(
+        graft.functions.TextFeatures.duckToks) + ",\n",
+      "documents LEFT JOIN sdoc sd USING (doc_id)")
 
-  private def packSequencesSqlWith(tokensExpr: String): String = {
-    s"""WITH t AS (
-       |  SELECT source, doc_id, $tokensExpr AS tokens FROM documents),
+  private def packSequencesSqlWith(tokensExpr: String,
+      pre: String = "", from: String = "documents"): String = {
+    s"""WITH ${pre}t AS (
+       |  SELECT source, doc_id, $tokensExpr AS tokens FROM $from),
        |placed AS (
        |  SELECT source, tokens,
        |    coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -374,9 +380,12 @@ object CorpusOps {
   val sourceMixSql: String =
     sourceMixSqlWith(s"len(${graft.functions.TextFeatures.duckToks})")
 
+  // distinct-word-materialized subword totals — see packSequencesBpeSql
   val sourceMixBpeSql: String =
-    sourceMixSqlWith(
-      graft.functions.Subword.duckDoc(graft.functions.TextFeatures.duckToks))
+    sourceMixSqlWith("coalesce(sd.subw, 0)",
+      pre = graft.functions.Subword.duckDocCte(
+        graft.functions.TextFeatures.duckToks) + ",\n",
+      from = "documents LEFT JOIN sdoc sd USING (doc_id)")
 
   val sourceMixTempSql: String =
     sourceMixSqlWith(s"len(${graft.functions.TextFeatures.duckToks})",
@@ -386,15 +395,16 @@ object CorpusOps {
 
   private def sourceMixSqlWith(tokensExpr: String,
       rateSql: String = s"(min_tok * $MixScale) // toks_src",
-      salt: String = "#mix"): String = {
+      salt: String = "#mix",
+      pre: String = "", from: String = "documents"): String = {
     // d is MATERIALIZED (round-12 sf1 oracle-timeout fix): DuckDB 1.0
     // inlines plain CTEs per reference, and d is read twice (per_src,
     // keyed) — for source_mix_bpe its tokens expression is the
     // per-character subword fold, so the inline re-ran the most
     // expensive scalar pipeline in the suite twice. Oracle-side only.
-    s"""WITH d AS MATERIALIZED (
+    s"""WITH ${pre}d AS MATERIALIZED (
        |  SELECT source, doc_id, CAST($tokensExpr AS BIGINT) AS words
-       |  FROM documents),
+       |  FROM $from),
        |per_src AS (
        |  SELECT source, CAST(sum(words) AS BIGINT) AS toks_src
        |  FROM d GROUP BY source),
@@ -424,7 +434,12 @@ object CorpusOps {
     * and token volume, character volume, and the model-filter outcome
     * (keep count under [[LangModel.marginOf]]'s integer margin, mean
     * margin). Every cell is integers + one final division, so the
-    * whole card sits under the hash gate. */
+    * whole card sits under the hash gate. The margin column stays on
+    * the FIXED Weyl reference weights deliberately: a data card is an
+    * audit artifact, and a constant scorer is recomputable by any
+    * third party with no training state; the shipped keep/drop filter
+    * (`quality_classifier`, the streaming gate) scores the LEARNED
+    * [[LangModel.clfTrain]] weights. */
   def corpusCard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{TextFeatures => TFF}

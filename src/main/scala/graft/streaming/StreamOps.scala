@@ -55,8 +55,12 @@ object StreamOps {
     * batch OR streaming docs frame (StreamingSpec asserts
     * batch-equality on out-of-order micro-batches); a model refresh
     * is a job restart with new literals, the standard artifact-
-    * rollout story. Inputs: docs (doc_id, text). */
-  def streamingQualityGate(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    * rollout story. Inputs: docs (doc_id, text); weights = the
+    * batch-trained [[graft.operators.LangModel.clfLearnedWeights]]
+    * artifact (since round 13 the gate scores the LEARNED weight
+    * table, not the fixed reference literals). */
+  def streamingQualityGate(docs: DataFrame, vocab: Seq[String],
+      weights: Seq[Long]): DataFrame = {
     import graft.operators.LangModel
     val ts = graft.functions.TextFeatures.toks(lower(col("text")))
     val vlit = typedlit(vocab)
@@ -65,7 +69,7 @@ object StreamOps {
       // THE shared margin contract (not an inline re-derivation — the
       // two copies had already started to drift per the round-6 advice);
       // the duplicated token subexpression collapses under Spark CSE
-      LangModel.marginOf(col("text")).as("margin"),
+      LangModel.marginWith(col("text"), weights).as("margin"),
       size(ts).cast("long").as("n_tokens"),
       size(filter(ts, w => !array_contains(vlit, w))).cast("long").as("n_oov"))
       .withColumn("keep", col("margin") > 0)

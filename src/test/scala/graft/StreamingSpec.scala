@@ -186,6 +186,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     implicit val ctx = spark.sqlContext
     val vocab = Seq("alpha", "beta", "gamma")
+    // a batch-trained weight artifact (here the sf0.001-learned table —
+    // the gate consumes LEARNED weights since round 13)
+    val weights = graft.operators.LangModel
+      .clfLearnedWeights(spark, "/root/testdata/sf0.001")
     val rows = Seq(
       (1L, "alpha beta gamma"),
       (2L, "alpha unknown beta"),
@@ -193,7 +197,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "totally novel words here"))
     val mem = MemoryStream[(Long, String)]
     val q = StreamOps.streamingQualityGate(
-        mem.toDF().toDF("doc_id", "text"), vocab)
+        mem.toDF().toDF("doc_id", "text"), vocab, weights)
       .writeStream.format("memory").queryName("sqgate")
       .outputMode("append").start()
     mem.addData(rows(3), rows(1)) // out of order across batches
@@ -205,7 +209,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getBoolean(4)))).toMap
     val batch = StreamOps.streamingQualityGate(
-        rows.toDF("doc_id", "text"), vocab).collect()
+        rows.toDF("doc_id", "text"), vocab, weights).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getBoolean(4)))).toMap
     assert(streamed == batch, s"stream $streamed vs batch $batch")

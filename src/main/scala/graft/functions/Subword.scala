@@ -184,6 +184,15 @@ object Subword {
     * vocab member contains '~' — the learned-unit extraction filters
     * them out on both engines. */
   def duckDoc(toksExpr: String, vocabExpr: String): String = {
+    val word = duckWord("w", vocabExpr)
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform($toksExpr, w -> $word)), (a, x) -> a + x)"
+  }
+
+  /** The single-word greedy fold as a SQL scalar over word expression
+    * `wExpr` — the core [[duckDoc]] maps over a document's tokens, and
+    * what [[duckDocCte]] evaluates once per DISTINCT corpus word. */
+  def duckWord(wExpr: String, vocabExpr: String = duckVocab): String = {
     // no stripMargin anywhere here: the generated SQL is full of `||`
     // concatenations, and a continuation line starting with `||` loses
     // a pipe to an OUTER template's margin stripping when embedded —
@@ -199,9 +208,30 @@ object Subword {
         s"ELSE CAST(CAST(${cntOf("acc")} AS BIGINT) + 1 AS VARCHAR) " +
         s"|| $us || c END"
     val fold = s"list_reduce(list_prepend('0' || $us, " +
-      s"string_split(w || '~', '')), (acc, c) -> $step)"
-    val word = s"CAST(${cntOf(fold)} AS BIGINT)"
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform($toksExpr, w -> $word)), (a, x) -> a + x)"
+      s"string_split($wExpr || '~', '')), (acc, c) -> $step)"
+    s"CAST(${cntOf(fold)} AS BIGINT)"
   }
+
+  /** Oracle-side CTE chain ending in `sdoc(doc_id, subw)` = per-document
+    * subword totals over `documents`, with the per-character greedy fold
+    * evaluated ONCE PER DISTINCT WORD (`swcnt`, MATERIALIZED) and summed
+    * back through an occurrence join — the round-12-verdict #6 sf10
+    * oracle-timeout fix: the inline [[duckDoc]] scalar re-ran the fold
+    * per word OCCURRENCE (~10⁸ folds at sf10, the suite's most expensive
+    * scalar pipeline), where the distinct-word domain is ~10⁴. A
+    * document with zero tokens has no `sdoc` row — consumers LEFT JOIN
+    * and coalesce to 0 (the empty-list fold's value). Oracle-side only;
+    * the Spark operator already runs [[Subword]] codegen per row. */
+  def duckDocCte(toksExpr: String): String =
+    s"""stok AS MATERIALIZED (
+       |  SELECT doc_id, tk[pos] AS w
+       |  FROM (SELECT doc_id, $toksExpr AS tk FROM documents) sdk,
+       |    unnest(range(1, len(tk) + 1)) AS u(pos)),
+       |swcnt AS MATERIALIZED (
+       |  SELECT w, ${duckWord("w", duckVocab)} AS wsub
+       |  FROM (SELECT DISTINCT w FROM stok) sw),
+       |sdoc AS MATERIALIZED (
+       |  SELECT o.doc_id, CAST(sum(c.wsub) AS BIGINT) AS subw
+       |  FROM stok o JOIN swcnt c USING (w)
+       |  GROUP BY o.doc_id)""".stripMargin
 }

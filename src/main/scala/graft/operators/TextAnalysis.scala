@@ -114,11 +114,12 @@ object TextAnalysis {
   }
 
   val tokFertilitySql: String =
-    s"""WITH d AS (
+    s"""WITH ${graft.functions.Subword.duckDocCte(duckToks)},
+       |d AS (
        |  SELECT source, len($duckToks) AS words,
-       |    ${graft.functions.Subword.duckDoc(duckToks)} AS subw,
+       |    coalesce(sd.subw, 0) AS subw,
        |    length(text) AS chars
-       |  FROM documents)
+       |  FROM documents LEFT JOIN sdoc sd USING (doc_id))
        |SELECT source, count(*) AS n_docs,
        |  CAST(sum(words) AS BIGINT) AS sum_words,
        |  CAST(sum(subw) AS BIGINT) AS sum_subtoks,

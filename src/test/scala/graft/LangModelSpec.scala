@@ -219,4 +219,38 @@ class LangModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nDocs = Tables(spark, "/root/testdata/sf0.001", "documents").count()
     assert(total == nDocs, "every document must be scored, token-less included")
   }
+
+  test("clf_train: learned NB weights — full spine, identity, in-domain positivity") {
+    val s = spark
+    import s.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val t = LangModel.clfTrain(spark, sf).collect()
+    assert(t.length == 64 && t.map(_.getInt(0)).toSeq == (0 until 64),
+      "one row per bucket, spine complete and ordered")
+    // the weight is exactly the Log2Fixed log-likelihood ratio of the
+    // counts the same row reports — the train table is self-verifying
+    val pt = t.map(_.getLong(1)).sum
+    val nt = t.map(_.getLong(2)).sum
+    t.foreach { r =>
+      val expect = graft.functions.Log2Fixed.bits(r.getLong(2) + 1, nt + 64) -
+        graft.functions.Log2Fixed.bits(r.getLong(1) + 1, pt + 64)
+      assert(r.getLong(3) == expect, s"bucket ${r.getInt(0)}")
+    }
+    // the learned scorer must actually separate: the in-domain source's
+    // documents average a higher margin than the rest of the corpus
+    val ws = LangModel.clfLearnedWeights(spark, sf)
+    assert(ws.size == 64)
+    assert(ws eq LangModel.clfLearnedWeights(spark, sf),
+      "second call must hit the session memo")
+    val docs = Tables(spark, sf, "documents")
+    val ts = docs.agg(min($"source")).as[String].head()
+    val m = docs.groupBy(($"source" === ts).as("pos"))
+      .agg(avg(LangModel.marginWith($"text", ws)).as("am"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(m(true) > m(false),
+      s"in-domain mean margin ${m(true)} must exceed out-of-domain ${m(false)}")
+    intercept[IllegalArgumentException] {
+      LangModel.marginWith($"text", Seq(1L, 2L))
+    }
+  }
 }

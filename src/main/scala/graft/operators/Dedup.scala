@@ -625,17 +625,21 @@ object Dedup {
   // Same hashed pipeline as the Jaccard oracle, blocked on lang only;
   // the prefix filter (rarest-first rank, integer ⌈τ'·n⌉ bound) and
   // the smaller-side generation rule are reproduced fold-for-fold.
+  // gh/sizes/gdf/undercap are MATERIALIZED: gh is referenced six times
+  // downstream and DuckDB's per-reference inlining re-ran the gram
+  // hashing + DISTINCT each time — one of the round-12 sf10 oracle
+  // timeouts (the EntityResolution duckPairs lesson).
   val dedupContainmentSql: String =
     s"""WITH grams AS ($duckGrams),
-       |gh AS (
+       |gh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, lang,
        |    ${WordNgramHashes.duckSql("gram")} AS gh
        |  FROM grams),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
-       |gdf AS (
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+       |gdf AS MATERIALIZED (
        |  SELECT lang, gh, count(*) AS df, min(doc_id) AS mn
        |  FROM gh GROUP BY lang, gh),
-       |undercap AS (
+       |undercap AS MATERIALIZED (
        |  SELECT g.doc_id, g.lang, g.gh, d.df, s.n
        |  FROM gh g JOIN gdf d USING (lang, gh) JOIN sizes s USING (doc_id)
        |  WHERE d.df <= $NgramDfCap),

@@ -44,8 +44,22 @@ object KMeansOracle {
     // from INLINING them per reference, which on a deep chain expands
     // exponentially (a 30-iteration fitTrace chain exhausted a 20k fd
     // limit re-opening the parquet before the hint).
+    // ptsw = the distinct-point sufficient statistics (x, y, multiplicity):
+    // Lloyd iterations only ever read (x, y), so every stage runs over the
+    // distinct domain and the means/counts are weighted — sum(x·w)/sum(w)
+    // equals the row-level mean up to summation-order float noise, which
+    // the per-boundary round(·, 4) already absorbs (the same noise class
+    // as the Spark-vs-DuckDB order difference this chain was built
+    // around). The point: DuckDB's cross-product operator retains the
+    // points-side collection PER STAGE for the query's lifetime
+    // (measured: 70 stages × raw pts ≈ 10 GB at sf1 / ~100 GB at sf10 —
+    // the round-12 kmeans spill-poisoning), and the distinct domain is
+    // 100× smaller at sf10 (599,646 vs 60 M rows — replicated corpora
+    // repeat values), so the whole chain's retention fits in memory.
     val init =
       s"""pts AS MATERIALIZED ($pointsSql),
+         |ptsw AS MATERIALIZED (
+         |  SELECT x, y, count(*) AS w FROM pts GROUP BY x, y),
          |c0 AS MATERIALIZED (
          |  SELECT CAST(row_number() OVER (ORDER BY pid, x, y) AS INT) AS cid, x, y
          |  FROM (SELECT pid, x, y FROM pts ORDER BY pid, x, y LIMIT $k))""".stripMargin
@@ -55,7 +69,8 @@ object KMeansOracle {
          |a$i AS (
          |${argminK(s"cp$i", k)}),
          |m$i AS (
-         |  SELECT cid, avg(x) AS ax, avg(y) AS ay, count(*) AS n
+         |  SELECT cid, sum(x * w) / sum(w) AS ax, sum(y * w) / sum(w) AS ay,
+         |    CAST(sum(w) AS BIGINT) AS n
          |  FROM a$i GROUP BY cid),
          |c$i AS MATERIALIZED (
          |  SELECT i.cid, round(coalesce(m.ax, i.x), 4) AS x,
@@ -78,18 +93,29 @@ object KMeansOracle {
     * centroid CTE `cp`: inline d1..dk, `least` for the minimum, and a
     * first-match CASE chain for the id (`least` returns one of its
     * inputs bitwise, so exact distance ties resolve to the smallest
-    * cid — the contract tie-break). Emits rows (x, y, cid). */
+    * cid — the contract tie-break). Emits rows (x, y, cid).
+    *
+    * Runs over [[centroidChain]]'s distinct-domain `ptsw` (see there)
+    * and carries the multiplicity `w` for the weighted consumers.
+    * Rejected alternates for the one-row attach, all measured at sf1:
+    * the plain cross product retains a points-sized collection per
+    * stage (70 × pts ≈ 10 GB spill); a hash join on a constant key
+    * hashes the ENTIRE points side into one unspillable bucket (OOM at
+    * 8 GB in 13 s); scalar subqueries per pivot column hit the DuckDB
+    * 1.0 binder ("alias referenced in a SELECT clause with a
+    * subquery"). The distinct-domain cross product keeps the retained
+    * side at |distinct(x,y)| rows — 600k at sf10, memory-trivial. */
   private def argminK(cp: String, k: Int): String = {
     val ds = (1 to k).map(j =>
       s"(p.x-cp.x$j)*(p.x-cp.x$j)+(p.y-cp.y$j)*(p.y-cp.y$j) AS d$j")
       .mkString(",\n      ")
     val md = (1 to k).map(j => s"d$j").mkString(", ")
     val cid = (1 to k).map(j => s"WHEN d$j = md THEN $j").mkString(" ")
-    s"""  SELECT x, y, CAST(CASE $cid END AS INT) AS cid FROM (
-       |    SELECT p.x, p.y,
+    s"""  SELECT x, y, w, CAST(CASE $cid END AS INT) AS cid FROM (
+       |    SELECT p.x, p.y, p.w,
        |      $ds,
        |      least($md) AS md
-       |    FROM pts p, $cp cp)""".stripMargin
+       |    FROM ptsw p, $cp cp)""".stripMargin
   }
 
   def initSql(pointsSql: String, k: Int): String =
@@ -135,7 +161,7 @@ object KMeansOracle {
     s"""WITH ${tracePieces(pointsSql, k, cap)},
        |selp AS (${pivotK("sel", k)}),
        |fa AS (
-       |  SELECT cid, count(*) AS n FROM (
+       |  SELECT cid, CAST(sum(w) AS BIGINT) AS n FROM (
        |${argminK("selp", k)})
        |  GROUP BY cid)
        |SELECT s.cid, round(s.x, 4) AS x, round(s.y, 4) AS y,
@@ -188,17 +214,17 @@ object KMeansOracle {
     s"""WITH ${tracePieces(pointsSql, k, cap)},
        |selp AS (${pivotK("sel", k)}),
        |scored AS (
-       |  SELECT CAST(CASE $cid END AS INT) AS cid,
+       |  SELECT CAST(CASE $cid END AS INT) AS cid, w,
        |    sqrt(list_sort([$md])[1]) AS a, sqrt(list_sort([$md])[2]) AS b
        |  FROM (
-       |    SELECT
+       |    SELECT p.w,
        |      $ds,
        |      least($md) AS md
-       |    FROM pts p, selp cp)),
+       |    FROM ptsw p, selp cp)),
        |agg AS (
-       |  SELECT cid, count(*) AS n,
+       |  SELECT cid, CAST(sum(w) AS BIGINT) AS n,
        |    sum(CAST(round(CASE WHEN b > 0 THEN (b - a) / b ELSE 0.0 END, 4)
-       |      AS DECIMAL(20,4))) AS sil
+       |      AS DECIMAL(20,4)) * w) AS sil
        |  FROM scored GROUP BY cid)
        |SELECT s.cid, CAST(coalesce(g.n, 0) AS BIGINT) AS n_points,
        |  CASE WHEN g.n > 0 THEN round(CAST(g.sil AS DOUBLE) / g.n, 4) END
@@ -206,10 +232,12 @@ object KMeansOracle {
        |FROM sel s LEFT JOIN agg g USING (cid) ORDER BY s.cid""".stripMargin
   }
 
-  /** Mean squared distance to the assigned centroid after one step. */
+  /** Mean squared distance to the assigned centroid after one step —
+    * weighted over the distinct domain ([[centroidChain]]'s ptsw). */
   def costSql(pointsSql: String, k: Int): String =
     s"""WITH ${centroidChain(pointsSql, k, 1)}
-       |SELECT round(avg((a.x-c.x)*(a.x-c.x)+(a.y-c.y)*(a.y-c.y)), 4) AS mean_sq_dist,
-       |  count(*) AS n_points
+       |SELECT round(sum(((a.x-c.x)*(a.x-c.x)+(a.y-c.y)*(a.y-c.y)) * a.w)
+       |    / sum(a.w), 4) AS mean_sq_dist,
+       |  CAST(sum(a.w) AS BIGINT) AS n_points
        |FROM a1 a JOIN c0 c USING (cid)""".stripMargin
 }

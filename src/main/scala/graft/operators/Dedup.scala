@@ -726,24 +726,43 @@ object Dedup {
   // Mirrors the hashed pipeline: the packed 62-bit gram hash's low 31
   // bits (gh % 2^31) are PolyHash base 31, i.e. the original signature
   // input; the verify joins intersect hash sets.
-  val dedupMinHashSql: String =
+  val dedupMinHashSql: String = {
+    // columnar signature: one grouped pass with MinHashK min-aggregates
+    // (the dedupSimHashSql 62-conditional-sum discipline) — the earlier
+    // `gh CROSS JOIN range(0, K)` form exploded the gram rows K× before
+    // aggregating (billions of rows at sf10; with the un-MATERIALIZED gh
+    // re-running the gram fold four times on top, the isolated sf10
+    // oracle hit a 69 GB spill cap). Same integer math per i, order-free
+    // mins, band keys composed column-wise.
+    val minCols = (0 until MinHashK).map(i =>
+      s"min(((2*$i+1)*(gh % 2147483648) + 1000003*$i) % $P) AS s$i")
+      .mkString(",\n    ")
+    val bandCols = (0 until MinHashK / 4).map(b =>
+      s"(s${4 * b}*29791 + s${4 * b + 1}*961 + s${4 * b + 2}*31 + s${4 * b + 3}) % $P AS bk$b")
+      .mkString(",\n    ")
+    val bandRows = (0 until MinHashK / 4).map(b =>
+      s"SELECT doc_id, $b AS band, bk$b AS bkey FROM sigb")
+      .mkString("\n  UNION ALL ")
     s"""WITH grams AS ($duckGrams),
-       |gh AS (
+       |gh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, ${WordNgramHashes.duckSql("gram")} AS gh
        |  FROM grams),
-       |sig AS (
-       |  SELECT doc_id, i, min(((2*i+1)*(gh % 2147483648) + 1000003*i) % $P) AS s
-       |  FROM gh CROSS JOIN range(0, $MinHashK) t(i) GROUP BY doc_id, i),
-       |band AS (
-       |  SELECT doc_id, i // 4 AS band,
-       |    sum(s * (CASE CAST(i % 4 AS INT) WHEN 0 THEN 29791
-       |             WHEN 1 THEN 961 WHEN 2 THEN 31 ELSE 1 END)) % $P AS bkey
-       |  FROM sig GROUP BY doc_id, i // 4),
+       |sigw AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM gh GROUP BY doc_id),
+       |sigb AS (
+       |  SELECT doc_id,
+       |    $bandCols
+       |  FROM sigw),
+       |band AS MATERIALIZED (
+       |  $bandRows),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM band a JOIN band b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+       |sizes AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
        |shared AS (
        |  SELECT a_id, b_id, count(*) AS sh
        |  FROM cand
@@ -758,6 +777,7 @@ object Dedup {
        |  JOIN sizes sb ON b_id = sb.doc_id)
        |WHERE jaccard >= $JaccardTau
        |ORDER BY a_id, b_id""".stripMargin
+  }
 
   // -------------------------------------------------------------- simhash
 
@@ -823,6 +843,21 @@ object Dedup {
       val key = combo.map(blockExprs).reduce((a, b) => s"($a * 2048 + $b)")
       s"SELECT doc_id, fp, $cid AS cid, $key AS key FROM fp"
     }.mkString("\n  UNION ALL ")
+    // each-pair-once emission: a pair with e equal blocks matches
+    // C(e,3) of the 20 combination tables, and on a replicated corpus
+    // (identical fingerprints: e = 6) that made the DISTINCT absorb
+    // 20× the output — ~1e9 pre-distinct rows at sf10, the isolated
+    // oracle's 69 GB spill cap. The packed 3-block key is injective
+    // (blocks are ≤ 11 bits < 2048), so key equality ⟺ block equality,
+    // and the join row is kept only when its combo is the FIRST one
+    // whose three blocks are all equal under xor(a.fp, b.fp) — same
+    // pairs, same hamming, one emission each.
+    val xorBlockEq = SimBlocks.map { case (lo, hi) =>
+      s"((xor(a.fp, b.fp) >> $lo) & ${(1 << (hi - lo)) - 1}) = 0"
+    }
+    val firstCombo = "CASE " + SimCombos.zipWithIndex.map { case (combo, cid) =>
+      s"WHEN ${combo.map(xorBlockEq).mkString(" AND ")} THEN $cid"
+    }.mkString(" ") + " END"
     // one grouped pass with 62 columnar conditional sums — the earlier
     // `wh CROSS JOIN range(0, 62)` form exploded the (doc, word) rows
     // 62× before aggregating (billions of rows at sf1: the oracle
@@ -852,6 +887,7 @@ object Dedup {
        |FROM keys a JOIN keys b
        |  ON a.cid = b.cid AND a.key = b.key AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.fp, b.fp)) <= $HammingTau
+       |  AND a.cid = ($firstCombo)
        |ORDER BY a_id, b_id""".stripMargin
   }
 

@@ -733,7 +733,14 @@ object Dedup {
     // aggregating (billions of rows at sf10; with the un-MATERIALIZED gh
     // re-running the gram fold four times on top, the isolated sf10
     // oracle hit a 69 GB spill cap). Same integer math per i, order-free
-    // mins, band keys composed column-wise.
+    // mins, band keys composed column-wise. The verify stage intersects
+    // per-doc DISTINCT gram-set LISTS (docg, one ~56-element list per
+    // doc) instead of expanding candidate × gram rows through a 3-way
+    // join + re-aggregate: the expansion form's ~1e9-row intermediate
+    // was at the mercy of DuckDB's join-order estimates, while the list
+    // intersect keeps both join builds at |docs| rows and the per-pair
+    // work native. |intersection| over distinct sets ≡ the old
+    // count(*)-of-matching-gram-pairs, so the jaccard is unchanged.
     val minCols = (0 until MinHashK).map(i =>
       s"min(((2*$i+1)*(gh % 2147483648) + 1000003*$i) % $P) AS s$i")
       .mkString(",\n    ")
@@ -761,20 +768,18 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM band a JOIN band b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |sizes AS MATERIALIZED (
-       |  SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+       |docg AS MATERIALIZED (
+       |  SELECT doc_id, list(gh) AS gs, count(*) AS n FROM gh GROUP BY doc_id),
        |shared AS (
-       |  SELECT a_id, b_id, count(*) AS sh
-       |  FROM cand
-       |  JOIN gh ga ON ga.doc_id = a_id
-       |  JOIN gh gb ON gb.doc_id = b_id AND ga.gh = gb.gh
-       |  GROUP BY a_id, b_id)
+       |  SELECT c.a_id, c.b_id,
+       |    len(list_intersect(ga.gs, gb.gs)) AS sh, ga.n AS na, gb.n AS nb
+       |  FROM cand c
+       |  JOIN docg ga ON ga.doc_id = c.a_id
+       |  JOIN docg gb ON gb.doc_id = c.b_id)
        |SELECT a_id, b_id, jaccard FROM (
        |  SELECT a_id, b_id,
-       |    round(CAST(sh AS DOUBLE) / (sa.n + sb.n - sh), 4) AS jaccard
-       |  FROM shared
-       |  JOIN sizes sa ON a_id = sa.doc_id
-       |  JOIN sizes sb ON b_id = sb.doc_id)
+       |    round(CAST(sh AS DOUBLE) / (na + nb - sh), 4) AS jaccard
+       |  FROM shared)
        |WHERE jaccard >= $JaccardTau
        |ORDER BY a_id, b_id""".stripMargin
   }
@@ -877,10 +882,10 @@ object Dedup {
        |  SELECT doc_id,
        |    $accCols
        |  FROM wh GROUP BY doc_id),
-       |fp AS (
+       |fp AS MATERIALIZED (
        |  SELECT doc_id, $fpSum AS fp
        |  FROM acc),
-       |keys AS (
+       |keys AS MATERIALIZED (
        |  $keyRows)
        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        |  bit_count(xor(a.fp, b.fp)) AS hamming

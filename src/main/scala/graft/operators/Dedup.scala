@@ -659,18 +659,18 @@ object Dedup {
        |  SELECT DISTINCT least(d.mn, g.doc_id), greatest(d.mn, g.doc_id)
        |  FROM gh g JOIN gdf d USING (lang, gh)
        |  WHERE d.df > $NgramDfCap AND g.doc_id != d.mn),
+       |docg AS MATERIALIZED (
+       |  SELECT doc_id, list(gh) AS gs, count(*) AS n FROM gh GROUP BY doc_id),
        |shared AS (
-       |  SELECT a_id, b_id, count(*) AS sh
-       |  FROM cand
-       |  JOIN gh ga ON ga.doc_id = a_id
-       |  JOIN gh gb ON gb.doc_id = b_id AND ga.gh = gb.gh
-       |  GROUP BY a_id, b_id)
+       |  SELECT c.a_id, c.b_id,
+       |    len(list_intersect(ga.gs, gb.gs)) AS sh, ga.n AS na, gb.n AS nb
+       |  FROM cand c
+       |  JOIN docg ga ON ga.doc_id = c.a_id
+       |  JOIN docg gb ON gb.doc_id = c.b_id)
        |SELECT a_id, b_id, containment FROM (
        |  SELECT a_id, b_id,
-       |    round(CAST(sh AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
-       |  FROM shared
-       |  JOIN sizes sa ON a_id = sa.doc_id
-       |  JOIN sizes sb ON b_id = sb.doc_id)
+       |    round(CAST(sh AS DOUBLE) / least(na, nb), 4) AS containment
+       |  FROM shared)
        |WHERE containment >= $ContainmentTau
        |ORDER BY a_id, b_id""".stripMargin
 

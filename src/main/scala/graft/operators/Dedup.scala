@@ -1088,6 +1088,12 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  // the pair-stage dot is DuckDB's native list_dot_product — verified
+  // bit-identical to the sequential list_reduce fold on 124,750 real
+  // 64-dim pairs (it accumulates sequentially; both engines' doubles
+  // match exactly as before), and ~an order of magnitude faster on the
+  // quadratic anchor volumes (the lsh_exact oracle's sf10 timeout).
+  // The per-vector norm stays a fold (linear, once per vector).
   val dedupEmbeddingSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, label,
@@ -1100,9 +1106,7 @@ object Dedup {
        |  FROM e)
        |SELECT a_id, b_id, cosine FROM (
        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
-       |      (acc, x) -> acc + x) / (a.nrm * b.nrm), 4) AS cosine
+       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
        |WHERE cosine >= $CosineTau
        |ORDER BY a_id, b_id""".stripMargin
@@ -1159,9 +1163,7 @@ object Dedup {
        |  WHERE rk = 1)
        |SELECT a_id, b_id, cosine FROM (
        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
-       |      (acc, x) -> acc + x) / (a.nrm * b.nrm), 4) AS cosine
+       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
        |  FROM n a JOIN best ba ON a.vec_id = ba.vec_id
        |  JOIN best bb ON ba.seed_id = bb.seed_id AND ba.vec_id < bb.vec_id
        |  JOIN n b ON b.vec_id = bb.vec_id)

@@ -17,29 +17,58 @@ import org.apache.spark.sql.SparkSession
   * concurrent session through one fit. Stopped-session purging also
   * drops the strong SparkSession references the ADVICE noted.
   *
-  * [[onEvict]] runs for every FORCED value leaving the cache through
-  * LRU eviction or [[clear]] — the hook the DataFrame caches use to
-  * unpersist their storage blocks eagerly instead of leaving them to
-  * GC + ContextCleaner (round-12 ADVICE: per-sweep Bench clears and
-  * long-lived multi-dir sessions accumulated stale persisted frames in
-  * executor storage). Unforced holders evict silently (nothing was
-  * built), and stopped-session purges skip the hook (their blocks died
-  * with the context). The hook runs outside the map monitor.
+  * Two release hooks, split by safety (round-13 ADVICE: one hook
+  * overstated what it could do):
+  *
+  *   - [[onEvict]] runs for every FORCED value leaving the cache — LRU
+  *     eviction or [[clear]]. Safe only for releases that a still-held
+  *     reference survives, i.e. `.persist()`'d frames: unpersisting one
+  *     under a live consumer merely recomputes. It is a NO-OP for
+  *     localCheckpoint-backed frames — `Dataset.unpersist` routes
+  *     through the CacheManager, which has no entry for a checkpoint's
+  *     LogicalRDD plan — so checkpoint storage must NOT be released
+  *     here anyway: dropping the checkpoint RDD's blocks under a frame
+  *     some caller still executes breaks that execution outright.
+  *   - [[onClear]] runs ONLY from [[clear]] (after onEvict), where the
+  *     caller asserts every consumer is done — the Bench per-sweep
+  *     clears. This is where checkpoint-backed caches release their
+  *     storage via the underlying RDD (the Dedup.releaseCheckpoint
+  *     pattern); LRU eviction stays drop-only for them, leaving
+  *     mid-flight frames to the context cleaner.
+  *
+  * Unforced holders evict silently (nothing was built), and
+  * stopped-session purges skip both hooks (their blocks died with the
+  * context). Hooks run outside the map monitor, at most once per
+  * holder. A holder evicted while its fit is mid-build is released by
+  * the builder itself once the fit completes (the post-build re-check
+  * below — round-13 ADVICE: the eviction pass saw forced=false and
+  * skipped it, leaking the storage). The one tolerated residual: a
+  * CHECKPOINT-backed holder evicted mid-build by clear() gets onEvict
+  * but not onClear from the re-check (its storage falls to the context
+  * cleaner) — releasing a checkpoint outside the clear window can't be
+  * proven safe from here.
   */
 final class SessionCache[V](maxEntries: Int = 4,
-    onEvict: V => Unit = (_: V) => ()) {
+    onEvict: V => Unit = (_: V) => (),
+    onClear: V => Unit = (_: V) => ()) {
   private final class Holder(build: () => V) {
     @volatile var forced = false
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     lazy val value: V = { val v = build(); forced = true; v }
   }
 
   private val m =
     scala.collection.mutable.LinkedHashMap[(SparkSession, String), Holder]()
 
-  private def evictHook(h: Holder): Unit =
-    if (h.forced) {
-      try onEvict(h.value)
-      catch { case scala.util.control.NonFatal(_) => () }
+  private def runHook(h: Holder, hook: V => Unit): Unit =
+    try hook(h.value)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** At most one release per holder, however many paths race to it. */
+  private def evictHook(h: Holder, clearing: Boolean = false): Unit =
+    if (h.forced && h.released.compareAndSet(false, true)) {
+      runHook(h, onEvict)
+      if (clearing) runHook(h, onClear)
     }
 
   def getOrCompute(s: SparkSession, key: String)(build: => V): V = {
@@ -56,8 +85,13 @@ final class SessionCache[V](maxEntries: Int = 4,
       }
       hh
     }
-    evicted.result().foreach(evictHook)
-    h.value
+    evicted.result().foreach(evictHook(_))
+    val v = h.value
+    // evicted mid-build? the eviction pass saw forced=false and skipped
+    // the hook — the builder releases its own orphaned value
+    val stillMapped = m.synchronized(m.get((s, key)).contains(h))
+    if (!stillMapped) evictHook(h)
+    v
   }
 
   def clear(): Unit = {
@@ -66,6 +100,6 @@ final class SessionCache[V](maxEntries: Int = 4,
       m.clear()
       vs
     }
-    all.foreach(evictHook)
+    all.foreach(evictHook(_, clearing = true))
   }
 }

@@ -43,7 +43,12 @@ object Verify {
         try g(spark, sfDir).map(k -> _)
         catch { case e: Throwable =>
           System.err.println(s"[verify] guard $k failed: ${e.getMessage}")
-          None
+          // a guard that THROWS must not silently re-arm the oracle it
+          // exists to waive (round-13 ADVICE): in the over-cap regime
+          // that compare is designed to fail, so a dropped waiver would
+          // record a spurious FAIL. Record a flagged guard_error waiver
+          // instead — the gate sees rows-only plus the reason.
+          Some(k -> s"guard_error: ${e.getMessage}")
         }
       }
     waivers.foreach { case (k, r) =>

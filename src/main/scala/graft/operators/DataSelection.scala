@@ -185,8 +185,12 @@ object DataSelection {
     * one row per document, materialized eagerly via localCheckpoint;
     * all three registry queries consume it, and Bench prices the build
     * as `dsir_score_build`. Values identical to [[docWeights]] — the
-    * oracle SQL is untouched. */
-  private val scoreCache = new graft.SessionCache[DataFrame](onEvict = _.unpersist(false))
+    * oracle SQL is untouched. Checkpoint storage is released on
+    * clear() via the underlying RDD (round-13 ADVICE: Dataset.unpersist
+    * is a CacheManager no-op for a localCheckpoint'd plan); LRU
+    * eviction stays drop-only — see [[graft.SessionCache]]. */
+  private val scoreCache =
+    new graft.SessionCache[DataFrame](onClear = Dedup.releaseCheckpoint)
 
   def trainScored(s: SparkSession, dir: String): DataFrame =
     scoreCache.getOrCompute(s, dir) { docWeights(s, dir).localCheckpoint() }

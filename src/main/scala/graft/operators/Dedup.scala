@@ -679,10 +679,102 @@ object Dedup {
   val MinHashK = 16 // signature length
   val Bands = 4     // 4 bands × 4 rows
 
-  /** MinHash+LSH near-dup pairs: signatures → band buckets → candidate
-    * equi-join → exact-Jaccard verify of candidates only. */
-  def dedupMinHash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Occupancy cap for a single (band, bkey) LSH bucket — the same
+    * bounded-state discipline as [[NgramDfCap]]/[[HotBlockCap]], closing
+    * the one unbounded fanout the engine had left (round-13 verdict #1).
+    * A post-exact-dedup viral near-identical group of n documents
+    * (template boilerplate — precisely what MinHash exists to catch)
+    * lands all n members in ONE bucket of every matching band, and the
+    * uncapped self-join emits n²/2 candidate pairs per band: the
+    * job-killer shape at 100 TB, and measured at sf10 as the 26.8 M-pair
+    * verify volume that put the single-node oracle over its spill cap.
+    *
+    * Buckets at or under the cap keep the exact all-pairs expansion;
+    * over-cap buckets fall back to the linear STAR against the bucket's
+    * minimum doc_id (the [[NgramDfCap]]/containment backstop), so the
+    * duplicate COMPONENT survives — every member still verifies against
+    * the representative — while candidate volume stays O(n). The count
+    * of over-cap buckets rides along as the constant `n_hot_buckets`
+    * census column (the [[dedupSpansOn]] `n_dropped_seeds` precedent):
+    * non-zero tells the user the pair list inside hot groups is the
+    * representative star, not all τ-pairs. Verification stays exact, so
+    * precision is unaffected; the oracle SQL mirrors the cap
+    * fold-for-fold, so the compare is decidable at every scale. */
+  val BandBucketCap = 64L
+
+  /** MinHash+LSH near-dup pairs: signatures → band buckets (occupancy-
+    * capped, see [[BandBucketCap]]) → candidate equi-join → exact-
+    * Jaccard verify of candidates only. */
+  def dedupMinHash(s: SparkSession, dir: String): DataFrame =
+    dedupMinHashOn(Tables(s, dir, "documents"), BandBucketCap)
+
+  /** The band-bucket candidate (a_id, b_id) pairs under `bucketCap` —
+    * public so DedupSpec can plant a viral near-identical group and
+    * assert the star fallback bounds candidate volume while preserving
+    * the component (the [[containmentCandidates]] precedent). */
+  def minHashCandidates(docs: DataFrame, bucketCap: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bands = minHashBands(minHashProfile(docs))
+    val occ = bands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("occ"), min($"doc_id").as("mn"))
+    bandCandidates(bands, occ, bucketCap)
+  }
+
+  def dedupMinHashOn(docs: DataFrame, bucketCap: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val profile = minHashProfile(docs)
+    val bands = minHashBands(profile)
+    // exact per-bucket occupancy + representative: one map-side-combined
+    // count over the band rows (O(1) state per bucket); the band rows'
+    // underlying signature exchange is shared with the verify stage via
+    // ReusedExchange, so the census costs a count, not a second gram scan
+    val occ = bands.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("occ"), min($"doc_id").as("mn"))
+    val cand = bandCandidates(bands, occ, bucketCap)
+    // the cap's recall trade made OBSERVABLE (the dedupSpansOn census
+    // precedent): how many buckets fell back to the star
+    val census = occ.filter($"occ" > bucketCap)
+      .agg(count(lit(1)).as("n_hot_buckets"))
+    // exact-Jaccard verify on candidates only
+    val verified = cand
+      .join(profile.select($"doc_id".as("a_id"), $"gs".as("ga")), "a_id")
+      .join(profile.select($"doc_id".as("b_id"), $"gs".as("gb")), "b_id")
+      .withColumn("inter", size(array_intersect($"ga", $"gb")))
+      .withColumn("jaccard", round(
+        $"inter".cast("double") / (size($"ga") + size($"gb") - $"inter"), 4))
+      .filter($"jaccard" >= JaccardTau)
+      .select($"a_id", $"b_id", $"jaccard")
+    // census-side OUTER join (1 row × pair rows): when the cap is so
+    // tight every pair drops, the report still carries the census row
+    census.join(verified, lit(true), "left")
+      .select($"a_id", $"b_id", $"jaccard", $"n_hot_buckets")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Under-cap buckets expand to all pairs; over-cap buckets emit the
+    * linear star against the bucket min. Shared by the operator and the
+    * spec-facing [[minHashCandidates]]. */
+  private def bandCandidates(bands: DataFrame, occ: DataFrame,
+      bucketCap: Long): DataFrame = {
+    import bands.sparkSession.implicits._
+    val withOcc = bands.join(occ, Seq("band", "bkey"))
+    val underPairs = withOcc.filter($"occ" <= bucketCap)
+      .select($"band", $"bkey", $"doc_id").as("a")
+      .join(withOcc.filter($"occ" <= bucketCap)
+        .select($"band", $"bkey", $"doc_id").as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+    val starPairs = withOcc.filter($"occ" > bucketCap && $"doc_id" =!= $"mn")
+      .select(least($"mn", $"doc_id").as("a_id"),
+        greatest($"mn", $"doc_id").as("b_id"))
+    underPairs.union(starPairs).distinct()
+  }
+
+  /** Per-doc frame carrying the 16 signature mins s0..s15 AND the gram-
+    * hash set for the verify stage — one aggregation pass, one shuffle. */
+  private def minHashProfile(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     // ONE aggregation pass computes both the 16 affine min-hashes
     // h_i(g) = ((2i+1)·g31 + 1000003·i) mod p  (no 16× row fanout) and
     // the doc's gram-hash set for the verify stage — a single shuffle
@@ -695,9 +787,14 @@ object Dedup {
     val sigAggs = (0 until MinHashK).map { i =>
       min((lit(2L * i + 1) * $"g31" + lit(1000003L * i)) % P).as(s"s$i")
     } :+ collect_set($"gh").as("gs")
-    val profile = hashedGramsOf(Tables(s, dir, "documents"))
+    hashedGramsOf(docs)
       .withColumn("g31", $"gh" % lit(2147483648L))
       .groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** One row per (doc, band) with the band's packed key. */
+  private def minHashBands(profile: DataFrame): DataFrame = {
+    import profile.sparkSession.implicits._
     // band key = base-31 polynomial combine of the band's 4 signature rows
     val weights = Seq(29791L, 961L, 31L, 1L)
     val bandCols = (0 until Bands).map { b =>
@@ -705,22 +802,8 @@ object Dedup {
         .reduce(_ + _) % P
       struct(lit(b).as("band"), key.as("bkey"))
     }
-    val bands = profile.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+    profile.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
-    val cand = bands.as("a").join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
-        $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
-    // exact-Jaccard verify on candidates only
-    cand
-      .join(profile.select($"doc_id".as("a_id"), $"gs".as("ga")), "a_id")
-      .join(profile.select($"doc_id".as("b_id"), $"gs".as("gb")), "b_id")
-      .withColumn("inter", size(array_intersect($"ga", $"gb")))
-      .withColumn("jaccard", round(
-        $"inter".cast("double") / (size($"ga") + size($"gb") - $"inter"), 4))
-      .filter($"jaccard" >= JaccardTau)
-      .select($"a_id", $"b_id", $"jaccard")
-      .orderBy($"a_id", $"b_id")
   }
 
   // Mirrors the hashed pipeline: the packed 62-bit gram hash's low 31
@@ -764,10 +847,22 @@ object Dedup {
        |  FROM sigw),
        |band AS MATERIALIZED (
        |  $bandRows),
+       |occ AS MATERIALIZED (
+       |  SELECT band, bkey, count(*) AS occ, min(doc_id) AS mn
+       |  FROM band GROUP BY band, bkey),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM band a JOIN band b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  JOIN occ o ON o.band = a.band AND o.bkey = a.bkey
+       |  WHERE o.occ <= $BandBucketCap
+       |  UNION
+       |  SELECT DISTINCT least(o.mn, g.doc_id), greatest(o.mn, g.doc_id)
+       |  FROM band g JOIN occ o ON o.band = g.band AND o.bkey = g.bkey
+       |  WHERE o.occ > $BandBucketCap AND g.doc_id != o.mn),
+       |census AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hot_buckets
+       |  FROM occ WHERE occ > $BandBucketCap),
        |docg AS MATERIALIZED (
        |  SELECT doc_id, list(gh) AS gs, count(*) AS n FROM gh GROUP BY doc_id),
        |shared AS (
@@ -775,12 +870,15 @@ object Dedup {
        |    len(list_intersect(ga.gs, gb.gs)) AS sh, ga.n AS na, gb.n AS nb
        |  FROM cand c
        |  JOIN docg ga ON ga.doc_id = c.a_id
-       |  JOIN docg gb ON gb.doc_id = c.b_id)
-       |SELECT a_id, b_id, jaccard FROM (
-       |  SELECT a_id, b_id,
-       |    round(CAST(sh AS DOUBLE) / (na + nb - sh), 4) AS jaccard
-       |  FROM shared)
-       |WHERE jaccard >= $JaccardTau
+       |  JOIN docg gb ON gb.doc_id = c.b_id),
+       |verified AS (
+       |  SELECT a_id, b_id, jaccard FROM (
+       |    SELECT a_id, b_id,
+       |      round(CAST(sh AS DOUBLE) / (na + nb - sh), 4) AS jaccard
+       |    FROM shared)
+       |  WHERE jaccard >= $JaccardTau)
+       |SELECT v.a_id, v.b_id, v.jaccard, c.n_hot_buckets
+       |FROM census c LEFT JOIN verified v ON true
        |ORDER BY a_id, b_id""".stripMargin
   }
 
@@ -805,11 +903,20 @@ object Dedup {
     * candidate pairs). Keying each of the C(6,3)=20 tables on a ~33-bit
     * THREE-block concatenation keeps the pigeonhole recall guarantee
     * while cutting candidates 18× (96k at sf0.1) — the difference
-    * between a quadratic blow-up and a bounded equi-join at 100 TB. */
-  def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val fps = Tables(s, dir, "documents")
+    * between a quadratic blow-up and a bounded equi-join at 100 TB.
+    * Residual viral groups (identical fingerprints put n docs in ONE
+    * bucket of all 20 tables) get the same [[BandBucketCap]] occupancy
+    * cap + min-id star fallback + `n_hot_buckets` census as minhash. */
+  def dedupSimHash(s: SparkSession, dir: String): DataFrame =
+    dedupSimHashOn(Tables(s, dir, "documents"), BandBucketCap)
+
+  def dedupSimHashOn(docs: DataFrame, bucketCap: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val fps = docs
       .select($"doc_id", SimHash64(TF.toks(lower($"text"))).as("fp"))
+      // three consumers (keys, star fa, star fb) — the labelsOf pattern:
+      // persisted across them, reclaimed by the context cleaner
+      .persist()
     def block(lo: Int, hi: Int) =
       expr(s"shiftright(fp, $lo) & ${(1 << (hi - lo)) - 1}")
     val keyCols = SimCombos.zipWithIndex.map { case (combo, cid) =>
@@ -820,19 +927,39 @@ object Dedup {
     val keys = fps.select($"doc_id", $"fp",
         explode(array(keyCols: _*)).as("ck"))
       .select($"doc_id", $"fp", $"ck.cid".as("cid"), $"ck.key".as("key"))
+    val occ = keys.groupBy($"cid", $"key")
+      .agg(count(lit(1)).as("occ"), min($"doc_id").as("mn"))
+    val withOcc = keys.join(occ, Seq("cid", "key"))
     // verify BEFORE the distinct (the ER linkPairs discipline): the
     // Hamming filter runs on the streaming join output, so the dedup
     // exchange sees only VERIFIED pairs (~1/20 of candidates here; at
     // sf1 the difference is an oracle that finishes vs one that spills
     // ~100 GB materializing every hot-bucket candidate for DISTINCT).
     // hamming is a function of the pair, so distinct semantics match.
-    keys.as("a").join(keys.as("b"),
+    val under = withOcc.filter($"occ" <= bucketCap)
+      .select($"cid", $"key", $"doc_id", $"fp").as("a")
+      .join(withOcc.filter($"occ" <= bucketCap)
+        .select($"cid", $"key", $"doc_id", $"fp").as("b"),
         $"a.cid" === $"b.cid" && $"a.key" === $"b.key" &&
         $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
         expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+    // over-cap buckets: linear star against the bucket min, Hamming
+    // verified against the representative's fingerprint
+    val star = withOcc.filter($"occ" > bucketCap && $"doc_id" =!= $"mn")
+      .select(least($"mn", $"doc_id").as("a_id"),
+        greatest($"mn", $"doc_id").as("b_id"))
+      .distinct()
+      .join(fps.select($"doc_id".as("a_id"), $"fp".as("fa")), "a_id")
+      .join(fps.select($"doc_id".as("b_id"), $"fp".as("fb")), "b_id")
+      .select($"a_id", $"b_id", expr("bit_count(fa ^ fb)").as("hamming"))
+    val verified = under.union(star)
       .filter($"hamming" <= HammingTau)
       .distinct()
+    val census = occ.filter($"occ" > bucketCap)
+      .agg(count(lit(1)).as("n_hot_buckets"))
+    census.join(verified, lit(true), "left")
+      .select($"a_id", $"b_id", $"hamming", $"n_hot_buckets")
       .orderBy($"a_id", $"b_id")
   }
 
@@ -848,21 +975,15 @@ object Dedup {
       val key = combo.map(blockExprs).reduce((a, b) => s"($a * 2048 + $b)")
       s"SELECT doc_id, fp, $cid AS cid, $key AS key FROM fp"
     }.mkString("\n  UNION ALL ")
-    // each-pair-once emission: a pair with e equal blocks matches
-    // C(e,3) of the 20 combination tables, and on a replicated corpus
-    // (identical fingerprints: e = 6) that made the DISTINCT absorb
-    // 20× the output — ~1e9 pre-distinct rows at sf10, the isolated
-    // oracle's 69 GB spill cap. The packed 3-block key is injective
-    // (blocks are ≤ 11 bits < 2048), so key equality ⟺ block equality,
-    // and the join row is kept only when its combo is the FIRST one
-    // whose three blocks are all equal under xor(a.fp, b.fp) — same
-    // pairs, same hamming, one emission each.
-    val xorBlockEq = SimBlocks.map { case (lo, hi) =>
-      s"((xor(a.fp, b.fp) >> $lo) & ${(1 << (hi - lo)) - 1}) = 0"
-    }
-    val firstCombo = "CASE " + SimCombos.zipWithIndex.map { case (combo, cid) =>
-      s"WHEN ${combo.map(xorBlockEq).mkString(" AND ")} THEN $cid"
-    }.mkString(" ") + " END"
+    // Occupancy cap mirror (see [[BandBucketCap]]): the round-13 SQL
+    // used a first-equal-combo CASE to emit each pair once because a
+    // viral identical-fingerprint group matched all 20 tables and the
+    // DISTINCT absorbed 20× the quadratic output (~1e9 pre-distinct
+    // rows at sf10, the isolated oracle's 69 GB spill cap). With the
+    // cap, viral buckets collapse to the linear star BEFORE the join
+    // output exists, so the residual under-cap DISTINCT absorbs at
+    // most 20× of a bounded, Hamming-filtered volume and the CASE is
+    // no longer needed — the arms now mirror the Spark plan exactly.
     // one grouped pass with 62 columnar conditional sums — the earlier
     // `wh CROSS JOIN range(0, 62)` form exploded the (doc, word) rows
     // 62× before aggregating (billions of rows at sf1: the oracle
@@ -886,13 +1007,35 @@ object Dedup {
        |  SELECT doc_id, $fpSum AS fp
        |  FROM acc),
        |keys AS MATERIALIZED (
-       |  $keyRows)
-       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-       |  bit_count(xor(a.fp, b.fp)) AS hamming
-       |FROM keys a JOIN keys b
-       |  ON a.cid = b.cid AND a.key = b.key AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.fp, b.fp)) <= $HammingTau
-       |  AND a.cid = ($firstCombo)
+       |  $keyRows),
+       |occ AS MATERIALIZED (
+       |  SELECT cid, key, count(*) AS occ, min(doc_id) AS mn
+       |  FROM keys GROUP BY cid, key),
+       |under AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    bit_count(xor(a.fp, b.fp)) AS hamming
+       |  FROM keys a JOIN keys b
+       |    ON a.cid = b.cid AND a.key = b.key AND a.doc_id < b.doc_id
+       |  JOIN occ o ON o.cid = a.cid AND o.key = a.key
+       |  WHERE o.occ <= $BandBucketCap
+       |    AND bit_count(xor(a.fp, b.fp)) <= $HammingTau),
+       |star AS (
+       |  SELECT DISTINCT least(o.mn, g.doc_id) AS a_id,
+       |    greatest(o.mn, g.doc_id) AS b_id
+       |  FROM keys g JOIN occ o ON o.cid = g.cid AND o.key = g.key
+       |  WHERE o.occ > $BandBucketCap AND g.doc_id != o.mn),
+       |starv AS (
+       |  SELECT s.a_id, s.b_id, bit_count(xor(fa.fp, fb.fp)) AS hamming
+       |  FROM star s
+       |  JOIN fp fa ON fa.doc_id = s.a_id
+       |  JOIN fp fb ON fb.doc_id = s.b_id
+       |  WHERE bit_count(xor(fa.fp, fb.fp)) <= $HammingTau),
+       |verified AS (SELECT * FROM under UNION SELECT * FROM starv),
+       |census AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hot_buckets
+       |  FROM occ WHERE occ > $BandBucketCap)
+       |SELECT v.a_id, v.b_id, v.hamming, c.n_hot_buckets
+       |FROM census c LEFT JOIN verified v ON true
        |ORDER BY a_id, b_id""".stripMargin
   }
 

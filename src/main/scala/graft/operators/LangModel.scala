@@ -293,8 +293,12 @@ object LangModel {
     * executor-local storage; Bench prices the build as
     * `lm_score_build` and the three consuming queries then measure
     * pure consumption. Values are identical to [[docScores]] — the
-    * oracle SQL is untouched. */
-  private val scoreCache = new graft.SessionCache[DataFrame](onEvict = _.unpersist(false))
+    * oracle SQL is untouched. Checkpoint storage is released on
+    * clear() via the underlying RDD (round-13 ADVICE: Dataset.unpersist
+    * is a CacheManager no-op for a localCheckpoint'd plan); LRU
+    * eviction stays drop-only — see [[graft.SessionCache]]. */
+  private val scoreCache =
+    new graft.SessionCache[DataFrame](onClear = Dedup.releaseCheckpoint)
 
   def trainScores(s: SparkSession, dir: String): DataFrame =
     scoreCache.getOrCompute(s, dir) { docScores(s, dir).localCheckpoint() }

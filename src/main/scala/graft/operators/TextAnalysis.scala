@@ -256,8 +256,13 @@ object TextAnalysis {
     * memoizes per (session, dir) via localCheckpoint, priced by the
     * bench as `quality_score_build` — the same score-once accounting as
     * `lm_score_build`/`dsir_score_build` ([[graft.SessionCache]]
-    * lifecycle: stopped-session purge, LRU, fit outside the monitor). */
-  private val scoreCache = new graft.SessionCache[DataFrame](onEvict = _.unpersist(false))
+    * lifecycle: stopped-session purge, LRU, fit outside the monitor).
+    * Checkpoint storage is released on clear() via the underlying RDD
+    * (round-13 ADVICE: Dataset.unpersist is a CacheManager no-op for a
+    * localCheckpoint'd plan); LRU eviction stays drop-only — see
+    * [[graft.SessionCache]]. */
+  private val scoreCache =
+    new graft.SessionCache[DataFrame](onClear = Dedup.releaseCheckpoint)
 
   def trainQualityScores(s: SparkSession, dir: String): DataFrame =
     scoreCache.getOrCompute(s, dir) {

@@ -235,6 +235,43 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(_.getInt(2) <= Dedup.HammingTau))
   }
 
+  test("band-bucket cap: viral group bounded to a star, component preserved") {
+    import spark.implicits._
+    // 40 identical docs — the template-boilerplate shape MinHash exists
+    // to catch: every band bucket holds all 40, so the uncapped join
+    // would emit C(40,2)=780 candidate pairs per band. Plus one isolated
+    // doc and one small (under-cap) duplicate pair riding the exact path.
+    val viral = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = ((1L to 40L).map(i => (i, "en", viral)) ++ Seq(
+        (100L, "en", "completely unrelated words about entirely different subject matter here"),
+        (200L, "en", "another shared template sentence that exactly two documents carry verbatim"),
+        (201L, "en", "another shared template sentence that exactly two documents carry verbatim")))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length($"text"))
+    val cap = 8L
+    // bounded: 39 star edges for the viral group + 1 under-cap pair —
+    // NOT the quadratic 780
+    val cand = Dedup.minHashCandidates(docs, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.size == 40, s"expected 40 candidates, got ${cand.size}")
+    // component preserved: every viral member verifies against the
+    // min-id representative (keep-one dedup collapses all 40 onto doc 1)
+    val out = Dedup.dedupMinHashOn(docs, cap).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((2L to 40L).forall(i => pairs.contains((1L, i))))
+    assert(pairs.contains((200L, 201L)), "under-cap exact path must survive")
+    assert(!pairs.exists { case (a, b) => a != 1L && b <= 40L },
+      "no non-star pair inside the capped viral group")
+    // the cap's recall trade is observable: 4 hot band buckets
+    assert(out.forall(_.getLong(3) == 4L))
+    // simhash: same shape — 20 hot combo buckets, hamming-0 star edges
+    val sh = Dedup.dedupSimHashOn(docs, cap).collect()
+    val shPairs = sh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((2L to 40L).forall(i => shPairs.contains((1L, i))))
+    assert(shPairs.contains((200L, 201L)))
+    assert(sh.forall(_.getLong(3) == 20L))
+  }
+
   test("dedup_embedding: cosine within [-1,1] and above threshold") {
     val out = Dedup.dedupEmbedding(spark, sf).collect()
     assert(out.nonEmpty)

@@ -38,6 +38,21 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.drop(1).headOption.getOrElse("/tmp/sf1")
+    // PERTURBED-CONTENT SCALE CONTROL (round-13 verdict #8): with mode
+    // `perturb`, every non-zero replica mutates every 5th token of each
+    // document (deterministic in (token index, replica) — no RNG), so a
+    // replica shares only short token runs with its original: ~60 % of
+    // word-3-grams differ, cross-replica Jaccard lands ~0.25 < τ=0.5
+    // and SimHash Hamming > 3. Duplicate-family OUTPUT then stops being
+    // quadratic-in-replicas BY CONSTRUCTION, which makes the verbatim
+    // corpus's decade-ratio attributions (minhash/pairs_build/
+    // er_link_build superlinearity = output growth, not engine growth)
+    // falsifiable against a corpus where the output is linear.
+    // Embedding components get a per-replica nudge on one coordinate
+    // (breaks bit-identical vectors; cosine stays in the dup band — the
+    // label-blocked embedding family is documented as out of this
+    // control's scope).
+    val perturb = args.drop(2).headOption.contains("perturb")
     val spark = GraftSession.local()
     import spark.implicits._
 
@@ -113,12 +128,27 @@ object ScaleUp {
         shift("user_id", cSpan, r), $"event_type", $"value", $"props")
     }, "events")
     write(rep(docs) { (d, r) =>
-      val text = if (r == 0) $"text" else concat($"text", lit(s" qz${r}x"))
+      val text =
+        if (r == 0) $"text"
+        else if (perturb)
+          // mutate every 5th token (offset by r so replicas differ from
+          // EACH OTHER too, not just from the original): a 3-gram window
+          // covers 3 tokens, so a mutation every 5 kills ~3/5 of grams
+          expr(s"array_join(zip_with(split(text, ' '), " +
+            s"sequence(0, size(split(text, ' ')) - 1), " +
+            s"(w, i) -> CASE WHEN (i + $r) % 5 = 0 " +
+            s"THEN concat(w, 'q$r') ELSE w END), ' ')")
+        else concat($"text", lit(s" qz${r}x"))
       d.select(shift("doc_id", dSpan, r), text.as("text"), $"lang",
         $"source", length(text).cast("long").as("n_chars"))
     }, "documents")
     write(rep(emb) { (d, r) =>
-      d.select(shift("vec_id", vSpan, r), $"embedding", $"label")
+      val vec =
+        if (r == 0 || !perturb) $"embedding"
+        else expr(s"zip_with(embedding, sequence(0, size(embedding) - 1), " +
+          s"(v, i) -> CASE WHEN i = $r % size(embedding) " +
+          s"THEN CAST(v + 0.01 * $r AS FLOAT) ELSE v END)")
+      d.select(shift("vec_id", vSpan, r), vec.as("embedding"), $"label")
     }, "embeddings")
     spark.stop()
   }

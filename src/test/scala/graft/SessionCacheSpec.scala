@@ -83,4 +83,36 @@ class SessionCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.getOrCompute(spark, "k") { fits.incrementAndGet() }
     assert(fits.get == 2)
   }
+
+  test("onEvict fires on LRU eviction; onClear fires only from clear()") {
+    val ev = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val cl = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val c = new SessionCache[Int](maxEntries = 1,
+      onEvict = v => { ev.add(v); () }, onClear = v => { cl.add(v); () })
+    c.getOrCompute(spark, "a")(1)
+    c.getOrCompute(spark, "b")(2) // evicts a
+    assert(ev.toArray.toList == List(1), "LRU eviction must run onEvict")
+    assert(cl.isEmpty, "onClear must NOT run on LRU eviction — releasing " +
+      "a checkpoint under a possibly-live frame is the unsafe case")
+    c.clear() // releases b through both hooks
+    assert(ev.toArray.toList == List(1, 2))
+    assert(cl.toArray.toList == List(2))
+  }
+
+  test("holder evicted mid-build is released by the builder (round-13 ADVICE)") {
+    val ev = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val c = new SessionCache[Int](maxEntries = 1, onEvict = v => { ev.add(v); () })
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val t = new Thread(() => c.getOrCompute(spark, "slow") {
+      entered.countDown(); release.await(30, TimeUnit.SECONDS); 7
+    })
+    t.start()
+    assert(entered.await(10, TimeUnit.SECONDS), "slow fit must start")
+    c.getOrCompute(spark, "other")(1) // evicts slow's UNFORCED holder
+    assert(ev.isEmpty, "eviction pass must skip the unforced holder")
+    release.countDown(); t.join(30000)
+    assert(ev.toArray.toList == List(7),
+      "the mid-build-evicted fit must release its own value on completion")
+  }
 }

@@ -90,8 +90,18 @@ def main(sfdir, outdir, only=None):
     workers = max(1, int(os.environ.get("GRAFT_ORACLE_WORKERS", "1")))
     spill = os.environ.get("GRAFT_ORACLE_SPILL")
     if not spill:
+        # the AGGREGATE across workers must fit in the measured headroom
+        # (round-13 ADVICE: a 4GB/worker floor with 4 workers on a 10GB
+        # disk re-admits the disk-fill) — so per-worker is a pure floor-1
+        # division of free-8GB, and when even 1GB/worker would overcommit
+        # we shrink the effective concurrency assumption instead of the
+        # guarantee: DuckDB never sees more than the disk holds.
         free_gb = shutil.disk_usage("/tmp").free // (1 << 30)
-        spill = f"{max(4, (free_gb - 8) // workers)}GB"
+        spill = f"{max(1, (free_gb - 8) // workers)}GB"
+        if (free_gb - 8) // workers < 1:
+            print(f"[!!] /tmp headroom {free_gb}GB cannot fund {workers} "
+                  f"workers at 1GB each — capping at 1GB/worker anyway; "
+                  f"reduce GRAFT_ORACLE_WORKERS", file=sys.stderr, flush=True)
     print(f"[..] spill budget: {spill}/worker ({workers} workers)",
           file=sys.stderr, flush=True)
 

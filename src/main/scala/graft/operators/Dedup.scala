@@ -328,7 +328,12 @@ object Dedup {
         pairCache.remove((s, dir)); pairCache.put((s, dir), df) // LRU touch
         df
       case None =>
-        val docs = Tables(s, dir, "documents")
+        // r14: spread the gram explode + verify substrate (see
+        // Tables.spread) — measured −0.7 s at sf0.1, and at sf1+ the
+        // single-row-group documents scan serializes the whole
+        // candidates+verify build otherwise
+        val docs = graft.Tables.spread(
+          Tables(s, dir, "documents"), dir, "documents", col("doc_id"))
         val g = hashedGramsOf(docs).persist()
         val df =
           try verifyPairs(docs, ngramCandidates(docs, NgramDfCap, g))
@@ -1076,8 +1081,13 @@ object Dedup {
     * with a tiny cap and asserts the routing + exact precision. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     // same projection + norm as the similarity operators — one
-    // definition keeps the bit-identical-cosine parity in one place
-    dedupEmbeddingOn(Similarity.embedded(s, dir), HotBlockCap)
+    // definition keeps the bit-identical-cosine parity in one place.
+    // Pair-stage input spread across the session parallelism (r14):
+    // the single-row-group embeddings scan otherwise pins the whole
+    // broadcast-self-join pair stream to ONE task — see Tables.spread.
+    dedupEmbeddingOn(graft.Tables.spread(
+      Similarity.embedded(s, dir), dir, "embeddings",
+      org.apache.spark.sql.functions.col("vec_id")), HotBlockCap)
 
   /** The uncapped exact-all-pairs baseline — the quadratic regime the
     * hot-block cap exists to avoid. Measurement surface only
@@ -1202,6 +1212,11 @@ object Dedup {
       s"more than $MaxHotLabels labels exceed hotBlockCap=$hotBlockCap — " +
         "the label column is not a usable blocking key at this " +
         "threshold; run dedupEmbeddingLsh (all-LSH candidates) instead")
+    // The pair-stage input arrives pre-spread across the session's
+    // parallelism by [[graft.Tables]] (r14: the single-row-group scan
+    // otherwise put the whole broadcast-self-join pair stream in ONE
+    // task — measured 78 of dedup_semantic's 78.4 s at sf1 in a single
+    // bhj_doConsume task; the substrate spread cut it to ~16 s).
     val small =
       if (hotLabels.isEmpty) e0 else e0.filter(!$"label".isin(hotLabels: _*))
     val exact = small.as("a").join(small.as("b"),
@@ -1668,7 +1683,10 @@ object Dedup {
   private def dedupEmbeddingLshWith(s: SparkSession, dir: String,
       tables: Int, nplanes: Int): DataFrame = {
     import s.implicits._
-    val e = Similarity.embedded(s, dir)
+    // r14: spread the signature scan (multi-table bucket projection is
+    // per-row × tables work; single-row-group scan = one task)
+    val e = graft.Tables.spread(
+      Similarity.embedded(s, dir), dir, "embeddings", $"vec_id")
     val dim = e.select(size($"v")).head().getInt(0)
     lshCosinePairs(e, dim, tables, nplanes)
       .filter($"cosine" >= CosineTau)
@@ -1707,9 +1725,12 @@ object Dedup {
       // is O(N) executor memory, fine at anchor size, wrong for an
       // unbounded input. The shipped multi-table path below never
       // broadcasts the corpus.
+      // EXPLICIT partition count (r14): the bare repartition(col) here
+      // was AQE-coalesced back down by bytes — the pair stream's cost
+      // is CPU, not bytes, so pin the width to the core budget
       val buckets = Similarity.withBuckets(e, dim, tables, nplanes)
         .select($"vec_id", $"label", $"v", $"nrm", $"t", $"bucket")
-        .repartition(col("vec_id"))
+        .repartition(e.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       val b = broadcast(Similarity.withBuckets(e, dim, tables, nplanes)
         .select($"vec_id".as("b_id"), $"label", $"v".as("vb"),
           $"nrm".as("nb"), $"t", $"bucket"))

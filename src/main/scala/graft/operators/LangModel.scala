@@ -51,7 +51,11 @@ object LangModel {
     * document position (the lag window's sort key). */
   private def tokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents")
+    // r14: spread the tokenize scan — single-row-group documents pin
+    // the whole explode+window pipeline to one task (Tables.spread;
+    // measured −0.9 to −1.3 s per trigram-family entry at sf0.1 and
+    // the bulk of lm_trigram_score's 44 s at sf1)
+    Tables.spread(Tables(s, dir, "documents"), dir, "documents", $"doc_id")
       .select($"doc_id", posexplode(toks(lower($"text"))))
       .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("w"))
   }

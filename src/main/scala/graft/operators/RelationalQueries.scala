@@ -760,16 +760,99 @@ object RelationalQueries {
     * boundaries + a binning scan (the [[quantilesApprox]] pattern) —
     * sketch state, no global sort, at the price of approximate
     * boundaries. */
+  /** Price-bucket width for [[quantileBins]]' two-level exact rank
+    * (r14 optimization): cumulative counts are computed per
+    * (flag, floor(price/width)) bucket — thousands of parallel window
+    * partitions — plus a tiny per-flag bucket-offset window, instead
+    * of ntile's one total sort per flag (3 partitions total: the sf10
+    * bench's 111 s entry, 9.9×/decade). Width 64 ≈ 1.6k buckets over
+    * the testdata price range; any positive width is CORRECT (it only
+    * shifts work between the two levels) — exact power of two keeps
+    * the double division exact. */
+  val BinBucketWidth = 64.0
+
+  /** Equi-depth bins, EXACT ntile(4) semantics reproduced in integer
+    * rank arithmetic (r14, guide §2.5: the per-flag total sort moved
+    * all data to 3 partitions). Derivation: rows of one flag, ordered
+    * by (price, okey, lnum), get ntile bins whose rank boundaries are
+    * start_i = (i-1)·q + min(i-1, r) + 1, end_i = i·q + min(i, r)
+    * with q = N div 4, r = N mod 4. A price value covering ranks
+    * (pcum, cum] (cumulative counts over the price order — the
+    * tie-break columns never matter because equal prices are
+    * contiguous in rank space) overlaps bins binOf(pcum+1)..binOf(cum);
+    * its overlap with bin i has exactly
+    * min(cum, end_i) − max(pcum+1, start_i) + 1 rows. Summing overlaps
+    * per bin gives ntile's exact n, and min/max price per bin are the
+    * prices whose spans intersect the bin — identical (count, lo, hi)
+    * to the window form for EVERY N (RelationalQueriesSpec asserts the
+    * equivalence against a literal ntile run, boundary ties included;
+    * the DuckDB oracle SQL is untouched). */
   def quantileBins(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"l_returnflag")
-      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-    Tables(s, dir, "lineitem")
-      .select($"l_returnflag", $"l_extendedprice",
-        $"l_orderkey", $"l_linenumber")
-      .withColumn("bin", ntile(4).over(w))
+    quantileBinsOn(Tables(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice"))
+  }
+
+  /** The rank-arithmetic form over any (l_returnflag, l_extendedprice)
+    * frame — spec surface: RelationalQueriesSpec drives crafted frames
+    * (boundary ties, every N mod 4, N < 4) through this and the
+    * literal ntile window side by side. */
+  def quantileBinsOn(li: DataFrame): DataFrame = {
+    val s = li.sparkSession
+    import s.implicits._
+    val cores = s.sparkContext.defaultParallelism
+    val g = li
+      .withColumn("bkt", floor($"l_extendedprice" / lit(BinBucketWidth)))
+      // one exchange: hash by (flag, bucket); the per-price count and
+      // both windows below all cluster on prefixes of this key
+      .repartition(cores, $"l_returnflag", $"bkt")
+      .groupBy($"l_returnflag", $"bkt", $"l_extendedprice")
+      .agg(count(lit(1)).as("cnt"))
+    val wIn = Window.partitionBy($"l_returnflag", $"bkt")
+      .orderBy($"l_extendedprice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inCum = g.withColumn("icum", sum($"cnt").over(wIn))
+    // Bucket totals -> exclusive per-flag offsets + per-flag N. Built
+    // from a SEPARATE direct partial-agg scan of the input, NOT from
+    // `g`: the broadcast branches are physical re-executions of their
+    // subtree, and re-running the repartition+groupBy+window pipeline
+    // twice more measured 3.26 s steady-state vs 1.73 s baseline at
+    // sf0.1 (the interrupted session's 13.9 s first-sweep reading was
+    // this plus cold broadcasts). A groupBy(flag, bkt) straight off
+    // the scan is map-side-combined into ~flags×buckets rows (KB) —
+    // the cheap recompute the broadcast can afford.
+    val bt = li
+      .withColumn("bkt", floor($"l_extendedprice" / lit(BinBucketWidth)))
+      .groupBy($"l_returnflag", $"bkt").agg(count(lit(1)).as("bn"))
+    val wB = Window.partitionBy($"l_returnflag").orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bt
+      .withColumn("boff", coalesce(sum($"bn").over(wB), lit(0L)))
+      .withColumn("nn", sum($"bn").over(Window.partitionBy($"l_returnflag")))
+      .select($"l_returnflag", $"bkt", $"boff", $"nn")
+    // binOf(rank): the bin whose [start, end] rank range contains
+    // `rank` — integer ceil-division, exact at any N (DIV on longs)
+    def binOf(rank: String): Column =
+      when(col(rank) <= $"r" * ($"q" + 1),
+        expr(s"($rank + q) DIV (q + 1)"))
+        .otherwise($"r" +
+          expr(s"($rank - r * (q + 1) + greatest(q, 1L) - 1) DIV greatest(q, 1L)"))
+    inCum
+      .join(broadcast(off), Seq("l_returnflag", "bkt"))
+      .withColumn("cum", $"icum" + $"boff")
+      .withColumn("pcum", $"cum" - $"cnt")
+      .withColumn("q", expr("nn DIV 4"))
+      .withColumn("r", $"nn" % 4)
+      .withColumn("rka", $"pcum" + 1)
+      .withColumn("b0", binOf("rka"))
+      .withColumn("b1", binOf("cum"))
+      .withColumn("binL", explode(sequence($"b0", $"b1")))
+      .withColumn("bin", $"binL".cast("int"))
+      .withColumn("st", ($"binL" - 1) * $"q" + least($"binL" - 1, $"r") + 1)
+      .withColumn("en", $"binL" * $"q" + least($"binL", $"r"))
+      .withColumn("ov", least($"cum", $"en") - greatest($"rka", $"st") + 1)
       .groupBy($"l_returnflag", $"bin")
-      .agg(count(lit(1)).as("n"),
+      .agg(sum($"ov").as("n"),
         round(min($"l_extendedprice"), 4).as("lo"),
         round(max($"l_extendedprice"), 4).as("hi"))
       .orderBy($"l_returnflag", $"bin")

@@ -482,7 +482,9 @@ object Similarity {
     * [[knnEdges]] frame's plan is just the checkpoint scan). */
   private[graft] def knnGraphFresh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = embedded(s, dir)
+    // r14: spread the bucket-signature scan (see Tables.spread) — the
+    // per-row multi-table bucket projection is the map-side cost here
+    val e = graft.Tables.spread(embedded(s, dir), dir, "embeddings", $"vec_id")
     val n = e.count()
     knnGraphWith(e, KnnTables, knnPlanes(n), None)
   }
@@ -498,7 +500,9 @@ object Similarity {
     * corpus never shuffles at all. */
   def knnGraphExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = embedded(s, dir)
+    // r14: spread — the sample × corpus brute-force pair stream
+    // otherwise runs inside the single-row-group scan's one task
+    val e = graft.Tables.spread(embedded(s, dir), dir, "embeddings", $"vec_id")
     knnGraphWith(e, tables = 1, nplanes = 0, nodeMax = Some(KnnNodes))
   }
 
@@ -970,7 +974,10 @@ object Similarity {
     * SemDeDup's "cluster, then dedup inside each cluster" shape. */
   private[operators] def clusterAssigned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = embedded(s, dir)
+    // r14: spread the assignment scan — the K-seed argmin and the
+    // downstream within-cluster pair stage (dedup_semantic) otherwise
+    // run single-task on the one-row-group embeddings scan
+    val emb = graft.Tables.spread(embedded(s, dir), dir, "embeddings", $"vec_id")
     val seeds = emb
       .withColumn("h", graft.functions.PolyHash(
         concat($"vec_id".cast("string"), lit("#seed"))))

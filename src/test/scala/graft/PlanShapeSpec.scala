@@ -24,6 +24,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "false")
+      // These assertions lock the AT-SCALE plan regime, where the
+      // conditional narrow-scan spread (Tables.spreadIfNarrow) is a
+      // structural no-op because real tables have row-group/file
+      // parallelism — so the spread is disabled here and the invariants
+      // (ids-only exchanges, no text/vector shuffles) assert the shape
+      // a 100-TB run would execute. TablesSpreadSpec covers the spread
+      // itself.
+      .config("spark.graft.spreadNarrowScans", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

@@ -87,4 +87,36 @@ class QuantilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scans = "FileScan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"all moments must come from one scan, got $scans")
   }
+
+  // r14: quantile_bins' rank-arithmetic form vs the literal ntile
+  // window — the rewrite must be (count, lo, hi)-identical for every
+  // N mod 4, for N < 4, and when a run of equal prices straddles a bin
+  // boundary (the case where naive percentile math goes wrong).
+  test("quantile_bins rank arithmetic ≡ ntile window on crafted frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def reference(li: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+      li.withColumn("bin", ntile(4).over(w))
+        .groupBy($"l_returnflag", $"bin")
+        .agg(count(lit(1)).as("n"),
+          round(min($"l_extendedprice"), 4).as("lo"),
+          round(max($"l_extendedprice"), 4).as("hi"))
+        .orderBy($"l_returnflag", $"bin")
+    }
+    val cases = Seq(
+      // (flag, prices): N mod 4 = 0,1,2,3; N < 4; boundary-straddling ties
+      "A" -> Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0),
+      "B" -> Seq(10.0, 20.0, 30.0, 40.0, 50.0),
+      "C" -> Seq(5.0, 5.0, 5.0, 5.0, 5.0, 5.0),          // one giant tie
+      "D" -> Seq(1.0, 2.0, 2.0, 2.0, 2.0, 3.0, 9.0),     // tie straddles bins
+      "E" -> Seq(1.0, 2.0),                               // N < 4
+      "F" -> (1 to 103).map(i => (i % 17).toDouble))      // ties everywhere
+    val li = cases.flatMap { case (f, ps) => ps.map(p => (f, p)) }
+      .toDF("l_returnflag", "l_extendedprice")
+    val got = RelationalQueries.quantileBinsOn(li).collect().toSeq
+    val want = reference(li).collect().toSeq
+    assert(got == want, s"rank form diverged:\n got=$got\nwant=$want")
+  }
 }

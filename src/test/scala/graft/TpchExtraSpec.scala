@@ -24,6 +24,9 @@ class TpchExtraSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // at-scale plan regime: the narrow-scan spread is a no-op on
+      // real (row-group-parallel) tables — see PlanShapeSpec note
+      .config("spark.graft.spreadNarrowScans", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
